@@ -1,0 +1,212 @@
+package graft.deltalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.collection.mutable
+
+/** Writes valid (minimal) Delta commit JSON so tests can build real
+  * log-backed tables without a delta jar. Mirrors the mutation surface the
+  * reference's fixtures use (populate_sample_delta.py:35-193,
+  * test_delta_analyzer_metrics.py:23-29): partitioned overwrite/append
+  * writes, predicate DELETE, and OPTIMIZE compaction.
+  *
+  * Test/fixture scope only — it deliberately uses driver-side file listing
+  * (fixtures are tiny); the *reader* (DeltaLog/DeltaSnapshot) is the
+  * scale-path code.
+  */
+object DeltaFixtureWriter {
+
+  private def logPath(table: String, version: Long): java.nio.file.Path =
+    Paths.get(table, "_delta_log", f"$version%020d.json")
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def jStr(s: String): String = "\"" + jsonEscape(s) + "\""
+
+  private def jMap(m: Seq[(String, String)]): String =
+    m.map { case (k, v) => s"${jStr(k)}:${jStr(v)}" }.mkString("{", ",", "}")
+
+  private def currentVersion(table: String): Option[Long] = {
+    val dir = new File(table, "_delta_log")
+    if (!dir.exists()) None
+    else {
+      val vs = dir.listFiles().toSeq
+        .map(_.getName)
+        .collect { case n if n.endsWith(".json") => n.stripSuffix(".json").toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Data files currently on disk (relative path, size), recursive,
+    * `_delta_log` excluded. */
+  private def listDataFiles(table: String): Map[String, Long] = {
+    val base = Paths.get(table)
+    val out = mutable.Map[String, Long]()
+    def walk(f: File): Unit = {
+      if (f.isDirectory) {
+        if (f.getName != "_delta_log") f.listFiles().foreach(walk)
+      } else if (f.getName.endsWith(".parquet")) {
+        out(base.relativize(f.toPath).toString) = f.length()
+      }
+    }
+    val root = new File(table)
+    if (root.exists()) walk(root)
+    out.toMap
+  }
+
+  /** Parse hive-style `col=value/` segments out of a relative file path. */
+  private def partitionValuesOf(relPath: String, partitionBy: Seq[String]): Seq[(String, String)] = {
+    val segs = relPath.split('/').dropRight(1)
+    partitionBy.flatMap { c =>
+      segs.collectFirst {
+        case s if s.startsWith(c + "=") => c -> s.substring(c.length + 1)
+      }
+    }
+  }
+
+  private def writeCommit(
+      table: String,
+      version: Long,
+      operation: String,
+      parameters: Seq[(String, String)],
+      adds: Seq[(String, Long)],
+      removes: Seq[String],
+      partitionBy: Seq[String],
+      writeMeta: Boolean): Unit = {
+    val ts = System.currentTimeMillis()
+    val lines = mutable.ArrayBuffer[String]()
+    val metrics = Seq(
+      "num_added_files" -> adds.size.toString,
+      "num_removed_files" -> removes.size.toString)
+    lines += s"""{"commitInfo":{"timestamp":$ts,"operation":${jStr(operation)},"operationParameters":${jMap(parameters)},"operationMetrics":${jMap(metrics)}}}"""
+    if (writeMeta) {
+      val pcJson = partitionBy.map(jStr).mkString("[", ",", "]")
+      lines += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += s"""{"metaData":{"id":${jStr(java.util.UUID.nameUUIDFromBytes(table.getBytes(StandardCharsets.UTF_8)).toString)},"schemaString":"{}","partitionColumns":$pcJson,"createdTime":$ts}}"""
+    }
+    removes.foreach { p =>
+      lines += s"""{"remove":{"path":${jStr(p)},"deletionTimestamp":$ts,"dataChange":true}}"""
+    }
+    adds.foreach { case (p, size) =>
+      val pv = jMap(partitionValuesOf(p, partitionBy))
+      lines += s"""{"add":{"path":${jStr(p)},"size":$size,"partitionValues":$pv,"modificationTime":$ts,"dataChange":true,"stats":""}}"""
+    }
+    val lp = logPath(table, version)
+    Files.createDirectories(lp.getParent)
+    Files.write(lp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Overwrite or append `df` as a new commit. Overwrite logically removes
+    * previous active files (they stay on disk — that is what VACUUM is for,
+    * and what the orphan/vacuum metrics detect). */
+  def write(df: DataFrame, table: String, mode: String = "overwrite",
+            partitionBy: Seq[String] = Seq.empty): Unit = {
+    require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    val before = listDataFiles(table)
+    val snapBefore: Seq[String] =
+      if (mode == "overwrite" && currentVersion(table).isDefined) {
+        val snap = DeltaLog.snapshot(df.sparkSession, table)
+        val files = snap.activeFiles.select("path")
+          .collect().map(_.getString(0)).toSeq
+        snap.unpersist()
+        files
+      } else Seq.empty
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(table)
+    val after = listDataFiles(table)
+    val newFiles = (after.keySet -- before.keySet).toSeq.sorted.map(p => p -> after(p))
+    val version = currentVersion(table).map(_ + 1).getOrElse(0L)
+    writeCommit(table, version, "WRITE",
+      Seq("mode" -> (if (mode == "overwrite") "Overwrite" else "Append"),
+          "partitionBy" -> partitionBy.mkString("[", ",", "]")),
+      adds = newFiles, removes = snapBefore,
+      partitionBy = partitionBy, writeMeta = version == 0L)
+  }
+
+  /** Predicate DELETE: rewrites only the active files that contain matching
+    * rows; files without matches are untouched (deltalake semantics). */
+  def delete(spark: SparkSession, table: String, predicate: String): Unit = {
+    import spark.implicits._
+    val snap = DeltaLog.snapshot(spark, table)
+    val partitionBy = snap.partitionColumns
+    val dataCols = snap.data.columns
+    snap.dataWithFile match {
+      case None =>
+        // empty table: still log the DELETE commit, no file changes
+        writeCommit(table, snap.version + 1, "DELETE",
+          Seq("predicate" -> predicate), Seq.empty, Seq.empty,
+          snap.partitionColumns, writeMeta = false)
+        snap.unpersist()
+        return
+      case Some(_) => ()
+    }
+    val withFile = snap.dataWithFile.get
+    // __file is the table-relative path (see DeltaSnapshot.dataWithFile)
+    val hitFiles = withFile.where(expr(predicate))
+      .select($"__file").distinct().as[String].collect().toSet
+    val before = listDataFiles(table)
+    val hitRel = before.keySet.filter(hitFiles.contains)
+    // surviving rows of hit files, rewritten (partition-aware)
+    val survivors = withFile
+      .where($"__file".isin(hitFiles.toSeq: _*) && !expr(predicate))
+      .select(dataCols.map(col).toIndexedSeq: _*)
+    if (!survivors.isEmpty) {
+      val w = survivors.write.mode("append")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(table)
+    }
+    val after = listDataFiles(table)
+    val newFiles = (after.keySet -- before.keySet).toSeq.sorted.map(p => p -> after(p))
+    val activeRel = snap.activeFiles.select("path").as[String].collect().toSet
+    val removes = hitRel.toSeq.sorted.filter(activeRel.contains)
+    snap.unpersist()
+    writeCommit(table, snap.version + 1, "DELETE",
+      Seq("predicate" -> predicate),
+      adds = newFiles, removes = removes,
+      partitionBy = partitionBy, writeMeta = false)
+  }
+
+  /** OPTIMIZE compact: bin-packs each partition's active files into one file
+    * per partition. */
+  def compact(spark: SparkSession, table: String): Unit = {
+    import spark.implicits._
+    val snap = DeltaLog.snapshot(spark, table)
+    val partitionBy = snap.partitionColumns
+    val activeRel = snap.activeFiles.select("path").as[String].collect().toSeq
+    val before = listDataFiles(table)
+    val data = snap.data
+    val exprs: Seq[org.apache.spark.sql.Column] =
+      if (partitionBy.isEmpty) Seq(lit(1)) else partitionBy.map(col)
+    val w = data.repartition(exprs: _*).write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(table)
+    val after = listDataFiles(table)
+    val newFiles = (after.keySet -- before.keySet).toSeq.sorted.map(p => p -> after(p))
+    snap.unpersist()
+    writeCommit(table, snap.version + 1, "OPTIMIZE",
+      Seq("predicate" -> "[]"),
+      adds = newFiles, removes = activeRel.sorted,
+      partitionBy = partitionBy, writeMeta = false)
+  }
+
+  /** rm -rf the table dir (test teardown; clean_delta_data.py:9-22). */
+  def drop(table: String): Unit = {
+    def rec(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete(); ()
+    }
+    val root = new File(table)
+    if (root.exists()) rec(root)
+  }
+}

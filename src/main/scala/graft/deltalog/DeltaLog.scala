@@ -1,0 +1,214 @@
+package graft.deltalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Minimal Delta transaction-log reader.
+  *
+  * The environment ships no delta-spark jar, so the engine implements its own
+  * log layer: parse `_delta_log/NNNNNNNNNNNNNNNNNNNN.json` commit files with
+  * `spark.read.json` under an explicit action schema, and replay add/remove
+  * actions to reconstruct the active-file snapshot.
+  *
+  * Consumes exactly the five log-derived facts the reference workload needs
+  * (see /root/reference/src/delta_lake_health/health_analyzers/
+  * delta_python_analyzer.py:20,115,167 and delta_spark_analyzer.py:116-118):
+  * history entries, metadata partition columns, active file URIs, add-action
+  * sizes, and version numbers.
+  *
+  * Scale notes: the log scan and the add/remove replay are pure DataFrame
+  * programs — the replay is a per-path max-version reconciliation implemented
+  * as a hash aggregation on `path`, which shuffles once on the file path and
+  * parallelizes over executors for manifests with millions of add actions.
+  * Checkpoint parquet files are not supported (fixtures never create one);
+  * the limitation is documented here on purpose.
+  */
+object DeltaLog {
+
+  /** Explicit schema for the union of actions we consume — explicit rather
+    * than inferred so a log with only some action types still yields all
+    * columns, deterministically. */
+  val actionSchema: StructType = StructType(Seq(
+    StructField("commitInfo", StructType(Seq(
+      StructField("timestamp", LongType),
+      StructField("operation", StringType),
+      StructField("operationParameters", MapType(StringType, StringType)),
+      StructField("operationMetrics", MapType(StringType, StringType))
+    ))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("createdTime", LongType)
+    ))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("size", LongType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)
+    ))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)
+    ))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)
+    )))
+  ))
+
+  def logDir(tablePath: String): String = s"$tablePath/_delta_log"
+
+  /** All actions across all commits, one row per JSON line, tagged with the
+    * commit version extracted from the file name (`%020d.json`). */
+  def readActions(spark: SparkSession, tablePath: String): DataFrame = {
+    // _metadata.file_name (not input_file_name(), which Spark's PreReadCheck
+    // forbids in multi-source plans — and snapshot replay joins this frame
+    // against the parquet scan)
+    spark.read
+      .schema(actionSchema)
+      .json(s"${logDir(tablePath)}/*.json")
+      .withColumn(
+        "version",
+        regexp_extract(col("_metadata.file_name"), "(\\d+)\\.json$", 1).cast(LongType))
+  }
+
+  def snapshot(spark: SparkSession, tablePath: String): DeltaSnapshot =
+    DeltaSnapshot(spark, tablePath, readActions(spark, tablePath).cache())
+
+  /** Normalize a (possibly `file:`-schemed) URI to a plain absolute path
+    * (`file:///x` and `file:/x` → `/x`), mirroring the reference's prefix
+    * strip at file_distribution.py:18-21. */
+  def stripScheme(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^file:/+", "/")
+
+  /** Table-relative path of an absolute/`file:`-schemed file path. */
+  def relativize(c: org.apache.spark.sql.Column, tablePath: String): org.apache.spark.sql.Column =
+    substring_index(stripScheme(c), tablePath.stripSuffix("/") + "/", -1)
+}
+
+/** Replayed view of a Delta table at its latest version.
+  *
+  * `actions` is the cached all-versions action frame; everything else is a
+  * lazy DataFrame derived from it (no driver-side materialization except the
+  * small `partitionColumns` lookup).
+  */
+final case class DeltaSnapshot(spark: SparkSession, tablePath: String, actions: DataFrame) {
+  import spark.implicits._
+
+  /** One row per commit: version, timestamp (epoch millis), operation,
+    * operationParameters, operationMetrics. Mirrors `dt.history()` /
+    * `DESCRIBE HISTORY` (delta_python_analyzer.py:167,
+    * delta_spark_analyzer.py:118). */
+  lazy val history: DataFrame = actions
+    .where($"commitInfo".isNotNull)
+    .select(
+      $"version",
+      $"commitInfo.timestamp".as("timestamp"),
+      $"commitInfo.operation".as("operation"),
+      $"commitInfo.operationParameters".as("operationParameters"),
+      $"commitInfo.operationMetrics".as("operationMetrics"))
+
+  /** max commit version — the reference's `version_count` is max(version),
+    * 0-based, NOT len(history) (delta_python_analyzer.py:189). */
+  lazy val version: Long =
+    actions.agg(max($"version")).as[Option[Long]].first().getOrElse(0L)
+
+  /** Partition columns from the latest metaData action. */
+  lazy val partitionColumns: Seq[String] = {
+    val rows = actions
+      .where($"metaData".isNotNull)
+      .orderBy($"version".desc)
+      .select($"metaData.partitionColumns")
+      .limit(1)
+      .as[Option[Seq[String]]]
+      .collect()
+    rows.headOption.flatten.getOrElse(Seq.empty)
+  }
+
+  /** Active file manifest: per path, the latest `add` survives unless a
+    * `remove` with version >= the add's version exists. Columns:
+    * path, size, partitionValues, modificationTime.
+    *
+    * Implemented as two hash aggregations plus a join on `path`; with AQE on,
+    * the (normally much smaller) remove side is broadcast at runtime.
+    */
+  lazy val activeFiles: DataFrame = {
+    val adds = actions
+      .where($"add".isNotNull)
+      .groupBy($"add.path".as("path"))
+      .agg(max_by(struct($"add.size", $"add.partitionValues", $"add.modificationTime", $"version"), $"version").as("a"))
+      .select($"path", $"a.size", $"a.partitionValues", $"a.modificationTime", $"a.version".as("addVersion"))
+    val removes = actions
+      .where($"remove".isNotNull)
+      .groupBy($"remove.path".as("path"))
+      .agg(max($"version").as("removeVersion"))
+    adds
+      .join(removes, Seq("path"), "left")
+      .where($"removeVersion".isNull || $"addVersion" > $"removeVersion")
+      .drop("removeVersion", "addVersion")
+  }
+
+  /** Absolute filesystem paths of active data files. */
+  lazy val activeFilePaths: DataFrame =
+    activeFiles.select(concat(lit(tablePath + "/"), $"path").as("path"), $"size")
+
+  /** DESCRIBE DETAIL-shaped one-row frame: sizeInBytes, numFiles,
+    * partitionColumns (delta_spark_analyzer.py:116,122-124). */
+  lazy val detail: DataFrame = activeFiles
+    .agg(
+      coalesce(sum($"size"), lit(0L)).as("sizeInBytes"),
+      count(lit(1)).as("numFiles"))
+    .withColumn("partitionColumns", lit(partitionColumns.toArray))
+    .withColumn("location", lit(tablePath))
+
+  /** Read the table's active rows, re-attaching partition columns.
+    *
+    * Delta physical files do not contain the partition columns; their values
+    * live in `add.partitionValues`. We read all active files in one parquet
+    * scan and join the per-file partition values back on the file name —
+    * a broadcast join against the (small) manifest, so the scan itself stays
+    * a single distributed pass, no driver loop over partitions.
+    */
+  lazy val data: DataFrame = dataWithFile match {
+    case Some(df) => df.drop("__file")
+    case None => spark.emptyDataFrame
+  }
+
+  /** Active rows + a `__file` column (the file's table-relative path) — used
+    * by file-targeted rewrites (DELETE). Built on `_metadata.file_path`,
+    * which unlike `input_file_name()` stays legal in multi-source join plans.
+    *
+    * The join key is the RELATIVE path, not the basename: a single Spark
+    * write job emits the same `part-NNNNN-<jobUUID>` basename into every
+    * partition directory it touches, so basenames are NOT unique within a
+    * table (the reference gets away with basename sets at
+    * delta_python_analyzer.py:125-126 only because deltalake generates
+    * per-file unique names). */
+  lazy val dataWithFile: Option[DataFrame] = {
+    val files: Seq[String] =
+      activeFilePaths.select($"path").as[String].collect().toSeq
+    if (files.isEmpty) None
+    else {
+      val raw = spark.read.parquet(files: _*)
+      val withFile = raw.withColumn("__file",
+        DeltaLog.relativize(col("_metadata.file_path"), tablePath))
+      if (partitionColumns.isEmpty) Some(withFile)
+      else {
+        val manifest = activeFiles.select($"path".as("__file"), $"partitionValues")
+        val joined = withFile.join(broadcast(manifest), Seq("__file"), "left")
+        val partCols = partitionColumns.map(c =>
+          element_at($"partitionValues", c).as(c))
+        Some(joined.select(
+          (raw.columns.map(col).toSeq :+ $"__file") ++ partCols: _*))
+      }
+    }
+  }
+
+  def unpersist(): Unit = { actions.unpersist(); () }
+}
