@@ -1,13 +1,64 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.deltalog.DeltaFixtureWriter
+import graft.operators.HealthAnalyzer
+import graft.queries.{Oracles, Queries}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: build a (deterministic) mutated Delta-log table from sf0.001
+    * lineitem, replay its log, and return the full one-row health-metrics
+    * record — the reference's E1 entry point end-to-end on Spark. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_linestatus"))
+    DeltaFixtureWriter.write(li, path, "overwrite",
+      Seq("l_returnflag", "l_linestatus"))
+    DeltaFixtureWriter.write(li.orderBy(col("l_orderkey")).limit(100), path,
+      "append", Seq("l_returnflag", "l_linestatus"))
+    DeltaFixtureWriter.delete(spark, path, "l_quantity > 45")
+    DeltaFixtureWriter.compact(spark, path)
+    val m = HealthAnalyzer.analyzeTable(spark, path)
+    Seq(m).toDS().toDF()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (Queries.q1Agg _),
+    "partition_counts" -> (Queries.partitionCounts _),
+    "records_per_partition" -> (Queries.recordsPerPartition _),
+    "skewness_metrics" -> (Queries.skewnessMetrics _),
+    "op_counts" -> (Queries.opCounts _),
+    "health_score_sql" -> (Queries.healthScoreSql _),
+    "topn_others" -> (Queries.topnOthers _),
+    "size_histogram" -> (Queries.sizeHistogram _),
+    "anti_join_orphans" -> (Queries.antiJoinOrphans _),
+    "distribution_stats" -> (Queries.distributionStats _),
+    "join_revenue_by_nation" -> (Queries.joinRevenueByNation _),
+    "window_top_orders" -> (Queries.windowTopOrders _),
+    "events_hourly" -> (Queries.eventsHourly _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> Oracles.q1Agg,
+    "partition_counts" -> Oracles.partitionCounts,
+    "records_per_partition" -> Oracles.recordsPerPartition,
+    "skewness_metrics" -> Oracles.skewnessMetrics,
+    "op_counts" -> Oracles.opCounts,
+    "health_score_sql" -> Oracles.healthScoreSql,
+    "topn_others" -> Oracles.topnOthers,
+    "size_histogram" -> Oracles.sizeHistogram,
+    "anti_join_orphans" -> Oracles.antiJoinOrphans,
+    "distribution_stats" -> Oracles.distributionStats,
+    "join_revenue_by_nation" -> Oracles.joinRevenueByNation,
+    "window_top_orders" -> Oracles.windowTopOrders,
+    "events_hourly" -> Oracles.eventsHourly)
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+/** DuckDB oracle SQL — one entry per [[Queries]] member, column names and
+  * rounding matched exactly to the Spark side (the driver hash-compares
+  * values under sorted column names; integer sums are CAST to BIGINT because
+  * DuckDB's SUM over integers returns HUGEINT while Spark returns long). */
+object Oracles {
+
+  val q1Agg: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val partitionCounts: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val recordsPerPartition: String =
+    """SELECT concat_ws('/', l_returnflag, l_linestatus) AS partition_key,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val skewnessMetrics: String =
+    """WITH counts AS (
+      |  SELECT o_orderpriority, count(*) AS c FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT count(*) AS partition_cnt, max(c) AS mx, min(c) AS mn,
+      |         avg(c) AS mean_c
+      |  FROM counts),
+      |mad AS (
+      |  SELECT avg(abs(c - (SELECT mean_c FROM s))) AS m FROM counts)
+      |SELECT partition_cnt,
+      |  round(CASE WHEN partition_cnt <= 1 OR mx = 0 THEN 0.0
+      |             ELSE CAST(mx - mn AS DOUBLE) / mx END, 9) AS skewness_max,
+      |  round(CASE WHEN partition_cnt <= 1 OR mean_c = 0 THEN 0.0
+      |             ELSE (SELECT m FROM mad) / mean_c END, 9) AS skewness_average
+      |FROM s""".stripMargin
+
+  val opCounts: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  count(*) AS n_total
+      |FROM events""".stripMargin
+
+  val healthScoreSql: String =
+    """WITH ops AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS writes,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS optimizes
+      |  FROM events),
+      |counts AS (SELECT o_orderpriority, count(*) AS c FROM orders GROUP BY 1),
+      |sk AS (
+      |  SELECT CASE WHEN count(*) <= 1 OR max(c) = 0 THEN 0.0
+      |              ELSE CAST(max(c) - min(c) AS DOUBLE) / max(c) END AS skew
+      |  FROM counts),
+      |sf AS (
+      |  SELECT CAST(sum(CASE WHEN p_size < 10 THEN 1 ELSE 0 END) AS BIGINT) AS small_files
+      |  FROM part),
+      |orph AS (
+      |  SELECT count(*) AS n_orphan FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)),
+      |base AS (
+      |  SELECT writes, optimizes, small_files, n_orphan,
+      |    least(CAST(writes AS DOUBLE) / 10 * 25, CAST(25 AS DOUBLE)) AS freshness,
+      |    least(CAST(optimizes AS DOUBLE) / greatest(writes, 1) * 10 * 12.5,
+      |          CAST(12.5 AS DOUBLE))
+      |      + (CASE WHEN n_orphan > 0 THEN 0.0 ELSE 12.5 END) AS maintenance,
+      |    25 - least(skew * 100, CAST(25 AS DOUBLE)) AS balance,
+      |    25 - least(CAST(small_files AS DOUBLE) / greatest(writes * 2, 1) * 12.5,
+      |               CAST(12.5 AS DOUBLE))
+      |       - (CASE WHEN n_orphan > 0 THEN 12.5 ELSE 0.0 END) AS storage
+      |  FROM ops, sk, sf, orph)
+      |SELECT writes, optimizes, small_files, n_orphan,
+      |  round(freshness, 6) AS freshness,
+      |  round(maintenance, 6) AS maintenance,
+      |  round(balance, 6) AS balance,
+      |  round(storage, 6) AS storage,
+      |  round(freshness + maintenance + balance + storage, 6) AS health_score,
+      |  CASE WHEN freshness + maintenance + balance + storage >= 80 THEN 'healthy'
+      |       WHEN freshness + maintenance + balance + storage >= 50 THEN 'unhealthy'
+      |       ELSE 'very_unhealthy' END AS health_status
+      |FROM base""".stripMargin
+
+  val topnOthers: String =
+    """WITH counts AS (
+      |  SELECT p_brand AS brand, count(*) AS cnt FROM part GROUP BY 1),
+      |ranked AS (
+      |  SELECT brand, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, brand ASC) AS rn
+      |  FROM counts)
+      |SELECT brand, cnt FROM (
+      |  SELECT brand, cnt, rn FROM ranked WHERE rn <= 10
+      |  UNION ALL
+      |  SELECT 'Others' AS brand, CAST(sum(cnt) AS BIGINT) AS cnt,
+      |         CAST(11 AS BIGINT) AS rn
+      |  FROM ranked WHERE rn > 10 HAVING count(*) > 0
+      |) t ORDER BY rn""".stripMargin
+
+  val sizeHistogram: String =
+    """SELECT CAST(floor(l_extendedprice / CAST(5000 AS DOUBLE)) AS BIGINT) AS bin,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val antiJoinOrphans: String =
+    """SELECT c_custkey FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  val distributionStats: String =
+    """WITH counts AS (
+      |  SELECT l_returnflag, count(*) AS c FROM lineitem GROUP BY 1)
+      |SELECT max(c) AS max_count, min(c) AS min_count,
+      |  round(avg(c), 6) AS mean_count,
+      |  round(CAST(stddev_pop(c) AS DOUBLE), 6) AS stddev_count
+      |FROM counts""".stripMargin
+
+  val joinRevenueByNation: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val windowTopOrders: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  val eventsHourly: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  event_type, count(*) AS cnt,
+      |  round(sum(value), 4) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RollupOps, SkewAnalyzer}
+
+/** Driver-contract queries over the testdata parquet tables — each is one
+  * operator row from SURVEY.md §2 re-expressed over the TPC-H-ish surrogate
+  * tables, paired with DuckDB oracle SQL in [[Oracles]].
+  *
+  * Conventions shared with the oracle SQL (the driver hash-compares values
+  * under sorted column names):
+  *  - every aggregate/computed column is aliased identically on both sides;
+  *  - double outputs are `round`ed (2 decimals for big money sums, 6-9 for
+  *    ratios) so cross-engine float summation order cannot flip the hash;
+  *  - every result has a total deterministic ORDER BY.
+  */
+object Queries {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]); read it as nanos-long via the legacy
+    * flag and rebuild a proper TimestampType column (micros precision —
+    * DuckDB truncates ns → us identically). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** A1/O1 + F10-F12: pruned scan + hash aggregation (TPC-H Q1 shape).
+    * Catalyst prunes the scan to the 6 referenced columns. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A1: per-"partition" record counts (surrogate partition key =
+    * (l_returnflag, l_linestatus), SURVEY §2.4 A1). */
+  def partitionCounts(spark: SparkSession, dir: String): DataFrame =
+    SkewAnalyzer.partitionCounts(
+        t(spark, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("count").as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A4: counts keyed by stringified partition tuple. */
+  def recordsPerPartition(spark: SparkSession, dir: String): DataFrame =
+    SkewAnalyzer.recordsPerPartition(
+        t(spark, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+      .select(col("partition").as("partition_key"), col("count").as("cnt"))
+      .orderBy(col("partition_key"))
+
+  /** A2+A3: the skewness pair over orders by o_orderpriority. */
+  def skewnessMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val counts = SkewAnalyzer.partitionCounts(
+      t(spark, dir, "orders"), Seq("o_orderpriority"))
+    SkewAnalyzer.skewnessStats(counts)
+      .select(
+        col("partition_cnt"),
+        round(col("skewness_max"), 9).as("skewness_max"),
+        round(col("skewness_average"), 9).as("skewness_average"))
+  }
+
+  /** A5: conditional operation-count aggregation (events.event_type stands in
+    * for the commit-log operation column). */
+  def opCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+      sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+      count(lit(1)).as("n_total"))
+
+  /** H1-H5: the full health-score calculus as ONE declarative plan over
+    * surrogate inputs (writes←clicks, optimizes←purchases, skew←orders
+    * priorities, small files←small parts, orphans←customers with no orders).
+    * Demonstrates the score is SQL-expressible end-to-end. */
+  def healthScoreSql(spark: SparkSession, dir: String): DataFrame = {
+    val ops = opCounts(spark, dir)
+      .select(col("n_click").as("writes"), col("n_purchase").as("optimizes"))
+    val skew = skewnessMetrics(spark, dir).select(col("skewness_max").as("skew"))
+    val smallFiles = t(spark, dir, "part")
+      .agg(sum(when(col("p_size") < 10, 1L).otherwise(0L)).as("small_files"))
+    val orphans = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    ops.crossJoin(skew).crossJoin(smallFiles).crossJoin(orphans)
+      .select(
+        col("writes"), col("optimizes"), col("small_files"), col("n_orphan"),
+        least(col("writes") / 10.0 * 25.0, lit(25.0)).as("freshness"),
+        (least(col("optimizes") / greatest(col("writes"), lit(1L)) * 10.0 * 12.5, lit(12.5))
+          + when(col("n_orphan") > 0, 0.0).otherwise(12.5)).as("maintenance"),
+        (lit(25.0) - least(col("skew") * 100.0, lit(25.0))).as("balance"),
+        (lit(25.0)
+          - least(col("small_files") / greatest(col("writes") * 2L, lit(1L)).cast("double") * 12.5, lit(12.5))
+          - when(col("n_orphan") > 0, 12.5).otherwise(0.0)).as("storage"))
+      .select(
+        col("writes"), col("optimizes"), col("small_files"), col("n_orphan"),
+        round(col("freshness"), 6).as("freshness"),
+        round(col("maintenance"), 6).as("maintenance"),
+        round(col("balance"), 6).as("balance"),
+        round(col("storage"), 6).as("storage"),
+        round(col("freshness") + col("maintenance") + col("balance") + col("storage"), 6)
+          .as("health_score"),
+        when(col("freshness") + col("maintenance") + col("balance") + col("storage") >= 80, "healthy")
+          .when(col("freshness") + col("maintenance") + col("balance") + col("storage") >= 50, "unhealthy")
+          .otherwise("very_unhealthy").as("health_status"))
+  }
+
+  /** A15/O1/O2: top-10 + "Others" rollup over part brands. */
+  def topnOthers(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "part")
+      .groupBy(col("p_brand").as("brand")).agg(count(lit(1)).as("cnt"))
+    RollupOps.topNWithOthers(counts, "brand", "cnt", 10)
+  }
+
+  /** A14: fixed-width histogram of l_extendedprice (width 5000). */
+  def sizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    RollupOps.histogram(t(spark, dir, "lineitem"), "l_extendedprice", 5000.0)
+      .select(col("bin"), col("count").as("cnt"))
+      .orderBy(col("bin"))
+
+  /** J1: orphan detection as a left-anti join — customers with no orders
+    * since 2000 (date predicate keeps the result non-empty at every SF). */
+  def antiJoinOrphans(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders")
+          .where(expr("o_orderdate >= timestamp'2000-01-01 00:00:00'")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  /** A16: distribution stats for the skew gauge. */
+  def distributionStats(spark: SparkSession, dir: String): DataFrame =
+    SkewAnalyzer.distributionStats(
+        SkewAnalyzer.partitionCounts(t(spark, dir, "lineitem"), Seq("l_returnflag")))
+      .select(
+        col("max_count"), col("min_count"),
+        round(col("mean_count"), 6).as("mean_count"),
+        round(col("stddev_count"), 6).as("stddev_count"))
+
+  /** Broadcast-join aggregation: revenue per nation (engine-breadth join
+    * path; nation/customer sides broadcast, lineitem side streams). */
+  def joinRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Window ranking: top-3 orders per customer by total price (O2 analogue
+    * via row_number, SURVEY §2.8). */
+  def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        col("rn").cast("long").as("rn"))   // DuckDB row_number is BIGINT
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Event-time tumbling aggregation (batch form of the streaming window):
+    * per-hour per-type counts + value sums, hour as epoch seconds. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 4).as("value_sum"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+}

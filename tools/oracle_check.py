@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dumped by `graft.Verify` (<out>/<name>/ parquet dir) with an
+entry in <out>/oracle_sql.json, runs the oracle SQL in DuckDB over the same
+parquet tables and compares row count, sorted-column names, and value
+multisets (rounded repr hash). Exit 1 on any mismatch.
+
+This is a builder-side testing tool only (driver-side python deps allowed
+for testing; the engine itself is pure Scala/Spark).
+"""
+import glob
+import json
+import math
+import sys
+from collections import Counter
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def frame_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    bag = Counter(tuple(canon(r[i]) for i in order) for r in rows)
+    return names, bag
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    failures = []
+    for name, sql in sorted(oracles.items()):
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            failures.append((name, "no spark output parquet"))
+            continue
+        got = con.execute(
+            "SELECT * FROM read_parquet([" +
+            ",".join(f"'{f}'" for f in files) + "])").fetchall()
+        got_cols = [d[0] for d in con.description]
+        try:
+            exp = con.execute(sql).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            failures.append((name, f"oracle SQL error: {e}"))
+            continue
+        gn, gb = frame_key(got_cols, got)
+        en, eb = frame_key(exp_cols, exp)
+        if gn != en:
+            failures.append((name, f"schema mismatch: spark={gn} duckdb={en}"))
+        elif len(got) != len(exp):
+            failures.append((name, f"row count: spark={len(got)} duckdb={len(exp)}"))
+        elif gb != eb:
+            diff_g = list((gb - eb).items())[:3]
+            diff_e = list((eb - gb).items())[:3]
+            failures.append(
+                (name, f"value mismatch; spark-only={diff_g} duckdb-only={diff_e}"))
+        else:
+            print(f"  OK   {name}: {len(got)} rows")
+    for name, why in failures:
+        print(f"  FAIL {name}: {why}")
+    print(f"{len(oracles) - len(failures)}/{len(oracles)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
