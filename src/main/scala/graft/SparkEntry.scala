@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.deltalog.DeltaFixtureWriter
 import graft.operators.HealthAnalyzer
-import graft.queries.{Oracles, Queries}
+import graft.queries.{Oracles, PipelineQueries, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -43,7 +43,21 @@ object SparkEntry {
     "distribution_stats" -> (Queries.distributionStats _),
     "join_revenue_by_nation" -> (Queries.joinRevenueByNation _),
     "window_top_orders" -> (Queries.windowTopOrders _),
-    "events_hourly" -> (Queries.eventsHourly _))
+    "events_hourly" -> (Queries.eventsHourly _),
+    // training-data pipeline extensions
+    "token_stats" -> (PipelineQueries.tokenStats _),
+    "quality_scores" -> (PipelineQueries.qualityScores _),
+    "lang_id" -> (PipelineQueries.langId _),
+    "fingerprint_md5" -> (PipelineQueries.fingerprintMd5 _),
+    "dedup_exact" -> (PipelineQueries.dedupExact _),
+    "jaccard_planted" -> (PipelineQueries.jaccardPlanted _),
+    "embedding_norms" -> (PipelineQueries.embeddingNorms _),
+    "dedup_minhash" -> (PipelineQueries.dedupMinhash _),
+    "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
+    "dedup_ngram" -> (PipelineQueries.dedupNgram _),
+    "dedup_embedding" -> (PipelineQueries.dedupEmbedding _),
+    "knn_bruteforce" -> (PipelineQueries.knnBruteforce _),
+    "knn_lsh" -> (PipelineQueries.knnLsh _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -60,5 +74,16 @@ object SparkEntry {
     "distribution_stats" -> Oracles.distributionStats,
     "join_revenue_by_nation" -> Oracles.joinRevenueByNation,
     "window_top_orders" -> Oracles.windowTopOrders,
-    "events_hourly" -> Oracles.eventsHourly)
+    "events_hourly" -> Oracles.eventsHourly,
+    "token_stats" -> Oracles.tokenStats,
+    "quality_scores" -> Oracles.qualityScores,
+    "lang_id" -> Oracles.langId,
+    "fingerprint_md5" -> Oracles.fingerprintMd5,
+    "dedup_exact" -> Oracles.dedupExact,
+    "jaccard_planted" -> Oracles.jaccardPlanted,
+    "embedding_norms" -> Oracles.embeddingNorms)
+    // dedup_minhash / dedup_simhash / dedup_ngram / dedup_embedding /
+    // knn_bruteforce / knn_lsh: LSH plumbing is not SQL-expressible in
+    // DuckDB → driver records the weaker rows-only check; their similarity
+    // *math* is oracle-covered via jaccard_planted / embedding_norms.
 }

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language identification, fingerprinting. All
+  * pure `functions._` compositions (codegen'd, no UDFs) except the custom
+  * expressions in [[exprs]]. */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank text → empty array (Spark's split("")
+    * yields [""], which we filter). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * non-alnum marks each count as one token (a cheap, deterministic proxy
+    * for byte-pair tokenizers). */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Punctuation character count (ASCII punct class — identical semantics in
+    * Java regex and RE2, keeping DuckDB-oracle parity). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
+
+  /** Uppercase-letter ratio over all characters (0 for empty). */
+  def capsRatio(text: Column): Column = {
+    val caps = length(text) - length(regexp_replace(text, "[A-Z]", ""))
+    when(length(text) === 0, 0.0).otherwise(caps.cast("double") / length(text))
+  }
+
+  /** Mean token length in characters (0 for empty). */
+  def avgWordLen(text: Column): Column = {
+    val n = size(tokens(text))
+    when(n === 0, 0.0)
+      .otherwise(
+        aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / n)
+  }
+
+  /** Fraction of tokens that are lowercase English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    when(n === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(EnglishStopwords: _*))).cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1] — the classic heuristic mix of length,
+    * word-shape, punctuation and stopword signals (in the spirit of
+    * C4/Gopher-style quality filters). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val wordLen = avgWordLen(text)
+    val wordLenScore =
+      when(wordLen >= 3.0 && wordLen <= 10.0, 1.0).otherwise(0.5)
+    val punctScore = when(length(text) === 0, 0.0).otherwise(
+      lit(1.0) - least(punctCount(text).cast("double") / greatest(length(text), lit(1)) * 5.0, lit(1.0)))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lenScore * 0.3 + wordLenScore * 0.2 + punctScore * 0.25 + stopScore * 0.25, 6)
+  }
+
+  /** Normalized text for fingerprinting: lowercase, non-alphanumeric runs
+    * collapsed to single spaces, trimmed. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** MD5 fingerprint of normalized text (exact-dup key that survives
+    * whitespace/punctuation/case noise). */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit rolling-hash fingerprint (custom codegen expression). */
+  def fingerprint64(text: Column): Column = exprs.fingerprint64(normalized(text))
+
+  /** Language identification via stopword/character n-gram evidence:
+    * per-language stopword hit counts over the token set, CJK-character count
+    * as the zh signal, argmax via Spark's struct ordering (greatest compares
+    * field-by-field). Returns the ISO code, 'und' for no evidence. */
+  def languageId(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val best = greatest(
+      struct(hits(EnglishStopwords).as("score"), lit("en").as("lang")),
+      struct(hits(GermanStopwords).as("score"), lit("de").as("lang")),
+      struct(hits(SpanishStopwords).as("score"), lit("es").as("lang")),
+      struct(hits(FrenchStopwords).as("score"), lit("fr").as("lang")),
+      struct(cjk.as("score"), lit("zh").as("lang")))
+    when(best.getField("score") <= 0, "und").otherwise(best.getField("lang"))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at", "is",
+    "are", "was", "were", "be", "been", "it", "this", "that", "with", "for",
+    "as", "by", "from", "not", "no", "so", "if", "then", "than", "too")
+  val GermanStopwords: Seq[String] = Seq(
+    "der", "die", "das", "und", "oder", "aber", "von", "zu", "im", "in",
+    "auf", "ist", "sind", "war", "waren", "sein", "es", "mit", "für", "als",
+    "aus", "nicht", "kein", "so", "wenn", "dann", "ein", "eine", "den", "dem")
+  val SpanishStopwords: Seq[String] = Seq(
+    "el", "la", "los", "las", "y", "o", "pero", "de", "a", "en", "es", "son",
+    "era", "ser", "con", "para", "por", "como", "no", "si", "un", "una",
+    "del", "al", "que", "su", "se", "lo", "más", "este")
+  val FrenchStopwords: Seq[String] = Seq(
+    "le", "la", "les", "et", "ou", "mais", "de", "à", "en", "est", "sont",
+    "était", "être", "avec", "pour", "par", "comme", "ne", "pas", "si", "un",
+    "une", "du", "au", "que", "qui", "se", "ce", "plus", "dans")
+}

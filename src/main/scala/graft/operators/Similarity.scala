@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against the
+  *    corpus, fused cosine kernel, per-query top-k. Cost O(|Q|·|corpus|·dim)
+  *    with no corpus shuffle: the right baseline, and the verifier for the
+  *    approximate path.
+  *  - [[lshTopK]]: scale path — random-hyperplane LSH buckets (sign-bit
+  *    codes); corpus is bucketed once, queries probe their own bucket plus
+  *    all Hamming-1 neighbors (multi-probe), search is bucket-local. At
+  *    1000-executor scale the bucket join hash-partitions the corpus by
+  *    bucket id; no single task sees more than a bucket.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (seeded), as literal nested arrays. */
+  private def planesLit(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id of a vector: bit i = sign(dot(v, plane_i)).
+    * Pure expression tree (zip_with + aggregate), codegen'd, no shuffle. */
+  def lshBucket(vec: Column, nPlanes: Int = 8, seed: Long = 7L, dim: Int = 64): Column = {
+    val planes = planesLit(nPlanes, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, lit(p.toArray), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** All Hamming-distance-1 neighbor buckets of a bucket id (multi-probe). */
+  def probeBuckets(bucket: Column, nPlanes: Int): Column =
+    array((bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1L << i)))): _*)
+
+  /** Exact brute-force cosine top-k.
+    * @param queries frame with (idCol, vecCol) — must be broadcast-small
+    * @param corpus  frame with (idCol, vecCol)
+    * @return (query_id, neighbor_id, cosine, rank), rank 1..k per query */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Approximate top-k via multi-probe sign-bit LSH: queries explode to
+    * their probe buckets, join the bucketed corpus on bucket id, exact
+    * cosine + per-query top-k within the probed set. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, nPlanes: Int = 8,
+              seed: Long = 7L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .withColumn("bucket", lshBucket(col("nvec"), nPlanes, seed))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("bucket",
+        explode(probeBuckets(lshBucket(col("qvec"), nPlanes, seed), nPlanes)))
+    val scored = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** L2 norm of a float vector (double accumulation, deterministic
+    * left-to-right fold — matches DuckDB's list_sum order for oracle
+    * parity). */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+}

@@ -144,6 +144,122 @@ object Oracles {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  val tokenStats: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_text,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                            t -> length(t) > 0)) END AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+      |  length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val qualityScores: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                t -> length(t) > 0) AS ltoks,
+      |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    least(CAST(len(toks) AS DOUBLE) / 50, CAST(1 AS DOUBLE)) AS len_score,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |              / len(toks) END AS word_len,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE 1 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 5,
+      |                        CAST(1 AS DOUBLE)) END AS punct_score,
+      |    CASE WHEN len(ltoks) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(ltoks, t -> list_contains(
+      |                ['the','a','an','and','or','but','of','to','in','on','at','is',
+      |                 'are','was','were','be','been','it','this','that','with','for',
+      |                 'as','by','from','not','no','so','if','then','than','too'], t)))
+      |              AS DOUBLE) / len(ltoks) END AS stop_ratio
+      |  FROM base)
+      |SELECT doc_id,
+      |  round(len_score * 0.3
+      |    + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      |    + punct_score * 0.25
+      |    + least(stop_ratio * 4, CAST(1 AS DOUBLE)) * 0.25, 6) AS quality
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  val fingerprintMd5: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val dedupExact: String =
+    """SELECT lang, source, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      |  count(*) AS dup_cnt
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val jaccardPlanted: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(
+      |      regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
+      |      t -> length(t) > 0)) AS toks
+      |  FROM documents WHERE doc_id < 20),
+      |planted AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(
+      |      regexp_split_to_array(trim(regexp_replace(lower(
+      |        text || ' graft planted near duplicate suffix'), '[^a-z0-9]+', ' ', 'g')), '\s+'),
+      |      t -> length(t) > 0)) AS toks
+      |  FROM documents WHERE doc_id < 20)
+      |SELECT n.doc_id,
+      |  round(CASE WHEN len(n.toks) + len(p.toks) - len(list_intersect(n.toks, p.toks)) = 0
+      |             THEN 0.0
+      |             ELSE CAST(len(list_intersect(n.toks, p.toks)) AS DOUBLE)
+      |                  / (len(n.toks) + len(p.toks) - len(list_intersect(n.toks, p.toks)))
+      |        END, 6) AS jaccard
+      |FROM norm n JOIN planted p USING (doc_id)
+      |ORDER BY n.doc_id""".stripMargin
+
+  val embeddingNorms: String =
+    """SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  val langId: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, text,
+      |    list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                              t -> length(t) > 0)) AS toks
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(toks, t -> list_contains(
+      |      ['the','a','an','and','or','but','of','to','in','on','at','is','are',
+      |       'was','were','be','been','it','this','that','with','for','as','by',
+      |       'from','not','no','so','if','then','than','too'], t))) AS s_en,
+      |    len(list_filter(toks, t -> list_contains(
+      |      ['der','die','das','und','oder','aber','von','zu','im','in','auf','ist',
+      |       'sind','war','waren','sein','es','mit','für','als','aus','nicht','kein',
+      |       'so','wenn','dann','ein','eine','den','dem'], t))) AS s_de,
+      |    len(list_filter(toks, t -> list_contains(
+      |      ['el','la','los','las','y','o','pero','de','a','en','es','son','era',
+      |       'ser','con','para','por','como','no','si','un','una','del','al','que',
+      |       'su','se','lo','más','este'], t))) AS s_es,
+      |    len(list_filter(toks, t -> list_contains(
+      |      ['le','la','les','et','ou','mais','de','à','en','est','sont','était',
+      |       'être','avec','pour','par','comme','ne','pas','si','un','une','du',
+      |       'au','que','qui','se','ce','plus','dans'], t))) AS s_fr,
+      |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS s_zh
+      |  FROM base)
+      |SELECT doc_id, lang,
+      |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) <= 0 THEN 'und'
+      |       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+      |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+      |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+      |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+      |       ELSE 'de' END AS lang_pred
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val eventsHourly: String =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
       |  event_type, count(*) AS cnt,

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data-pipeline queries (dedup / similarity / text analysis) over
+  * the documents and embeddings tables — the post-parity extension surface
+  * (SURVEY.md §7 step 9). Same oracle conventions as [[Queries]].
+  *
+  * Near-dup queries PLANT deterministic near-duplicates (suffix-perturbed
+  * copies of doc_id < 20, shifted by +1,000,000) so recall is observable on
+  * the otherwise dup-free synthetic corpus.
+  */
+object PipelineQueries {
+
+  import Queries.t
+
+  val PlantShift = 1000000L
+
+  /** documents ∪ suffix-perturbed copies of the first 20 docs. */
+  def docsWithPlants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val planted = docs.where(col("doc_id") < 20)
+      .select(
+        (col("doc_id") + PlantShift).as("doc_id"),
+        concat(col("text"), lit(" graft planted near duplicate suffix")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").union(planted)
+  }
+
+  /** embeddings ∪ slightly-perturbed copies of vec_id < 20 (deterministic
+    * per-dimension jitter, cosine ≈ 0.999). */
+  def embeddingsWithPlants(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val planted = e.where(col("vec_id") < 20)
+      .select(
+        (col("vec_id") + PlantShift).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x.cast("double") + sin(i.cast("double") + col("vec_id")) * 0.02)
+            .cast("float")).as("embedding"),
+        col("label"))
+    e.select("vec_id", "embedding", "label").union(planted)
+  }
+
+  // ------------------------------------------------------- oracle-checked
+
+  /** Token counting: whitespace tokens, BPE-ish subword tokens, punctuation
+    * count, char length. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_text"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.subwordCount(col("text")).as("n_subwords"),
+      TextFunctions.punctCount(col("text")).cast("long").as("n_punct"))
+      .orderBy(col("doc_id"))
+
+  /** Composite quality score per document. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Language identification (stopword + CJK evidence). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextFunctions.languageId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** MD5 fingerprint of normalized text. */
+  def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup groups by (lang, source). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(spark, dir, "documents"), "doc_id", Seq("lang", "source"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Token-set Jaccard of each planted pair — oracles the similarity math
+    * that the LSH pipelines use for verification. */
+  def jaccardPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlants(spark, dir)
+    val a = docs.where(col("doc_id") < 20)
+      .select(col("doc_id").as("id_a"),
+        TextFunctions.tokens(TextFunctions.normalized(col("text"))).as("t_a"))
+    val b = docs.where(col("doc_id") >= PlantShift)
+      .select((col("doc_id") - PlantShift).as("id_a"),
+        TextFunctions.tokens(TextFunctions.normalized(col("text"))).as("t_b"))
+    a.join(b, "id_a")
+      .select(col("id_a").as("doc_id"),
+        round(Dedup.jaccard(col("t_a"), col("t_b")), 6).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L2 norms of the embedding vectors (double accumulation, deterministic
+    * fold order on both engines). */
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").select(
+      col("vec_id"),
+      round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"))
+      .orderBy(col("vec_id"))
+
+  // --------------------------------------------------- rows-only (no SQL)
+
+  /** MinHash+LSH near-dup pairs (finds the planted dups). */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docsWithPlants(spark, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (custom codegen expression + Hamming blocking). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docsWithPlants(spark, dir), "doc_id", "text", maxBits = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Character-trigram Jaccard near-dup pairs (LSH-prefiltered). */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsWithPlants(spark, dir), "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-dup pairs over LSH buckets (planted jitter). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(embeddingsWithPlants(spark, dir), "vec_id", "embedding",
+        threshold = 0.98)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact brute-force cosine top-5 for the first 10 vectors. */
+  def knnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Approximate LSH top-5 for the first 10 vectors (multi-probe). */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.lshTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

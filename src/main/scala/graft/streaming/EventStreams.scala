@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming operators over the events table. Each transform is
+  * written against a plain DataFrame so the SAME function runs in batch
+  * (for oracle checks) and behind `readStream` (for the streaming path) —
+  * identical function surface, as Structured Streaming intends.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.10); this is the
+  * forward-looking extension for pipeline ingestion.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour event-time window per event type. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("value_sum"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("cnt"), col("value_sum"))
+
+  /** Sliding window: 1-hour windows every 15 minutes. */
+  def slidingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** Session windows per user with an inactivity gap. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("value_sum"))
+      .select(col("user_id"), col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col("n_events"), col("value_sum"))
+
+  /** Open a parquet dir as a stream (schema must be supplied up front for
+    * streaming sources; watermark bounds state for the windowed aggs). */
+  def streamFromParquet(spark: SparkSession, dir: String, schema: StructType,
+                        watermark: String = "2 hours"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", watermark)
+
+  /** Drive a streaming transform of `dir`'s parquet through a memory sink
+    * synchronously; returns the materialized result table. Batch/stream
+    * parity harness for tests. */
+  def runToMemory(spark: SparkSession, source: DataFrame,
+                  transform: DataFrame => DataFrame,
+                  queryName: String): DataFrame = {
+    val q = transform(source)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+}

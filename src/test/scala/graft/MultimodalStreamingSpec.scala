@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.queries.Queries
+import graft.streaming.EventStreams
+
+/** Multimodal plumbing + streaming/batch parity specs. */
+class MultimodalStreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("multimodal: batched decode preserves ids, emits fixed-dim features") {
+    val media = Multimodal.syntheticMedia(spark, 200)
+    val feats = Multimodal.decodeFeatures(media, batchSize = 16, partitions = Some(4))
+    val rows = feats.collect()
+    assert(rows.length === 200)
+    assert(rows.forall(_.feature.length === Multimodal.FeatureDim))
+    assert(rows.map(_.media_id).sorted.toSeq === (0L until 200L))
+    // deterministic: same input → same features
+    val again = Multimodal.decodeFeatures(media, batchSize = 64).collect()
+    val a = rows.sortBy(_.media_id).map(_.feature.toSeq)
+    val b = again.sortBy(_.media_id).map(_.feature.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("multimodal: resize rewrites image meta only; frame plan explodes video") {
+    val media = Multimodal.syntheticMedia(spark, 60)
+    val resized = Multimodal.resizeMeta(media, maxSide = 32).collect()
+    resized.filter(_.kind == "image").foreach { r =>
+      assert(r.meta("width").toInt <= 32 && r.meta("height").toInt <= 32)
+    }
+    resized.filter(_.kind != "image").foreach(r => assert(!r.meta.contains("resized")))
+    val frames = Multimodal.frameSamplePlan(media, everyMs = 1000)
+    assert(frames.count() > 0)
+    val perVideo = frames.groupBy("media_id").count()
+    assert(perVideo.agg(min("count")).as[Long].first() >= 2L)
+  }
+
+  test("streaming: windowed agg over readStream == batch result") {
+    val batchDf = Queries.events(spark, sf())
+    val expected = EventStreams.hourlyTypeCounts(batchDf)
+      .orderBy("window_start", "event_type").collect()
+
+    // stream the same parquet through a memory sink: use the nanos-as-long
+    // schema (set by Queries.events above) and the same ts rebuild
+    // streaming file source needs a DIRECTORY — glob-filter the events file
+    val rawSchema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf())
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "2 hours")
+    val got = EventStreams.runToMemory(spark, stream,
+        EventStreams.hourlyTypeCounts, "hourly_stream")
+      .orderBy("window_start", "event_type").collect()
+
+    assert(got.length === expected.length)
+    assert(got.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
+  }
+
+  test("streaming: session windows produce bounded per-user sessions") {
+    val sessions = EventStreams.userSessions(Queries.events(spark, sf()), "30 minutes")
+    val n = sessions.count()
+    assert(n > 0)
+    val bad = sessions.where(col("session_end") < col("session_start")).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{exprs, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+import graft.queries.PipelineQueries
+
+/** Specs for the training-data pipeline operators (dedup / similarity /
+  * text). */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokenCount: whitespace tokens, blank-safe") {
+    val df = Seq("a b  c", "", "   ", "one").toDF("text")
+      .select(TextFunctions.tokenCount(col("text")).as("n"))
+    assert(df.as[Long].collect().toSeq === Seq(3L, 0L, 0L, 1L))
+  }
+
+  test("fingerprint64 expression: deterministic, normalization-insensitive") {
+    val df = Seq("Hello, World!", "hello world", "other").toDF("text")
+      .select(TextFunctions.fingerprint64(col("text")).as("fp"))
+    val fps = df.as[Long].collect()
+    assert(fps(0) === fps(1), "case/punct variants must collide")
+    assert(fps(0) !== fps(2))
+  }
+
+  test("simhash64: near texts differ in few bits, far texts in many") {
+    val near = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy dog again and once"))
+      .toDF("id", "text")
+    val sh = Dedup.simhash(near, "id", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hamming = java.lang.Long.bitCount(sh("a") ^ sh("b"))
+    assert(hamming <= 12, s"near-dup hamming=$hamming")
+  }
+
+  test("cosine similarity expression: exact values + zero-norm guard") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(0.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(exprs.cosineSimilarity(col("a"), col("b")).as("c"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(got(2) === 0.0)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val pairs = PipelineQueries.dedupMinhash(spark, sf())
+      .where(col("id_b") === col("id_a") + PipelineQueries.PlantShift)
+    assert(pairs.count() >= 15, "at least 15/20 planted pairs recovered")
+    val j = pairs.agg(min("jaccard")).as[Double].first()
+    assert(j >= 0.7)
+  }
+
+  test("jaccard: exact set semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(math.abs(df.as[Double].first() - 0.5) < 1e-12)
+  }
+
+  test("embedding LSH near-dup recovers planted jittered vectors") {
+    val pairs = PipelineQueries.dedupEmbedding(spark, sf())
+      .where(col("id_b") === col("id_a") + PipelineQueries.PlantShift)
+    assert(pairs.count() >= 10, "bucket-local search recovers most plants")
+    assert(pairs.agg(min("cosine")).as[Double].first() >= 0.98)
+  }
+
+  test("brute-force knn: self excluded, ranks dense, cosine descending") {
+    val r = PipelineQueries.knnBruteforce(spark, sf()).collect()
+    assert(r.length === 50)
+    assert(!r.exists(row => row.getLong(0) == row.getLong(1)))
+    r.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      val cosines = sorted.map(_.getDouble(2)).toSeq
+      assert(cosines === cosines.sorted.reverse, "cosine must be non-increasing")
+    }
+  }
+
+  test("lsh knn: bucket-local results are a subset ranking with real sims") {
+    val exact = PipelineQueries.knnBruteforce(spark, sf())
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = PipelineQueries.knnLsh(spark, sf()).collect()
+    assert(approx.nonEmpty)
+    // every approx cosine is a true cosine (verification is exact)
+    approx.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c <= 1.0 && c >= -1.0)
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("language id: identifies clearly-English and CJK text") {
+    val df = Seq(
+      ("en", "the cat and the dog are in the house with a ball"),
+      ("zh", "中文文本处理引擎"),
+      ("und", "zzz qqq www")).toDF("expected", "text")
+      .select(col("expected"), TextFunctions.languageId(col("text")).as("got"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) === r.getString(0), s"for expected=${r.getString(0)}")
+    }
+  }
+
+  test("dedupKeepMin removes exact duplicates keeping min id") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val out = Dedup.dedupKeepMin(df, "id", Seq("k"))
+      .select("id").orderBy("id").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 3L))
+  }
+}
