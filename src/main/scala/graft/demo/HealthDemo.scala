@@ -53,6 +53,25 @@ object HealthDemo {
     println("=== recommendations ===")
     HealthAnalyzer.recommendations(spark, m).show(false)
 
+    println("=== trend + report formatting ===")
+    val now = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+    val earlier = java.sql.Timestamp.valueOf("2026-08-11 00:00:00")
+    graft.operators.Reporting.trend(Seq((now, m), (earlier, m.copy(recordCount = 90))), spark)
+      .select("date", "record_count", "partition_skewness", "writes")
+      .show(false)
+    graft.operators.Reporting.metricsToDF(spark, Seq(m))
+      .select(
+        graft.operators.Reporting.humanBytes(org.apache.spark.sql.functions.col("tableSizeBytes")).as("table_size"),
+        graft.operators.Reporting.humanBytes(org.apache.spark.sql.functions.col("folderSizeBytes")).as("folder_size"))
+      .show(false)
+    println("=== csv source ===")
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csvDir, "tips.csv"),
+      "total_bill,tip,day,size\n16.99,1.01,Sun,2\n10.34,1.66,Mon,3\n")
+    val csv = graft.sources.Sources.readCsv(spark, s"$csvDir/tips.csv")
+    csv.show(false)
+    println("csv schema: " + csv.schema.simpleString)
+
     println("=== probe: missing path ===")
     try { HealthAnalyzer.analyzeTable(spark, "/tmp/does_not_exist_xyz"); println("NO ERROR") }
     catch { case e: Exception =>
