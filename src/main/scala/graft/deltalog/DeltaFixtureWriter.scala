@@ -200,6 +200,13 @@ object DeltaFixtureWriter {
       partitionBy = partitionBy, writeMeta = false)
   }
 
+  /** Append a data-free commit (e.g. VACUUM marker). */
+  def logCommit(table: String, version: Long, operation: String,
+                parameters: Seq[(String, String)]): Unit =
+    writeCommit(table, version, operation, parameters,
+      adds = Seq.empty, removes = Seq.empty,
+      partitionBy = Seq.empty, writeMeta = false)
+
   /** rm -rf the table dir (test teardown; clean_delta_data.py:9-22). */
   def drop(table: String): Unit = {
     def rec(f: File): Unit = {

@@ -65,21 +65,58 @@ object DeltaLog {
   def logDir(tablePath: String): String = s"$tablePath/_delta_log"
 
   /** All actions across all commits, one row per JSON line, tagged with the
-    * commit version extracted from the file name (`%020d.json`). */
+    * commit version extracted from the file name (`%020d.json`).
+    *
+    * Checkpoint-aware: if `_last_checkpoint` exists, the parquet checkpoint
+    * at version N stands in for all commits <= N (its rows are treated as
+    * actions at version N) and only JSON commits with version > N are read —
+    * so log replay stays correct after expired JSON commits are cleaned. */
   def readActions(spark: SparkSession, tablePath: String): DataFrame = {
     // _metadata.file_name (not input_file_name(), which Spark's PreReadCheck
     // forbids in multi-source plans — and snapshot replay joins this frame
     // against the parquet scan)
-    spark.read
+    val jsonActions = spark.read
       .schema(actionSchema)
       .json(s"${logDir(tablePath)}/*.json")
       .withColumn(
         "version",
         regexp_extract(col("_metadata.file_name"), "(\\d+)\\.json$", 1).cast(LongType))
+    lastCheckpointVersion(spark, tablePath) match {
+      case None => jsonActions
+      case Some(ckptV) =>
+        val ckpt = spark.read
+          .parquet(f"${logDir(tablePath)}/$ckptV%020d.checkpoint.parquet")
+        // align to actionSchema (checkpoint may lack commitInfo etc.)
+        val aligned = actionSchema.fields.map { f =>
+          if (ckpt.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        ckpt.select(aligned.toIndexedSeq: _*)
+          .withColumn("version", lit(ckptV))
+          .unionByName(jsonActions.where(col("version") > ckptV))
+    }
+  }
+
+  /** Version recorded in `_last_checkpoint`, if any. */
+  def lastCheckpointVersion(spark: SparkSession, tablePath: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(logDir(tablePath), "_last_checkpoint")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(content).map(_.group(1).toLong)
+    }
   }
 
   def snapshot(spark: SparkSession, tablePath: String): DeltaSnapshot =
     DeltaSnapshot(spark, tablePath, readActions(spark, tablePath).cache())
+
+  /** Time travel: snapshot as of `version` (inclusive). Requires the log to
+    * still contain a checkpoint or JSON commits covering that version. */
+  def snapshotAt(spark: SparkSession, tablePath: String, version: Long): DeltaSnapshot =
+    DeltaSnapshot(spark, tablePath,
+      readActions(spark, tablePath).where(col("version") <= version).cache())
 
   /** Normalize a (possibly `file:`-schemed) URI to a plain absolute path
     * (`file:///x` and `file:/x` → `/x`), mirroring the reference's prefix

@@ -84,6 +84,17 @@ object HealthDemo {
     catch { case e: Exception =>
       println(s"caught: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(140)}") }
 
+    println("=== maintenance cycle: checkpoint + time travel + optimize + vacuum ===")
+    println("records@v0 = " + DeltaLog.snapshotAt(spark, path, 0).data.count())
+    val ckptV = graft.operators.Maintenance.checkpoint(spark, path)
+    println(s"checkpoint at v$ckptV")
+    graft.operators.Maintenance.optimize(spark, path)
+    val deleted = graft.operators.Maintenance.vacuum(spark, path, retainMs = 0L)
+    println(s"vacuumed ${deleted.count()} files")
+    val after = HealthAnalyzer.analyzeTable(spark, path)
+    println(f"post-maintenance: score=${after.healthScore.get}%.2f orphans=${after.orphanFilesCount} " +
+      s"files=${after.dataFileCount}/${after.totalFileCount} records=${after.recordCount}")
+
     println("=== probe: double compact ===")
     DeltaFixtureWriter.compact(spark, path)
     val m2 = HealthAnalyzer.analyzeTable(spark, path)

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.deltalog.{DeltaFixtureWriter, DeltaLog}
+import graft.health.Thresholds
+import graft.operators.{HealthAnalyzer, Maintenance}
+
+/** Checkpoint, time travel, and the executable maintenance ops. */
+class MaintenanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("time travel: snapshotAt reconstructs earlier versions") {
+    val path = tmpDir("tt")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 20, "Tue" -> 20),
+      Seq("Dinner" -> 20, "Lunch" -> 20))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day"))
+    DeltaFixtureWriter.write(df.limit(10), path, "append", Seq("day"))
+    DeltaFixtureWriter.delete(spark, path, "total_bill > 40")
+    val v0 = DeltaLog.snapshotAt(spark, path, 0)
+    val v1 = DeltaLog.snapshotAt(spark, path, 1)
+    val v2 = DeltaLog.snapshot(spark, path)
+    assert(v0.data.count() === 40)
+    assert(v1.data.count() === 50)
+    assert(v2.data.count() < 50, "delete shrank latest version")
+    Seq(v0, v1, v2).foreach(_.unpersist())
+  }
+
+  test("checkpoint: replay survives deleting pre-checkpoint JSON commits") {
+    val path = tmpDir("ckpt")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 30, "Tue" -> 30),
+      Seq("Dinner" -> 30, "Lunch" -> 30))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day"))
+    DeltaFixtureWriter.write(df.limit(10), path, "append", Seq("day"))
+    val before = DeltaLog.snapshot(spark, path)
+    val expected = before.data.count()
+    before.unpersist()
+
+    val v = Maintenance.checkpoint(spark, path)
+    assert(v === 1L)
+    // a later commit on top of the checkpoint
+    DeltaFixtureWriter.write(df.limit(5), path, "append", Seq("day"))
+    // expire the pre-checkpoint JSON commits
+    (0L to v).foreach { i =>
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(path, "_delta_log", f"$i%020d.json"))
+    }
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.data.count() === expected + 5)
+    assert(snap.partitionColumns === Seq("day"), "metaData restored from checkpoint")
+    assert(snap.version === 2L)
+    snap.unpersist()
+  }
+
+  test("vacuum deletes aged orphans, logs VACUUM, and health recovers") {
+    val path = tmpDir("vac")
+    TestFixtures.buildOrphanTable(spark, path)
+    val sick = HealthAnalyzer.analyzeTable(spark, path,
+      Thresholds(orphanFileRatioThreshold = 0.8))
+    assert(sick.hasOrphanFiles && sick.needsVacuum)
+
+    val dry = Maintenance.vacuum(spark, path, retainMs = 0L, dryRun = true)
+    val nOrphans = dry.count()
+    assert(nOrphans > 0)
+    assert(graft.operators.StorageAnalyzer.folderFiles(spark, path).count()
+      > sick.dataFileCount, "dry run deletes nothing")
+
+    val deleted = Maintenance.vacuum(spark, path, retainMs = 0L)
+    assert(deleted.count() === nOrphans)
+    val healed = HealthAnalyzer.analyzeTable(spark, path,
+      Thresholds(orphanFileRatioThreshold = 0.8))
+    assert(!healed.hasOrphanFiles)
+    assert(!healed.needsVacuum)
+    assert(healed.orphanFilesCount === 0)
+    assert(healed.recordCount === sick.recordCount, "data untouched")
+    assert(healed.healthScore.get > sick.healthScore.get)
+    val vacuumOps = DeltaLog.snapshot(spark, path).history
+      .where(col("operation") === "VACUUM").count()
+    assert(vacuumOps === 1L)
+  }
+
+  test("optimize then vacuum: full maintenance cycle on a churned table") {
+    val path = tmpDir("cycle")
+    TestFixtures.buildOrphanTable(spark, path)
+    Maintenance.optimize(spark, path)
+    Maintenance.vacuum(spark, path, retainMs = 0L)
+    val m = HealthAnalyzer.analyzeTable(spark, path)
+    assert(m.dataFileCount === m.totalFileCount)
+    assert(m.orphanFilesCount === 0)
+    val perPartition = {
+      val snap = DeltaLog.snapshot(spark, path)
+      val n = snap.activeFiles
+        .groupBy(element_at(col("partitionValues"), "day"),
+          element_at(col("partitionValues"), "time"))
+        .count().select(max("count")).as[Long].first()
+      snap.unpersist(); n
+    }
+    assert(perPartition === 1L)
+  }
+}
