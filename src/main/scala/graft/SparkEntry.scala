@@ -44,6 +44,14 @@ object SparkEntry {
     "join_revenue_by_nation" -> (Queries.joinRevenueByNation _),
     "window_top_orders" -> (Queries.windowTopOrders _),
     "events_hourly" -> (Queries.eventsHourly _),
+    "user_sessions" -> (Queries.userSessions _),
+    "knn_ivf" -> ((s: SparkSession, d: String) => {
+      val e = Queries.t(s, d, "embeddings")
+      graft.operators.Similarity.ivfTopK(
+        e.where(org.apache.spark.sql.functions.col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // training-data pipeline extensions
     "token_stats" -> (PipelineQueries.tokenStats _),
     "quality_scores" -> (PipelineQueries.qualityScores _),
@@ -75,6 +83,7 @@ object SparkEntry {
     "join_revenue_by_nation" -> Oracles.joinRevenueByNation,
     "window_top_orders" -> Oracles.windowTopOrders,
     "events_hourly" -> Oracles.eventsHourly,
+    "user_sessions" -> Oracles.userSessions,
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
     "lang_id" -> Oracles.langId,

@@ -200,6 +200,41 @@ object DeltaFixtureWriter {
       partitionBy = partitionBy, writeMeta = false)
   }
 
+  /** Simplified MERGE (upsert by key): source rows replace table rows with
+    * equal key values, unmatched source rows are inserted. Rewrites only
+    * the files containing matched keys (others stay active untouched);
+    * logs a MERGE commit — so history-based operation counting (A5) sees
+    * real MERGE operations. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keyCols: Seq[String]): Unit = {
+    import spark.implicits._
+    val snap = DeltaLog.snapshot(spark, table)
+    val partitionBy = snap.partitionColumns
+    val dataCols = snap.data.columns
+    val src = source.select(dataCols.map(col).toIndexedSeq: _*)
+    val before = listDataFiles(table)
+    val (newRows, removes) = snap.dataWithFile match {
+      case None => (src, Seq.empty[String])
+      case Some(withFile) =>
+        val hitFiles = withFile.join(src, keyCols, "left_semi")
+          .select($"__file").distinct().as[String].collect().toSet
+        val survivors = withFile
+          .where($"__file".isin(hitFiles.toSeq: _*))
+          .join(src, keyCols, "left_anti")
+          .select(dataCols.map(col).toIndexedSeq: _*)
+        (survivors.union(src), hitFiles.toSeq.sorted)
+    }
+    val w = newRows.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(table)
+    val after = listDataFiles(table)
+    val newFiles = (after.keySet -- before.keySet).toSeq.sorted.map(p => p -> after(p))
+    snap.unpersist()
+    writeCommit(table, snap.version + 1, "MERGE",
+      Seq("matchedPredicate" -> keyCols.mkString(",")),
+      adds = newFiles, removes = removes,
+      partitionBy = partitionBy, writeMeta = false)
+  }
+
   /** Append a data-free commit (e.g. VACUUM marker). */
   def logCommit(table: String, version: Long, operation: String,
                 parameters: Seq[(String, String)]): Unit =

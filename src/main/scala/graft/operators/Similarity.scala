@@ -87,6 +87,57 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and searches exhaustively inside them — the
+    * classic FAISS-style recipe expressed as Spark plans. At cluster scale
+    * the corpus is hash-partitioned by cell id, a probe touches
+    * nprobe/nlist of the data, and the trained centroids are a tiny
+    * broadcast model.
+    *
+    * Deterministic (fixed seed). Requires corpus >= nlist vectors. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, nlist: Int = 16,
+              nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .withColumn("features", array_to_vector(col("nvec")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+      .fit(c)
+    val assigned = model.transform(c)
+      .select(col("neighbor_id"), col("nvec"), col("prediction").as("cell"))
+
+    // centroids as a literal frame; each query ranks cells and keeps nprobe
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }.toSeq
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDF = centroids.toDF("cell", "cvec")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(centDF))
+      .withColumn("cdist", -exprs.cosineSimilarity(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(wCell))
+      .where(col("crank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+
+    val scored = probed.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   /** L2 norm of a float vector (double accumulation, deterministic
     * left-to-right fold — matches DuckDB's list_sum order for oracle
     * parity). */

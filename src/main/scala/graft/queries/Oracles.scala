@@ -260,6 +260,26 @@ object Oracles {
       |       ELSE 'de' END AS lang_pred
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  val userSessions: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) AS value_sum
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_epoch""".stripMargin
+
   val eventsHourly: String =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
       |  event_type, count(*) AS cnt,

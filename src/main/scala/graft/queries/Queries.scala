@@ -184,6 +184,29 @@ object Queries {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Sessionization as gaps-and-islands (lag + cumulative sum) — the batch
+    * window-function form of EventStreams.statefulSessions, 30-minute gap.
+    * Oracle-checkable (unlike session_window, this is plain ANSI SQL). */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        unix_timestamp(min(col("ts"))).as("session_start_epoch"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("value_sum"))
+      .drop("sid")
+      .orderBy(col("user_id"), col("session_start_epoch"))
+  }
+
   /** Event-time tumbling aggregation (batch form of the streaming window):
     * per-hour per-type counts + value sums, hour as epoch seconds. */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =

@@ -79,6 +79,49 @@ class MaintenanceSpec extends SparkSuite {
     assert(vacuumOps === 1L)
   }
 
+  test("merge upserts by key, inserts unmatched, logs MERGE commit") {
+    val path = tmpDir("merge")
+    val df = Seq(
+      (1L, 10.0, "Mon"), (2L, 20.0, "Mon"), (3L, 30.0, "Tue"))
+      .toDF("id", "v", "day")
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day"))
+    val source = Seq((2L, 99.0, "Mon"), (4L, 40.0, "Wed")).toDF("id", "v", "day")
+    DeltaFixtureWriter.merge(spark, path, source, Seq("id"))
+    val snap = DeltaLog.snapshot(spark, path)
+    val got = snap.data.select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0))
+    assert(snap.history.where(col("operation") === "MERGE").count() === 1L)
+    snap.unpersist()
+    // A5: merge shows up in operation counts
+    val snap2 = DeltaLog.snapshot(spark, path)
+    val ops = graft.operators.HistoryAnalyzer.opCounts(snap2.history).first()
+    assert(ops.getAs[Long]("number_of_merges") === 1L)
+    snap2.unpersist()
+  }
+
+  test("ivf top-k: probes nearest cells, exact cosine within them") {
+    val e = table("embeddings")
+    val r = graft.operators.Similarity.ivfTopK(
+      e.where(col("vec_id") < 5), e, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3).collect()
+    assert(r.nonEmpty)
+    assert(r.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+    r.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cosines = rows.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(cosines === cosines.sorted.reverse)
+    }
+    // IVF with full probing degenerates to (at least) brute-force's top-1
+    val full = graft.operators.Similarity.ivfTopK(
+      e.where(col("vec_id") < 5), e, "vec_id", "embedding",
+      k = 1, nlist = 4, nprobe = 4).collect()
+    val brute = graft.operators.Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 5), e, "vec_id", "embedding", k = 1).collect()
+    val fullTop = full.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bruteTop = brute.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fullTop === bruteTop, "probing every cell must match brute force")
+  }
+
   test("optimize then vacuum: full maintenance cycle on a churned table") {
     val path = tmpDir("cycle")
     TestFixtures.buildOrphanTable(spark, path)
