@@ -45,6 +45,7 @@ object SparkEntry {
     "window_top_orders" -> (Queries.windowTopOrders _),
     "events_hourly" -> (Queries.eventsHourly _),
     "user_sessions" -> (Queries.userSessions _),
+    "price_percentiles" -> (Queries.pricePercentiles _),
     "knn_ivf" -> ((s: SparkSession, d: String) => {
       val e = Queries.t(s, d, "embeddings")
       graft.operators.Similarity.ivfTopK(
@@ -84,6 +85,7 @@ object SparkEntry {
     "window_top_orders" -> Oracles.windowTopOrders,
     "events_hourly" -> Oracles.eventsHourly,
     "user_sessions" -> Oracles.userSessions,
+    "price_percentiles" -> Oracles.pricePercentiles,
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
     "lang_id" -> Oracles.langId,

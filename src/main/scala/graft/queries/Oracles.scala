@@ -260,6 +260,14 @@ object Oracles {
       |       ELSE 'de' END AS lang_pred
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  val pricePercentiles: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val userSessions: String =
     """WITH marked AS (
       |  SELECT user_id, ts, value,

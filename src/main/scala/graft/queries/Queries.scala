@@ -151,6 +151,18 @@ object Queries {
         round(col("mean_count"), 6).as("mean_count"),
         round(col("stddev_count"), 6).as("stddev_count"))
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both linear interpolation on the sorted set). */
+  def pricePercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   /** Broadcast-join aggregation: revenue per nation (engine-breadth join
     * path; nation/customer sides broadcast, lineitem side streams). */
   def joinRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
