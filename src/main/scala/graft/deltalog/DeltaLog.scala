@@ -86,11 +86,23 @@ object DeltaLog {
       case Some(ckptV) =>
         val ckpt = spark.read
           .parquet(f"${logDir(tablePath)}/$ckptV%020d.checkpoint.parquet")
-        // align to actionSchema (checkpoint may lack commitInfo etc.)
-        val aligned = actionSchema.fields.map { f =>
-          if (ckpt.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+        // field-wise alignment to actionSchema: real checkpoints carry extra
+        // top-level actions (txn) and extra nested fields (stats_parsed,
+        // tags, ...) — a struct cast would fail on arity, so rebuild each
+        // action struct from the subfields we consume, null-filling gaps
+        def alignedStruct(action: String, st: StructType): org.apache.spark.sql.Column = {
+          if (!ckpt.columns.contains(action)) return lit(null).cast(st).as(action)
+          val actionType = ckpt.schema(action).dataType.asInstanceOf[StructType]
+          val fields = st.fields.map { f =>
+            if (actionType.fieldNames.contains(f.name))
+              col(s"$action.${f.name}").cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }
+          when(col(action).isNotNull, struct(fields.toIndexedSeq: _*))
+            .otherwise(lit(null).cast(st)).as(action)
         }
+        val aligned = actionSchema.fields.map(f =>
+          alignedStruct(f.name, f.dataType.asInstanceOf[StructType]))
         ckpt.select(aligned.toIndexedSeq: _*)
           .withColumn("version", lit(ckptV))
           .unionByName(jsonActions.where(col("version") > ckptV))
@@ -109,8 +121,18 @@ object DeltaLog {
     }
   }
 
-  def snapshot(spark: SparkSession, tablePath: String): DeltaSnapshot =
+  /** True if `path` looks like a Delta table (has a `_delta_log` dir). */
+  def isDeltaTable(spark: SparkSession, tablePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(logDir(tablePath))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def snapshot(spark: SparkSession, tablePath: String): DeltaSnapshot = {
+    require(isDeltaTable(spark, tablePath),
+      s"$tablePath is not a Delta table: no ${logDir(tablePath)} directory " +
+        "(for plain parquet, read it directly with spark.read.parquet)")
     DeltaSnapshot(spark, tablePath, readActions(spark, tablePath).cache())
+  }
 
   /** Time travel: snapshot as of `version` (inclusive). Requires the log to
     * still contain a checkpoint or JSON commits covering that version. */
