@@ -46,6 +46,8 @@ object SparkEntry {
     "events_hourly" -> (Queries.eventsHourly _),
     "user_sessions" -> (Queries.userSessions _),
     "price_percentiles" -> (Queries.pricePercentiles _),
+    "rollup_agg" -> (Queries.rollupAgg _),
+    "distinct_counts" -> (Queries.distinctCounts _),
     "knn_ivf" -> ((s: SparkSession, d: String) => {
       val e = Queries.t(s, d, "embeddings")
       graft.operators.Similarity.ivfTopK(
@@ -86,6 +88,9 @@ object SparkEntry {
     "events_hourly" -> Oracles.eventsHourly,
     "user_sessions" -> Oracles.userSessions,
     "price_percentiles" -> Oracles.pricePercentiles,
+    "rollup_agg" -> Oracles.rollupAgg,
+    "distinct_counts" -> Oracles.distinctCounts,
+    "knn_bruteforce" -> Oracles.knnBruteforce,
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
     "lang_id" -> Oracles.langId,

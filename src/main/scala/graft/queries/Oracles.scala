@@ -260,6 +260,49 @@ object Oracles {
       |       ELSE 'de' END AS lang_pred
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Works because the Spark cosine kernel and DuckDB's list_sum both
+    * accumulate doubles sequentially left-to-right — bit-identical IEEE
+    * results, so even the ranks agree. */
+  val knnBruteforce: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS ne
+      |  FROM q, embeddings e WHERE q.query_id <> e.vec_id),
+      |sim AS (
+      |  SELECT query_id, neighbor_id,
+      |    CASE WHEN nq = 0 OR ne = 0 THEN 0.0
+      |         ELSE dot / (sqrt(nq) * sqrt(ne)) END AS raw_cosine
+      |  FROM scored),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, raw_cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY raw_cosine DESC, neighbor_id ASC) AS rank
+      |  FROM sim)
+      |SELECT query_id, neighbor_id, round(raw_cosine, 6) AS cosine, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val rollupAgg: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  val distinctCounts: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS distinct_parts,
+      |  count(DISTINCT l_suppkey) AS distinct_supps,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val pricePercentiles: String =
     """SELECT l_returnflag,
       |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

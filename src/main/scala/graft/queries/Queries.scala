@@ -151,6 +151,27 @@ object Queries {
         round(col("mean_count"), 6).as("mean_count"),
         round(col("stddev_count"), 6).as("stddev_count"))
 
+  /** Hierarchical ROLLUP aggregation (grouping-set totals per flag and
+    * grand total). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Exact distinct-count aggregation (expand + two-phase under the hood). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
   /** Exact interpolated percentiles per group (Spark `percentile` ==
     * DuckDB `quantile_cont`, both linear interpolation on the sorted set). */
   def pricePercentiles(spark: SparkSession, dir: String): DataFrame =
