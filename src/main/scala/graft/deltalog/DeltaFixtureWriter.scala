@@ -159,9 +159,12 @@ object DeltaFixtureWriter {
       .select($"__file").distinct().as[String].collect().toSet
     val before = listDataFiles(table)
     val hitRel = before.keySet.filter(hitFiles.contains)
-    // surviving rows of hit files, rewritten (partition-aware)
+    // surviving rows of hit files, rewritten (partition-aware). DELETE
+    // removes rows where the predicate is TRUE — rows where it evaluates
+    // NULL must survive (bare !pred would be NULL and silently drop them)
     val survivors = withFile
-      .where($"__file".isin(hitFiles.toSeq: _*) && !expr(predicate))
+      .where($"__file".isin(hitFiles.toSeq: _*) &&
+        !coalesce(expr(predicate), lit(false)))
       .select(dataCols.map(col).toIndexedSeq: _*)
     if (!survivors.isEmpty) {
       val w = survivors.write.mode("append")
@@ -185,6 +188,14 @@ object DeltaFixtureWriter {
     val snap = DeltaLog.snapshot(spark, table)
     val partitionBy = snap.partitionColumns
     val activeRel = snap.activeFiles.select("path").as[String].collect().toSeq
+    if (activeRel.isEmpty) {
+      // fully-deleted table: log a no-op OPTIMIZE, nothing to rewrite
+      writeCommit(table, snap.version + 1, "OPTIMIZE",
+        Seq("predicate" -> "[]"), Seq.empty, Seq.empty, partitionBy,
+        writeMeta = false)
+      snap.unpersist()
+      return
+    }
     val before = listDataFiles(table)
     val data = snap.data
     val exprs: Seq[org.apache.spark.sql.Column] =

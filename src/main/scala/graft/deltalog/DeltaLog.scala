@@ -103,9 +103,14 @@ object DeltaLog {
         }
         val aligned = actionSchema.fields.map(f =>
           alignedStruct(f.name, f.dataType.asInstanceOf[StructType]))
+        // Union the checkpoint with ALL surviving JSON commits, not only
+        // those after it: replay is per-path last-add-wins, so checkpoint
+        // rows (at ckptV) and older JSON adds coexist harmlessly, while the
+        // older commitInfo rows keep history metrics and pre-checkpoint
+        // time travel working for as long as those JSONs are retained.
         ckpt.select(aligned.toIndexedSeq: _*)
           .withColumn("version", lit(ckptV))
-          .unionByName(jsonActions.where(col("version") > ckptV))
+          .unionByName(jsonActions)
     }
   }
 

@@ -17,6 +17,19 @@ import graft.functions.{exprs, minhashExprs, TextFunctions}
   */
 object Dedup {
 
+  // cached signature frames live for the session unless released; long
+  // sessions running many dedup pipelines should call unpersistAll()
+  private val cachedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private def track(df: DataFrame): DataFrame =
+    cachedFrames.synchronized { cachedFrames += df; df }
+
+  /** Release every signature cache created by the LSH pipelines. Safe to
+    * call after results are materialized. */
+  def unpersistAll(): Unit = cachedFrames.synchronized {
+    cachedFrames.foreach(_.unpersist())
+    cachedFrames.clear()
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on arbitrary key columns: one row per group with the
@@ -105,7 +118,7 @@ object Dedup {
       minhashExprs.wordShingleSet(col(textCol), 3).as("sh"))
       .withColumn("sig", minhashExprs.minhashSig(col("sh"), numHashes))
       .cache()
-    verifiedPairs(withSig, bands, rows, threshold, numHashes)
+    verifiedPairs(track(withSig), bands, rows, threshold, numHashes)
   }
 
   /** Shared LSH candidate generation + two-stage verification:
@@ -200,7 +213,7 @@ object Dedup {
       minhashExprs.charShingleSet(col(textCol), n).as("sh"))
       .withColumn("sig", minhashExprs.minhashSig(col("sh"), 32))
       .cache()
-    verifiedPairs(withSig, bands = 4, rows = 8, threshold, numHashes = 32)
+    verifiedPairs(track(withSig), bands = 4, rows = 8, threshold, numHashes = 32)
   }
 
   /** Character n-grams of normalized text. */
@@ -219,9 +232,9 @@ object Dedup {
     * fused codegen kernel. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, planes: Int = 8,
-                     seed: Long = 7L): DataFrame = {
+                     seed: Long = 7L, dim: Int = 64): DataFrame = {
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", Similarity.lshBucket(col("vec"), planes, seed))
+      .withColumn("bucket", Similarity.lshBucket(col("vec"), planes, seed, dim))
     val a = withBucket.alias("a")
     val b = withBucket.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -26,16 +26,21 @@ object HealthAnalyzer {
       // history pass (A5/A6)
       val ops = HistoryAnalyzer.opCounts(snap.history).first()
       // skew pass (A1-A4) — once, both methods, unlike the reference's
-      // double materialization (delta_python_analyzer.py:192-193)
-      val skew = SkewAnalyzer.analyze(snap.data, snap.partitionColumns,
-        thresholds.skewThreshold)
+      // double materialization (delta_python_analyzer.py:192-193).
+      // Guard the fully-deleted table: data is schemaless when no file is
+      // active, so grouping by partition columns would not resolve.
+      val hasData = snap.dataWithFile.isDefined
+      val skew =
+        if (hasData)
+          SkewAnalyzer.analyze(snap.data, snap.partitionColumns,
+            thresholds.skewThreshold)
+        else graft.health.SkewMetrics(partitionColumns = snap.partitionColumns)
       // storage pass (A8-A13, J1)
       val folder = StorageAnalyzer.folderFiles(spark, tablePath)
       val storage = StorageAnalyzer.storageStats(folder, snap.activeFilePaths,
         thresholds.smallFileSizeMb.map(_ * 1024 * 1024)).first()
       // record count (A7) — full-scan count, the parity-true form
-      val recordCount =
-        if (snap.activeFiles.isEmpty) 0L else snap.data.count()
+      val recordCount = if (hasData) snap.data.count() else 0L
 
       val tableSize = storage.getAs[Long]("table_size_bytes")
       val folderSize = storage.getAs[Long]("folder_size_bytes")

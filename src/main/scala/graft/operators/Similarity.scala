@@ -29,12 +29,19 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket id of a vector: bit i = sign(dot(v, plane_i)).
-    * Pure expression tree (zip_with + aggregate), codegen'd, no shuffle. */
+    * Pure expression tree (zip_with + aggregate), no shuffle.
+    *
+    * `dim` is the plane dimensionality; vectors of a DIFFERENT length still
+    * bucket sensibly (the zip_with null-pads the shorter side and the
+    * products are coalesced to 0 — the projection just uses the shared
+    * prefix of dimensions) instead of silently collapsing every vector into
+    * bucket 0 as a bare null-propagating dot product would. */
   def lshBucket(vec: Column, nPlanes: Int = 8, seed: Long = 7L, dim: Int = 64): Column = {
     val planes = planesLit(nPlanes, dim, seed)
     planes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(
-        zip_with(vec, lit(p.toArray), (x, w) => x.cast("double") * w),
+        zip_with(vec, lit(p.toArray),
+          (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
         lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -68,12 +75,12 @@ object Similarity {
     * cosine + per-query top-k within the probed set. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nPlanes: Int = 8,
-              seed: Long = 7L): DataFrame = {
+              seed: Long = 7L, dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
-      .withColumn("bucket", lshBucket(col("nvec"), nPlanes, seed))
+      .withColumn("bucket", lshBucket(col("nvec"), nPlanes, seed, dim))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("bucket",
-        explode(probeBuckets(lshBucket(col("qvec"), nPlanes, seed), nPlanes)))
+        explode(probeBuckets(lshBucket(col("qvec"), nPlanes, seed, dim), nPlanes)))
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))

@@ -55,10 +55,15 @@ object EventStreams {
 
   /** Custom sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset stateful path (richer than session_window when
-    * per-session custom logic is needed). In batch mode each group is
-    * processed in one call and all closed sessions are emitted; behind
-    * readStream the same function runs incrementally with event-time
-    * timeouts. */
+    * per-session custom logic is needed).
+    *
+    * BATCH semantics: each group is processed in one call with all its
+    * events, and every session is emitted. This implementation does NOT
+    * carry state across streaming micro-batches (GroupState is unused, no
+    * timeout) — running it behind readStream would fragment sessions at
+    * batch boundaries. For streaming sessionization use [[userSessions]]
+    * (session_window), which Spark maintains incrementally; a
+    * state-carrying incremental version is future work. */
   def statefulSessions(events: DataFrame, gapMs: Long): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

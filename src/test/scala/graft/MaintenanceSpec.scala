@@ -79,6 +79,52 @@ class MaintenanceSpec extends SparkSuite {
     assert(vacuumOps === 1L)
   }
 
+  test("DELETE keeps rows whose predicate evaluates to NULL") {
+    val path = tmpDir("delnull")
+    val df = Seq(
+      (1L, Some(50.0), "Mon"), (2L, None, "Mon"), (3L, Some(10.0), "Mon"))
+      .toDF("id", "v", "day")
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day"))
+    DeltaFixtureWriter.delete(spark, path, "v > 45")
+    val snap = DeltaLog.snapshot(spark, path)
+    val ids = snap.data.select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(2L, 3L), "NULL-predicate row must survive the delete")
+    snap.unpersist()
+  }
+
+  test("checkpoint preserves history metrics while JSON commits remain") {
+    val path = tmpDir("ckpthist")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 20), Seq("Dinner" -> 20))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day"))
+    DeltaFixtureWriter.write(df.limit(5), path, "append", Seq("day"))
+    DeltaFixtureWriter.write(df.limit(5), path, "append", Seq("day"))
+    Maintenance.checkpoint(spark, path)
+    val snap = DeltaLog.snapshot(spark, path)
+    val ops = graft.operators.HistoryAnalyzer.opCounts(snap.history).first()
+    assert(ops.getAs[Long]("number_of_writes") === 3L,
+      "pre-checkpoint WRITE commits still count while their JSONs exist")
+    // pre-checkpoint time travel still works too
+    assert(DeltaLog.snapshotAt(spark, path, 0).data.count() === 20)
+    snap.unpersist()
+  }
+
+  test("fully-deleted table analyzes without crashing") {
+    val path = tmpDir("empty")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 10), Seq("Dinner" -> 10))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day", "time"))
+    DeltaFixtureWriter.delete(spark, path, "total_bill > 0")
+    val m = HealthAnalyzer.analyzeTable(spark, path)
+    assert(m.recordCount === 0L)
+    assert(m.dataFileCount === 0L)
+    assert(m.skewnessMax === 0.0)
+    assert(m.healthScore.isDefined)
+    // compact on the empty table is a logged no-op
+    Maintenance.optimize(spark, path)
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.history.where(col("operation") === "OPTIMIZE").count() === 1L)
+    snap.unpersist()
+  }
+
   test("merge upserts by key, inserts unmatched, logs MERGE commit") {
     val path = tmpDir("merge")
     val df = Seq(
