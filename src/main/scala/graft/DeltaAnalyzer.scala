@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.health.{DeltaAnalyzerMetrics, HealthResult, Thresholds}
+import graft.operators.HealthAnalyzer
+
+/** Top-level facade mirroring the reference's `DeltaAnalyzer`
+  * (delta_analyzer.py:8-92): one call from table path to scored metrics.
+  * The reference's python/databricks environment split collapses here —
+  * Spark IS the engine; the Spark-backend guess-heuristics remain available
+  * via `sparkHeuristics = true` (delta_spark_analyzer.py:161-187 semantics).
+  */
+object DeltaAnalyzer {
+
+  def analyze(spark: SparkSession, tablePath: String,
+              thresholds: Thresholds = Thresholds(),
+              sparkHeuristics: Boolean = false): DeltaAnalyzerMetrics = {
+    val measured = HealthAnalyzer.analyzeTable(spark, tablePath, thresholds)
+    if (sparkHeuristics)
+      HealthAnalyzer.sparkHeuristics(measured).withHealthScore
+    else measured
+  }
+
+  /** `create_health_result` analog (delta_analyzer.py:40-49). */
+  def healthResult(spark: SparkSession, tablePath: String,
+                   thresholds: Thresholds = Thresholds()): HealthResult =
+    HealthAnalyzer.healthResult(analyze(spark, tablePath, thresholds))
+
+  /** `print_results` analog (base_analyzer.py:103-142): formatted summary. */
+  def summary(m: DeltaAnalyzerMetrics): String = {
+    val scored = if (m.healthScore.isDefined) m else m.withHealthScore
+    val sb = new StringBuilder
+    sb ++= "\nDelta Table Analysis Results:\n"
+    sb ++= "----------------------------\n"
+    sb ++= f"Health Score: ${scored.healthScore.get}%.1f/100 (${scored.healthStatus.get})%n"
+    sb ++= s"Version Count: ${scored.versionCount}\n"
+    sb ++= f"Record Count: ${scored.recordCount}%,d%n"
+    sb ++= s"Operations: ${scored.numberOfWrites} writes, ${scored.numberOfDeletes} deletes, ${scored.numberOfOptimizes} optimizes\n"
+    sb ++= f"Skewness: ${scored.skewnessMax}%.2f (Max), ${scored.skewnessAverage}%.2f (Avg)%n"
+    scored.skewMetrics.foreach { sk =>
+      sb ++= "\nPartition Skew Metrics:\n"
+      sb ++= s"Partition Columns: ${sk.partitionColumns.mkString(", ")}\n"
+      sb ++= s"Partition Count: ${sk.recordsPerPartition.size}\n"
+      if (sk.recordsPerPartition.nonEmpty) {
+        val (maxK, maxV) = sk.recordsPerPartition.maxBy(_._2)
+        val (minK, minV) = sk.recordsPerPartition.minBy(_._2)
+        sb ++= s"Max Records: $maxV (Partition: $maxK)\n"
+        sb ++= s"Min Records: $minV (Partition: $minK)\n"
+      }
+    }
+    sb ++= f"Table Size: ${scored.tableSizeBytes / (1024.0 * 1024)}%.2f MB%n"
+    sb ++= f"Folder Size: ${scored.folderSizeBytes / (1024.0 * 1024)}%.2f MB%n"
+    sb ++= s"Total Files: ${scored.totalFileCount} files\n"
+    sb ++= s"Data Files: ${scored.dataFileCount} files\n"
+    sb ++= s"Small Files: ${scored.smallFilesCount} files\n"
+    sb ++= s"Orphan Files: ${scored.orphanFilesCount} files\n"
+    sb ++= s"Needs Vacuum: ${scored.needsVacuum}\n"
+    sb ++= s"Has Orphan Files: ${scored.hasOrphanFiles}\n"
+    sb ++= s"Needs Optimize: ${scored.needsOptimize}\n"
+    sb.result()
+  }
+}
