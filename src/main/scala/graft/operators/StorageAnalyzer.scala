@@ -36,6 +36,47 @@ object StorageAnalyzer {
     out.result().toDF("path", "size")
   }
 
+  /** S6 at scale: distributed recursive listing — the driver lists only the
+    * first level, then each executor task walks its subtree. For
+    * object-store tables with millions of files the driver-side walk is the
+    * bottleneck (and on S3-likes, per-prefix parallel LIST is how every
+    * production lake tool does it); this keeps the driver O(top-level
+    * entries). Top-level files are attached directly. */
+  def folderFilesDistributed(spark: SparkSession, tablePath: String,
+                             parallelism: Int = 64): DataFrame = {
+    import spark.implicits._
+    val root = new Path(tablePath)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(conf.value)
+    if (!fs.exists(root)) return spark.emptyDataset[(String, Long)]
+      .toDF("path", "size")
+    val (dirs, files) = fs.listStatus(root).toSeq.partition(_.isDirectory)
+    val topLevel = files.map(st => (st.getPath.toString, st.getLen))
+      .filter { case (p, _) => p.endsWith(".parquet") && !p.contains("_delta_log") }
+    val subtrees = dirs.map(_.getPath.toString)
+      .filterNot(_.contains("_delta_log"))
+    val walked =
+      if (subtrees.isEmpty) spark.emptyDataset[(String, Long)]
+      else spark.sparkContext
+        .parallelize(subtrees, math.min(parallelism, subtrees.size))
+        .flatMap { dir =>
+          val p = new Path(dir)
+          val dfs = p.getFileSystem(conf.value)
+          val it = dfs.listFiles(p, true)
+          val out = Seq.newBuilder[(String, Long)]
+          while (it.hasNext) {
+            val st = it.next()
+            val path = st.getPath.toString
+            if (path.endsWith(".parquet") && !path.contains("_delta_log"))
+              out += ((path, st.getLen))
+          }
+          out.result()
+        }.toDS()
+    walked.toDF("path", "size")
+      .unionByName(topLevel.toDF("path", "size"))
+  }
+
   /** J1: files on disk not referenced by the manifest — a broadcast
     * left-anti join on the scheme-normalized full path. (The reference
     * differences basename *sets*, delta_python_analyzer.py:125-126,264-266;

@@ -113,6 +113,21 @@ class ReportingSourcesSpec extends SparkSuite {
     })
   }
 
+  test("distributed folder listing == driver-side listing") {
+    val path = tmpDir("dlist")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 30, "Tue" -> 30),
+      Seq("Dinner" -> 30, "Lunch" -> 30))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day", "time"))
+    DeltaFixtureWriter.write(df.limit(10), path, "append", Seq("day", "time"))
+    def normalize(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0).stripPrefix("file:"), r.getLong(1)))
+        .toSet
+    val driver = normalize(StorageAnalyzer.folderFiles(spark, path))
+    val dist = normalize(StorageAnalyzer.folderFilesDistributed(spark, path, 4))
+    assert(driver.nonEmpty)
+    assert(dist === driver)
+  }
+
   test("property: orphan count = folder - manifest when manifest ⊆ folder") {
     val gen = for {
       total <- Gen.chooseNum(1, 30)
