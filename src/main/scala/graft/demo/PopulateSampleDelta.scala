@@ -17,8 +17,13 @@ object PopulateSampleDelta {
                      valueShift: Double = 0.0): DataFrame = {
     import spark.implicits._
     val days = dayWeights.flatMap { case (d, k) => Seq.fill(k)(d) }
+    require(days.size == n,
+      s"dayWeights sum to ${days.size}, expected $n")
     days.zipWithIndex.map { case (d, i) =>
-      val value = 100.0 + (i % 61) - 30 + valueShift   // ~normal(100,30) stand-in
+      // deterministic stand-in for normal(100,30): range [10,190] so the
+      // demo's `value > 150` / `value < 50` deletes match ~22% / ~22% of
+      // rows, like the reference's distribution tails do
+      val value = 10.0 + ((i * 37) % 181) + valueShift
       (i.toLong, value, d, s"cat${i % 4}",
         (System.currentTimeMillis() / 1000 - i * 86400L).toDouble)
     }.toDF("id", "value", "day", "category", "timestamp")

@@ -23,8 +23,12 @@ object Dedup {
   private def track(df: DataFrame): DataFrame =
     cachedFrames.synchronized { cachedFrames += df; df }
 
-  /** Release every signature cache created by the LSH pipelines. Safe to
-    * call after results are materialized. */
+  /** Release every signature cache created by the LSH pipelines — ALL of
+    * them, across every pipeline built so far in this session. Call only
+    * after all outstanding dedup results are materialized: unpersisting a
+    * frame another in-flight pipeline still references forces it to
+    * recompute (correct, but slow). Single-threaded bench/ETL usage is the
+    * intended pattern; concurrent pipelines should own their frames. */
   def unpersistAll(): Unit = cachedFrames.synchronized {
     cachedFrames.foreach(_.unpersist())
     cachedFrames.clear()
