@@ -111,9 +111,12 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
       .withColumn("features", array_to_vector(col("nvec")))
+    // train the quantizer on a bounded sample — centroid quality needs a
+    // representative sample, not the full corpus (at 100 TB fitting on
+    // everything would dominate; assignment below still covers every row)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
-      .fit(c)
+      .fit(c.limit(math.max(nlist * 256, 4096)))
     val assigned = model.transform(c)
       .select(col("neighbor_id"), col("nvec"), col("prediction").as("cell"))
 
