@@ -26,6 +26,7 @@ object SparkEntry {
     DeltaFixtureWriter.delete(spark, path, "l_quantity > 45")
     DeltaFixtureWriter.compact(spark, path)
     val m = HealthAnalyzer.analyzeTable(spark, path)
+    DeltaFixtureWriter.drop(path)   // metrics are collected; don't leak /tmp
     Seq(m).toDS().toDF()
   }
 

@@ -53,6 +53,11 @@ object HealthDemo {
     println("=== recommendations ===")
     HealthAnalyzer.recommendations(spark, m).show(false)
 
+    println("=== dashboard frames (E3) ===")
+    val frames = graft.operators.Dashboard.frames(spark, path)
+    frames.partitionCountsTopN.show(5, false)
+    frames.perVersionFileDeltas.show(false)
+
     println("=== trend + report formatting ===")
     val now = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
     val earlier = java.sql.Timestamp.valueOf("2026-08-11 00:00:00")

@@ -113,6 +113,22 @@ class ReportingSourcesSpec extends SparkSuite {
     })
   }
 
+  test("E3: dashboard frames bundle all five visualization inputs") {
+    val path = tmpDir("dash")
+    TestFixtures.buildSkewedTable(spark, path)
+    val f = graft.operators.Dashboard.frames(spark, path)
+    assert(f.metrics.healthScore.isDefined)
+    assert(f.recommendations.count() > 0)
+    val top = f.partitionCountsTopN.collect()
+    assert(top.nonEmpty && top.length <= 16)
+    assert(top.head.getAs[Long]("count") >= top.last.getAs[Long]("count") ||
+      top.last.getString(0) == "Others")
+    assert(f.fileSizeBins.count() > 0)
+    val hist = f.historyEnriched.collect()
+    assert(hist.length === f.metrics.versionCount + 1)
+    assert(f.perVersionFileDeltas.count() === hist.length)
+  }
+
   test("distributed folder listing == driver-side listing") {
     val path = tmpDir("dlist")
     val df = TestFixtures.tips(spark, Seq("Mon" -> 30, "Tue" -> 30),
