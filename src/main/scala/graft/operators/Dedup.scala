@@ -166,6 +166,56 @@ object Dedup {
     when(union === 0, 0.0).otherwise(inter.cast("double") / union)
   }
 
+  // ------------------------------------------------- clustering / keep-list
+
+  /** Connected components over near-dup pairs: label-propagation where every
+    * node repeatedly adopts the minimum id reachable through its edges,
+    * converging in O(component diameter) rounds (near-dup components are
+    * shallow in practice). Each round is one shuffle; lineage is truncated
+    * with an eager localCheckpoint so the loop stays O(1) plan-size.
+    * Returns (id, cluster_id) with cluster_id = min id of the component. */
+  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = ids.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .where(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep-list dedup: from near-dup `pairs` over `df`, keep exactly one
+    * representative (min id) per connected component — the standard final
+    * step of a web-scale near-dup pipeline. */
+  def keepList(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    val labeled = clusters(ids, pairs)
+    df.join(labeled.where(col("id") === col("cluster_id"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** Per-doc 64-bit SimHash of the normalized token set — fully fused

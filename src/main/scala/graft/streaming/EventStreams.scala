@@ -98,6 +98,60 @@ object EventStreams {
       .toDF()
   }
 
+  /** Open-session state carried across micro-batches. */
+  final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  /** TRUE incremental sessionization for streaming: GroupState carries the
+    * open session across micro-batches, sessions close either in-batch
+    * (gap exceeded by a newer event) or via event-time TIMEOUT once the
+    * watermark passes sessionEnd + gap. Input must carry a watermark on
+    * `ts`. Batch-boundary fragmentation — the failure mode of the stateless
+    * [[statefulSessions]] — cannot occur: a session spanning N micro-batches
+    * is emitted once, merged. */
+  def statefulSessionsIncremental(events: DataFrame, gapMs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+
+    def close(userId: Long, s: OpenSession): UserSession =
+      UserSession(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.sum)
+
+    def fn(userId: Long, it: Iterator[UserEvent],
+           state: GroupState[OpenSession]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val closed = close(userId, state.get)
+        state.remove()
+        Iterator(closed)
+      } else {
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        val out = Seq.newBuilder[UserSession]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur = cur match {
+            case Some(s) if t - s.end > gapMs =>
+              out += close(userId, s)
+              Some(OpenSession(t, t, 1L, e.value))
+            case Some(s) =>
+              Some(s.copy(end = math.max(s.end, t), n = s.n + 1, sum = s.sum + e.value))
+            case None =>
+              Some(OpenSession(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        out.result().iterator
+      }
+    }
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
+
   /** Drive a streaming transform of `dir`'s parquet through a memory sink
     * synchronously; returns the materialized result table. Batch/stream
     * parity harness for tests. */
@@ -107,6 +161,21 @@ object EventStreams {
     val q = transform(source)
       .writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Append-mode variant of [[runToMemory]] (required for
+    * flatMapGroupsWithState pipelines, which forbid complete mode). */
+  def runToMemoryAppend(spark: SparkSession, source: DataFrame,
+                        transform: DataFrame => DataFrame,
+                        queryName: String): DataFrame = {
+    val q = transform(source)
+      .writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(queryName)
       .start()

@@ -107,6 +107,38 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("clusters: chained pairs form one component, min id labels it") {
+    val ids = (1L to 7L).toDF("id")
+    // components: {1,2,3,4} via chain, {5,6}, {7} singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val labeled = Dedup.clusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labeled === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("keepList keeps one representative per near-dup component") {
+    val docs = PipelineQueries.docsWithPlants(spark, sf())
+    val pairs = PipelineQueries.dedupMinhash(spark, sf())
+    val kept = Dedup.keepList(docs, "doc_id", pairs)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(kept.count() < docs.count(), "near-dups were dropped")
+    // no planted copy survives (its component always contains the lower
+    // original id); originals may be dropped too if they organically
+    // cluster under an even lower id
+    val foundPlanted = pairs
+      .where(col("id_b") === col("id_a") + PipelineQueries.PlantShift)
+      .select("id_a").as[Long].collect()
+    assert(foundPlanted.nonEmpty)
+    foundPlanted.foreach { id =>
+      assert(!keptIds.contains(id + PipelineQueries.PlantShift), s"copy of $id dropped")
+    }
+    // exactly one representative per component: kept == set of cluster ids
+    val labeled = Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
+    val reps = labeled.select("cluster_id").distinct().as[Long].collect().toSet
+    assert(keptIds === reps)
+  }
+
   test("dedupKeepMin removes exact duplicates keeping min id") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     val out = Dedup.dedupKeepMin(df, "id", Seq("k"))

@@ -74,6 +74,48 @@ class ScaleOpsSpec extends SparkSuite {
     assert(sessions(2).getAs[Long]("user_id") === 2L)
   }
 
+  test("incremental sessionization merges sessions across micro-batches") {
+    import org.apache.spark.sql.types._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = tmpDir("stream_sessions")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    // batch 1: first half of user 1's session
+    Seq((1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 10:10:00"), 2.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b1")
+    Thread.sleep(1100)  // file-stream orders by modification time
+    // batch 2: session continues (within gap), then a much later event
+    // opens a new session in-batch
+    Seq((1L, ts("2024-01-01 10:20:00"), 3.0), (1L, ts("2024-01-01 13:00:00"), 4.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b2")
+    Thread.sleep(1100)
+    // batch 3: another user far in the future — advances the watermark past
+    // 13:00 + gap so user 1's open session times out and emits
+    Seq((2L, ts("2024-01-01 18:00:00"), 9.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b3")
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+      .withWatermark("ts", "1 minute")
+    val got = EventStreams.runToMemoryAppend(spark, stream,
+        df => EventStreams.statefulSessionsIncremental(df, 30 * 60 * 1000),
+        "inc_sessions")
+      .orderBy("user_id", "session_start").collect()
+
+    val u1 = got.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length === 2, s"got ${got.mkString(";")}")
+    // session 1 merged ACROSS batches 1+2: 3 events, sum 6.0
+    assert(u1(0).getAs[Long]("n_events") === 3L)
+    assert(u1(0).getAs[Double]("value_sum") === 6.0)
+    assert(u1(0).getAs[java.sql.Timestamp]("session_end") === ts("2024-01-01 10:20:00"))
+    // session 2 closed by timeout when the watermark passed
+    assert(u1(1).getAs[Long]("n_events") === 1L)
+  }
+
   test("stateful sessions agree with session_window on counts") {
     val ev = Queries.events(spark, sf())
     val viaWindow = EventStreams.userSessions(ev, "30 minutes")
