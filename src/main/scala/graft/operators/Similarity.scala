@@ -115,7 +115,7 @@ object Similarity {
     // representative sample, not the full corpus (at 100 TB fitting on
     // everything would dominate; assignment below still covers every row)
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+      .setK(nlist).setSeed(seed).setMaxIter(5).setFeaturesCol("features")
       .fit(c.limit(math.max(nlist * 256, 4096)))
     val assigned = model.transform(c)
       .select(col("neighbor_id"), col("nvec"), col("prediction").as("cell"))
