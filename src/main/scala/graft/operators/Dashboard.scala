@@ -21,7 +21,9 @@ object Dashboard {
 
   def frames(spark: SparkSession, tablePath: String,
              thresholds: Thresholds = Thresholds()): Frames = {
-    val m = HealthAnalyzer.analyzeTable(spark, tablePath, thresholds)
+    // ONE snapshot (one log replay) feeds both the analysis and the frames;
+    // partition counts reuse the map analyzeSnapshot already collected
+    // instead of re-scanning the table
     val snap = DeltaLog.snapshot(spark, tablePath)
     // dashboard frames are display-sized (top-15, 20 bins, one row per
     // commit) — materialize them eagerly so the snapshot cache can be
@@ -30,13 +32,11 @@ object Dashboard {
       spark.createDataFrame(
         java.util.Arrays.asList(df.collect(): _*), df.schema)
     try {
-      val counts = snap.dataWithFile match {
-        case Some(_) if snap.partitionColumns.nonEmpty =>
-          SkewAnalyzer.recordsPerPartition(snap.data, snap.partitionColumns)
-        case _ =>
-          import spark.implicits._
-          Seq.empty[(String, Long)].toDF("partition", "count")
-      }
+      val m = HealthAnalyzer.analyzeSnapshot(snap, thresholds)
+      import spark.implicits._
+      val counts = m.skewMetrics
+        .map(_.recordsPerPartition.toSeq.toDF("partition", "count"))
+        .getOrElse(Seq.empty[(String, Long)].toDF("partition", "count"))
       Frames(
         metrics = m,
         recommendations = HealthAnalyzer.recommendations(spark, m),

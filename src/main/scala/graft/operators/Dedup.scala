@@ -173,8 +173,13 @@ object Dedup {
     * converging in O(component diameter) rounds (near-dup components are
     * shallow in practice). Each round is one shuffle; lineage is truncated
     * with an eager localCheckpoint so the loop stays O(1) plan-size.
-    * Returns (id, cluster_id) with cluster_id = min id of the component. */
-  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Returns (id, cluster_id) with cluster_id = min id of the component.
+    *
+    * If a component's diameter exceeds maxIter the labels are NOT fully
+    * converged — a warning is printed and downstream keepList would keep
+    * more than one representative for that component. Raise maxIter for
+    * corpora with long near-dup chains (rounds are one shuffle each). */
+  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -202,6 +207,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      System.err.println(
+        s"[graft.Dedup.clusters] WARNING: label propagation did not converge " +
+          s"in $maxIter iterations — some components have multiple labels; " +
+          s"re-run with a larger maxIter")
     labels
   }
 

@@ -22,7 +22,16 @@ object HealthAnalyzer {
   def analyzeTable(spark: SparkSession, tablePath: String,
                    thresholds: Thresholds = Thresholds()): DeltaAnalyzerMetrics = {
     val snap = DeltaLog.snapshot(spark, tablePath)
-    try {
+    try analyzeSnapshot(snap, thresholds) finally snap.unpersist()
+  }
+
+  /** Analysis over an already-open snapshot — callers that need the
+    * snapshot for other frames (e.g. Dashboard) share one log replay. */
+  def analyzeSnapshot(snap: graft.deltalog.DeltaSnapshot,
+                      thresholds: Thresholds = Thresholds()): DeltaAnalyzerMetrics = {
+    val spark = snap.spark
+    val tablePath = snap.tablePath
+    locally {
       // history pass (A5/A6)
       val ops = HistoryAnalyzer.opCounts(snap.history).first()
       // skew pass (A1-A4) — once, both methods, unlike the reference's
@@ -93,7 +102,7 @@ object HealthAnalyzer {
         skewMetrics =
           if (snap.partitionColumns.nonEmpty) Some(skew) else None)
       m.withHealthScore
-    } finally snap.unpersist()
+    }
   }
 
   /** The Spark backend's heuristic fork (delta_spark_analyzer.py:161-187),

@@ -101,13 +101,14 @@ object EventStreams {
   /** Open-session state carried across micro-batches. */
   final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
 
-  /** TRUE incremental sessionization for streaming: GroupState carries the
-    * open session across micro-batches, sessions close either in-batch
-    * (gap exceeded by a newer event) or via event-time TIMEOUT once the
-    * watermark passes sessionEnd + gap. Input must carry a watermark on
-    * `ts`. Batch-boundary fragmentation — the failure mode of the stateless
-    * [[statefulSessions]] — cannot occur: a session spanning N micro-batches
-    * is emitted once, merged. */
+  /** TRUE incremental sessionization for streaming: GroupState carries ALL
+    * open sessions (sorted by start) across micro-batches; a session closes
+    * only once the event-time watermark passes its end + gap — the only
+    * point at which no further (non-late) event can still join or split it.
+    * Out-of-order events within the watermark are handled correctly: they
+    * can extend a session backwards, bridge two open sessions into one, or
+    * open an earlier separate session. Input must carry a watermark on
+    * `ts`. A session spanning N micro-batches emits once, merged. */
   def statefulSessionsIncremental(events: DataFrame, gapMs: Long): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -118,34 +119,33 @@ object EventStreams {
       UserSession(userId, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.end), s.n, s.sum)
 
-    def fn(userId: Long, it: Iterator[UserEvent],
-           state: GroupState[OpenSession]): Iterator[UserSession] = {
-      if (state.hasTimedOut) {
-        val closed = close(userId, state.get)
-        state.remove()
-        Iterator(closed)
-      } else {
-        val sorted = it.toSeq.sortBy(_.ts.getTime)
-        val out = Seq.newBuilder[UserSession]
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur = cur match {
-            case Some(s) if t - s.end > gapMs =>
-              out += close(userId, s)
-              Some(OpenSession(t, t, 1L, e.value))
-            case Some(s) =>
-              Some(s.copy(end = math.max(s.end, t), n = s.n + 1, sum = s.sum + e.value))
-            case None =>
-              Some(OpenSession(t, t, 1L, e.value))
-          }
+    // fold sorted-by-start sessions, merging any within gap of each other
+    def coalesceSessions(sorted: Seq[OpenSession]): Seq[OpenSession] =
+      sorted.foldLeft(Vector.empty[OpenSession]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(p) if s.start - p.end <= gapMs =>
+            acc.init :+ OpenSession(p.start, math.max(p.end, s.end),
+              p.n + s.n, p.sum + s.sum)
+          case _ => acc :+ s
         }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
-        }
-        out.result().iterator
       }
+
+    def fn(userId: Long, it: Iterator[UserEvent],
+           state: GroupState[Seq[OpenSession]]): Iterator[UserSession] = {
+      val existing = state.getOption.getOrElse(Seq.empty)
+      val incoming = it.map(e =>
+        OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value)).toSeq
+      val open = coalesceSessions((existing ++ incoming).sortBy(_.start))
+      // watermark known for this batch: everything ending before wm - gap is
+      // final (fires both on timeout calls and on data calls)
+      val wm = state.getCurrentWatermarkMs()
+      val (closable, stillOpen) = open.partition(_.end + gapMs <= wm)
+      if (stillOpen.isEmpty) state.remove()
+      else {
+        state.update(stillOpen)
+        state.setTimeoutTimestamp(stillOpen.map(_.end).min + gapMs)
+      }
+      closable.map(close(userId, _)).iterator
     }
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
@@ -157,10 +157,11 @@ object EventStreams {
     * parity harness for tests. */
   def runToMemory(spark: SparkSession, source: DataFrame,
                   transform: DataFrame => DataFrame,
-                  queryName: String): DataFrame = {
+                  queryName: String,
+                  outputMode: String = "complete"): DataFrame = {
     val q = transform(source)
       .writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .start()
@@ -168,18 +169,9 @@ object EventStreams {
     spark.table(queryName)
   }
 
-  /** Append-mode variant of [[runToMemory]] (required for
-    * flatMapGroupsWithState pipelines, which forbid complete mode). */
+  /** Append-mode harness (flatMapGroupsWithState forbids complete mode). */
   def runToMemoryAppend(spark: SparkSession, source: DataFrame,
                         transform: DataFrame => DataFrame,
-                        queryName: String): DataFrame = {
-    val q = transform(source)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
-  }
+                        queryName: String): DataFrame =
+    runToMemory(spark, source, transform, queryName, outputMode = "append")
 }

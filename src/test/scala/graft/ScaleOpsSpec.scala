@@ -116,6 +116,42 @@ class ScaleOpsSpec extends SparkSuite {
     assert(u1(1).getAs[Long]("n_events") === 1L)
   }
 
+  test("incremental sessionization: out-of-order event opens its own earlier session") {
+    import org.apache.spark.sql.types._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = tmpDir("stream_ooo")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    Seq((1L, ts("2024-01-01 12:00:00"), 1.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b1")
+    Thread.sleep(1100)
+    // arrives later but is 75 min OLDER than the open session — must become
+    // a separate session, not be absorbed into the 12:00 one
+    Seq((1L, ts("2024-01-01 10:45:00"), 2.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b2")
+    Thread.sleep(1100)
+    Seq((2L, ts("2024-01-02 23:00:00"), 9.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b3")
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+      .withWatermark("ts", "8 hours")   // wide enough that 10:45 is not late
+    val got = EventStreams.runToMemoryAppend(spark, stream,
+        df => EventStreams.statefulSessionsIncremental(df, 30 * 60 * 1000),
+        "ooo_sessions")
+      .where(col("user_id") === 1L)
+      .orderBy("session_start").collect()
+    assert(got.length === 2, s"got ${got.mkString(";")}")
+    assert(got(0).getAs[java.sql.Timestamp]("session_start") === ts("2024-01-01 10:45:00"))
+    assert(got(0).getAs[Long]("n_events") === 1L)
+    assert(got(1).getAs[java.sql.Timestamp]("session_start") === ts("2024-01-01 12:00:00"))
+    assert(got(1).getAs[Long]("n_events") === 1L)
+  }
+
   test("stateful sessions agree with session_window on counts") {
     val ev = Queries.events(spark, sf())
     val viaWindow = EventStreams.userSessions(ev, "30 minutes")
