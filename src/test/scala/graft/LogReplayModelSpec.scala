@@ -1,0 +1,93 @@
+package graft
+
+import scala.util.Random
+
+import graft.deltalog.{DeltaFixtureWriter, DeltaLog}
+
+/** Model-based check of the whole log layer: random sequences of
+  * overwrite/append/delete/compact/merge are applied both to a real
+  * log-backed table and to an in-memory model; after EVERY operation the
+  * replayed snapshot must equal the model (as a multiset of rows). This is
+  * the strongest correctness evidence for replay ordering, file rewrite
+  * targeting, and upsert semantics interacting in arbitrary orders. */
+object LogReplayModelSpec {
+  // top-level so Spark can generate its encoder
+  case class R(id: Long, value: Double, day: String)
+}
+
+class LogReplayModelSpec extends SparkSuite {
+  import spark.implicits._
+  import LogReplayModelSpec.R
+
+  private def toDF(rows: Seq[R]) =
+    rows.toDF()   // columns: id, value, day
+
+  test("random op sequences: replayed snapshot == model after every op") {
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      val path = tmpDir(s"model$seed")
+      var nextId = 0L
+      def mkRows(n: Int): Seq[R] = {
+        val rows = (0 until n).map { _ =>
+          val r = R(nextId, (rnd.nextInt(200)).toDouble,
+            Seq("Mon", "Tue", "Wed")(rnd.nextInt(3)))
+          nextId += 1
+          r
+        }
+        rows
+      }
+
+      var model: Vector[R] = mkRows(30).toVector
+      DeltaFixtureWriter.write(toDF(model), path, "overwrite", Seq("day"))
+
+      def assertMatches(opName: String): Unit = {
+        val snap = DeltaLog.snapshot(spark, path)
+        val got =
+          if (snap.dataWithFile.isEmpty) Seq.empty
+          else snap.data.select("id", "value", "day").as[R].collect().toSeq
+        snap.unpersist()
+        assert(got.sortBy(_.id) === model.sortBy(_.id),
+          s"seed=$seed after $opName")
+      }
+      assertMatches("initial overwrite")
+
+      (1 to 6).foreach { step =>
+        rnd.nextInt(5) match {
+          case 0 => // append
+            val rows = mkRows(5 + rnd.nextInt(10))
+            DeltaFixtureWriter.write(toDF(rows), path, "append", Seq("day"))
+            model = model ++ rows
+            assertMatches(s"step$step append")
+          case 1 => // predicate delete
+            val cut = rnd.nextInt(200)
+            DeltaFixtureWriter.delete(spark, path, s"value > $cut")
+            model = model.filterNot(_.value > cut)
+            assertMatches(s"step$step delete>$cut")
+          case 2 => // compact
+            DeltaFixtureWriter.compact(spark, path)
+            assertMatches(s"step$step compact")
+          case 3 => // merge upsert: update some existing + insert new
+            val updates = rnd.shuffle(model).take(math.min(5, model.size))
+              .map(r => r.copy(value = r.value + 1000))
+            val inserts = mkRows(3)
+            val src = updates ++ inserts
+            if (src.nonEmpty) {
+              DeltaFixtureWriter.merge(spark, path, toDF(src), Seq("id"))
+              val updatedIds = updates.map(_.id).toSet
+              model = model.filterNot(r => updatedIds.contains(r.id)) ++ src
+            }
+            assertMatches(s"step$step merge")
+          case 4 => // overwrite with fresh rows
+            val rows = mkRows(10 + rnd.nextInt(10))
+            DeltaFixtureWriter.write(toDF(rows), path, "overwrite", Seq("day"))
+            model = rows.toVector
+            assertMatches(s"step$step overwrite")
+        }
+      }
+      // final: maintenance cycle leaves data intact
+      graft.operators.Maintenance.checkpoint(spark, path)
+      graft.operators.Maintenance.vacuum(spark, path, retainMs = 0L)
+      assertMatches("post checkpoint+vacuum")
+    }
+  }
+}
