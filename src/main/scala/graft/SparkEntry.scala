@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "dedup_ngram" -> (PipelineQueries.dedupNgram _),
     "dedup_embedding" -> (PipelineQueries.dedupEmbedding _),
+    "dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "knn_bruteforce" -> (PipelineQueries.knnBruteforce _),
     "knn_lsh" -> (PipelineQueries.knnLsh _))
 

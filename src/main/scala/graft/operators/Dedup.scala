@@ -185,6 +185,12 @@ object Dedup {
       .distinct().cache()
     var labels = ids.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true)
+    // convergence = the label sum stops decreasing (labels only ever go
+    // down toward the component min) — one cheap aggregate per round
+    // instead of a self-join diff
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -197,13 +203,11 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .where(col("u.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count()
+      val newSum = labelSum(updated)
       labels.unpersist()
       labels = updated
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
     edges.unpersist()

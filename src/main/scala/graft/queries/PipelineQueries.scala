@@ -133,6 +133,18 @@ object PipelineQueries {
         threshold = 0.98)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Full dedup pipeline end-to-end: MinHash LSH pairs → connected
+    * components → one representative per component; returns the kept doc
+    * ids (the pipeline's actual deliverable). */
+  def dedupKeeplist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlants(spark, dir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.7)
+    Dedup.keepList(docs, "doc_id", pairs)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact brute-force cosine top-5 for the first 10 vectors. */
   def knnBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
