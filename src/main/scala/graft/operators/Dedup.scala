@@ -68,7 +68,11 @@ object Dedup {
 
   // -------------------------------------------------------- MinHash + LSH
 
-  /** MinHash signature (numHashes values) of a shingle array: shingle →
+  /** REFERENCE implementation (pure functions._ composition) — the LSH
+    * pipelines use the ~50x faster fused kernels in minhashExpressions
+    * instead; kept public for composability with arbitrary shingle columns.
+    *
+    * MinHash signature (numHashes values) of a shingle array: shingle →
     * xxhash64 once, then per-"permutation" min of the salted re-hash
     * xxhash64(h, i). Salted re-hashing replaces the classic (a*h+b mod p)
     * affine family — same independence in practice, and no 64-bit overflow
