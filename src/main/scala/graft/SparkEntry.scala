@@ -48,6 +48,8 @@ object SparkEntry {
     "user_sessions" -> (Queries.userSessions _),
     "price_percentiles" -> (Queries.pricePercentiles _),
     "rollup_agg" -> (Queries.rollupAgg _),
+    "events_json" -> (Queries.eventsJson _),
+    "left_join_agg" -> (Queries.leftJoinAgg _),
     "distinct_counts" -> (Queries.distinctCounts _),
     "knn_ivf" -> ((s: SparkSession, d: String) => {
       val e = Queries.t(s, d, "embeddings")
@@ -91,6 +93,8 @@ object SparkEntry {
     "user_sessions" -> Oracles.userSessions,
     "price_percentiles" -> Oracles.pricePercentiles,
     "rollup_agg" -> Oracles.rollupAgg,
+    "events_json" -> Oracles.eventsJson,
+    "left_join_agg" -> Oracles.leftJoinAgg,
     "distinct_counts" -> Oracles.distinctCounts,
     "knn_bruteforce" -> Oracles.knnBruteforce,
     "token_stats" -> Oracles.tokenStats,

@@ -289,6 +289,21 @@ object Oracles {
       |SELECT query_id, neighbor_id, round(raw_cosine, 6) AS cosine, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  val eventsJson: String =
+    """SELECT
+      |  CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0)
+      |    AS BIGINT) AS k_bucket,
+      |  count(*) AS cnt,
+      |  round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val leftJoinAgg: String =
+    """SELECT c_custkey,
+      |  count(o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val rollupAgg: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,

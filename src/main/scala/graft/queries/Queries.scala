@@ -151,6 +151,31 @@ object Queries {
         round(col("mean_count"), 6).as("mean_count"),
         round(col("stddev_count"), 6).as("stddev_count"))
 
+  /** JSON scalar extraction (F-series: the engine-side from_json /
+    * get_json_object surface SURVEY §2.7 calls for): parse events.props,
+    * bucket the extracted value, aggregate. */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k_val",
+        get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(floor(col("k_val") / 10.0).cast("long").as("k_bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .orderBy(col("k_bucket"))
+
+  /** Left-outer join aggregation: per-customer order stats including
+    * zero-order customers (null-aware count/sum). */
+  def leftJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
   /** Hierarchical ROLLUP aggregation (grouping-set totals per flag and
     * grand total). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
