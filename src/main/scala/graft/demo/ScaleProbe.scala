@@ -1,0 +1,45 @@
+package graft.demo
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Headroom probe: unions sf0.1 inputs 10x (≈ sf1: 6M lineitem rows, 50k
+  * docs) and times the core aggregation, join, and LSH-dedup paths — checks
+  * the plans survive a 10x scale-up with sublinear-to-linear wall-clock. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def x10(name: String, idCol: String) = {
+      val base = spark.read.parquet(s"$dir/$name.parquet")
+      (0 until 10).map(i => base.withColumn(idCol,
+          col(idCol) + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+    }
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    val li = x10("lineitem", "l_orderkey")
+    time("q1-agg over 6M rows") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")), count(lit(1)))
+        .count()
+    }
+    val docs = x10("documents", "doc_id")
+    time("minhash LSH dedup over 50k docs") {
+      graft.operators.Dedup.minhashPairs(docs, "doc_id", "text").count()
+    }
+    val emb = x10("embeddings", "vec_id")
+    time("knn brute-force 10 queries x 500k corpus") {
+      graft.operators.Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 5).count()
+    }
+    spark.stop()
+  }
+}
