@@ -69,8 +69,10 @@ object DeltaLog {
     *
     * Checkpoint-aware: if `_last_checkpoint` exists, the parquet checkpoint
     * at version N stands in for all commits <= N (its rows are treated as
-    * actions at version N) and only JSON commits with version > N are read —
-    * so log replay stays correct after expired JSON commits are cleaned. */
+    * actions at version N) and is unioned with ALL surviving JSON commits —
+    * replay is per-path last-add-wins, so pre-checkpoint JSONs coexist
+    * harmlessly while they keep history/time-travel working, and replay
+    * stays correct after expired JSON commits are cleaned. */
   def readActions(spark: SparkSession, tablePath: String): DataFrame = {
     // _metadata.file_name (not input_file_name(), which Spark's PreReadCheck
     // forbids in multi-source plans — and snapshot replay joins this frame
@@ -145,15 +147,36 @@ object DeltaLog {
     DeltaSnapshot(spark, tablePath,
       readActions(spark, tablePath).where(col("version") <= version).cache())
 
-  /** Normalize a (possibly `file:`-schemed) URI to a plain absolute path
-    * (`file:///x` and `file:/x` → `/x`), mirroring the reference's prefix
-    * strip at file_distribution.py:18-21. */
+  /** Normalize a (possibly schemed) URI to a plain absolute path: drops the
+    * scheme and any authority (`file:///x`, `file:/x`, `hdfs://nn:8020/x`,
+    * `s3a://bucket/x` all → `/x`), mirroring (and generalizing) the
+    * reference's prefix strip at file_distribution.py:18-21. Safe for
+    * same-table comparisons because both sides always live under one
+    * scheme/authority; apply it to BOTH sides of any path join. */
   def stripScheme(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(c, "^file:/+", "/")
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/", "/")
 
-  /** Table-relative path of an absolute/`file:`-schemed file path. */
+  /** Fully-qualified form of `tablePath` on its filesystem (absolute, with
+    * scheme) — relative paths are resolved against the FS working directory
+    * so manifest-derived absolute paths compare correctly against
+    * folder-listing paths (which Hadoop always returns fully qualified). */
+  def qualifiedPath(spark: SparkSession, tablePath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** Scala-side twin of [[stripScheme]] for path strings. */
+  def stripSchemeStr(s: String): String =
+    s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*", "")
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/", "/")
+
+  /** Table-relative path of an absolute/schemed file path; `tablePath` may
+    * itself be schemed or relative — both sides are normalized first. */
   def relativize(c: org.apache.spark.sql.Column, tablePath: String): org.apache.spark.sql.Column =
-    substring_index(stripScheme(c), tablePath.stripSuffix("/") + "/", -1)
+    substring_index(stripScheme(c), stripSchemeStr(tablePath).stripSuffix("/") + "/", -1)
 }
 
 /** Replayed view of a Delta table at its latest version.
@@ -218,9 +241,18 @@ final case class DeltaSnapshot(spark: SparkSession, tablePath: String, actions: 
       .drop("removeVersion", "addVersion")
   }
 
-  /** Absolute filesystem paths of active data files. */
+  /** Fully-qualified table root (scheme + absolute path) — the base for any
+    * path that will be compared against filesystem listings, which Hadoop
+    * always returns fully qualified. */
+  lazy val qualifiedTablePath: String = DeltaLog.qualifiedPath(spark, tablePath)
+
+  /** Absolute filesystem paths of active data files, fully qualified so they
+    * join correctly against folder listings regardless of how `tablePath`
+    * was spelled (relative, `file:`-schemed, hdfs/s3a, ...). */
   lazy val activeFilePaths: DataFrame =
-    activeFiles.select(concat(lit(tablePath + "/"), $"path").as("path"), $"size")
+    activeFiles.select(
+      concat(lit(qualifiedTablePath.stripSuffix("/") + "/"), $"path").as("path"),
+      $"size")
 
   /** DESCRIBE DETAIL-shaped one-row frame: sizeInBytes, numFiles,
     * partitionColumns (delta_spark_analyzer.py:116,122-124). */
@@ -261,7 +293,7 @@ final case class DeltaSnapshot(spark: SparkSession, tablePath: String, actions: 
     else {
       val raw = spark.read.parquet(files: _*)
       val withFile = raw.withColumn("__file",
-        DeltaLog.relativize(col("_metadata.file_path"), tablePath))
+        DeltaLog.relativize(col("_metadata.file_path"), qualifiedTablePath))
       if (partitionColumns.isEmpty) Some(withFile)
       else {
         val manifest = activeFiles.select($"path".as("__file"), $"partitionValues")

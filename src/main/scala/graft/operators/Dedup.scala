@@ -189,12 +189,6 @@ object Dedup {
       .distinct().cache()
     var labels = ids.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true)
-    // convergence = the label sum stops decreasing (labels only ever go
-    // down toward the component min) — one cheap aggregate per round
-    // instead of a self-join diff
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -202,16 +196,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
+      // convergence = no label changed this round. The changed flag is an
+      // ordering comparison, so the check is id-type-agnostic (integral,
+      // string, ... ids all work — unlike a sum(cluster_id) delta, which
+      // assumed long ids) and costs one count over the already-materialized
+      // checkpoint per round.
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          coalesce(col("neighbor_min") < col("cluster_id"), lit(false))
+            .as("changed"))
         .localCheckpoint(true)
-      val newSum = labelSum(updated)
+      val nChanged = updated.where(col("changed")).count()
       labels.unpersist()
-      labels = updated
-      converged = newSum == prevSum
-      prevSum = newSum
+      labels = updated.drop("changed")
+      converged = nChanged == 0L
       iter += 1
     }
     edges.unpersist()

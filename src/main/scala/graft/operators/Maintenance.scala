@@ -40,7 +40,10 @@ object Maintenance {
       }
     if (!dryRun) {
       candidates.foreach(r => fs.delete(new Path(r.getString(0)), false))
-      DeltaFixtureWriter.logCommit(tablePath, snap.version + 1, "VACUUM",
+      // logCommit is java.nio-based (fixture scope): give it a plain local
+      // path even when the caller addressed the table by file: URI
+      DeltaFixtureWriter.logCommit(DeltaLog.stripSchemeStr(tablePath),
+        snap.version + 1, "VACUUM",
         Seq("retentionCheck" -> "false",
             "numFilesDeleted" -> candidates.length.toString))
     }
@@ -50,32 +53,61 @@ object Maintenance {
       .toDF("path", "size")
   }
 
-  /** Write a parquet checkpoint of the current snapshot state (active adds
-    * + latest metaData + protocol) and update `_last_checkpoint`. After
-    * this, JSON commits <= the checkpoint version are no longer needed for
-    * replay. */
+  /** Write a parquet checkpoint of the current snapshot state — active adds
+    * + latest metaData + latest protocol, as the SINGLE file
+    * `NNN.checkpoint.parquet` the classic Delta checkpoint layout requires
+    * (external readers like delta-rs/delta-spark expect one file, not a
+    * Spark part-file directory) — and update `_last_checkpoint`. After this,
+    * JSON commits <= the checkpoint version are no longer needed for replay,
+    * and protocol/metaData survive their cleanup. */
   def checkpoint(spark: SparkSession, tablePath: String): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     val v = snap.version
-    import spark.implicits._
-    val adds = snap.activeFiles.select(
+    val addType = DeltaLog.actionSchema("add").dataType
+    val metaType = DeltaLog.actionSchema("metaData").dataType
+    val protoType = DeltaLog.actionSchema("protocol").dataType
+    def widen(df: DataFrame): DataFrame = {
+      val withAdd = if (df.columns.contains("add")) df
+        else df.withColumn("add", lit(null).cast(addType))
+      val withMeta = if (withAdd.columns.contains("metaData")) withAdd
+        else withAdd.withColumn("metaData", lit(null).cast(metaType))
+      val full = if (withMeta.columns.contains("protocol")) withMeta
+        else withMeta.withColumn("protocol", lit(null).cast(protoType))
+      full.select(col("add"), col("metaData"), col("protocol"))
+    }
+    val adds = widen(snap.activeFiles.select(
       struct(
         col("path"), col("size"), col("partitionValues"),
         col("modificationTime"), lit(true).as("dataChange"),
-        lit(null).cast("string").as("stats")).as("add"))
-    val meta = snap.actions.where(col("metaData").isNotNull)
-      .orderBy(col("version").desc).limit(1).select(col("metaData"))
-      .withColumn("add", lit(null).cast(adds.schema("add").dataType))
-      .select(col("add"), col("metaData"))
-    val ckpt = adds
-      .withColumn("metaData", lit(null).cast(meta.schema("metaData").dataType))
-      .unionByName(meta)
+        lit(null).cast("string").as("stats")).as("add")))
+    val meta = widen(snap.actions.where(col("metaData").isNotNull)
+      .orderBy(col("version").desc).limit(1).select(col("metaData")))
+    val loggedProto = snap.actions.where(col("protocol").isNotNull)
+      .orderBy(col("version").desc).limit(1).select(col("protocol"))
+    // tables whose log predates protocol emission still get a valid
+    // checkpoint: default to the minimal classic protocol (1, 2)
+    val proto = widen(
+      if (loggedProto.isEmpty)
+        spark.range(1).select(
+          struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion"))
+            .cast(protoType).as("protocol"))
+      else loggedProto)
+    val ckpt = adds.unionByName(meta).unionByName(proto)
     val dir = DeltaLog.logDir(tablePath)
-    ckpt.coalesce(1).write.mode("overwrite")
-      .parquet(f"$dir/$v%020d.checkpoint.parquet")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, f".$v%020d.checkpoint.tmp")
+    ckpt.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"checkpoint write produced no part file under $tmp"))
+    val dest = new Path(dir, f"$v%020d.checkpoint.parquet")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    fs.rename(part, dest)
+    fs.delete(tmp, true)
+    val nFiles = snap.activeFiles.count()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "_last_checkpoint"),
-      s"""{"version":$v,"size":${snap.activeFiles.count() + 1}}""")
+      s"""{"version":$v,"size":${nFiles + 2}}""")
     snap.unpersist()
     v
   }

@@ -21,15 +21,33 @@ object Queries {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Sessions derived (once per parent session) for nanos-timestamp parquet
+    * reads: `newSession()` shares the SparkContext but owns its SQLConf, so
+    * the legacy flag below never leaks into the caller's session state.
+    * Weak keys let a stopped parent session be collected. */
+  private val nanoSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects ([PARQUET_TYPE_ILLEGAL]); read it as nanos-long via the legacy
-    * flag and rebuild a proper TimestampType column (micros precision —
-    * DuckDB truncates ns → us identically). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    * flag — scoped to a derived session rather than mutating the shared
+    * one — and rebuild a proper TimestampType column (micros precision —
+    * DuckDB truncates ns → us identically). The returned frame's scan keeps
+    * the derived session's conf, so it composes with frames from the parent
+    * session (same SparkContext). */
+  /** The derived session that reads TIMESTAMP(NANOS) parquet as long —
+    * public so streaming readers (which need `readStream` on a session with
+    * the flag) can opt in explicitly instead of relying on leaked conf. */
+  def nanosSession(spark: SparkSession): SparkSession =
+    nanoSessions.computeIfAbsent(spark, p => {
+      val ns = p.newSession()
+      ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ns
+    })
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(nanosSession(spark), dir, "events")
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-  }
 
   /** A1/O1 + F10-F12: pruned scan + hash aggregation (TPC-H Q1 shape).
     * Catalyst prunes the scan to the 6 referenced columns. */

@@ -49,6 +49,16 @@ class MaintenanceSpec extends SparkSuite {
     assert(snap.data.count() === expected + 5)
     assert(snap.partitionColumns === Seq("day"), "metaData restored from checkpoint")
     assert(snap.version === 2L)
+    // classic checkpoint layout: ONE plain file (not a Spark part-file
+    // directory), carrying the protocol action so external readers — and
+    // replay after JSON cleanup — retain it
+    val ckptFile = new java.io.File(path, f"_delta_log/$v%020d.checkpoint.parquet")
+    assert(ckptFile.isFile, "checkpoint must be a single file")
+    val proto = snap.actions.where(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion")
+      .collect()
+    assert(proto.nonEmpty, "protocol action survives JSON cleanup")
+    assert(proto.head.getInt(0) === 1 && proto.head.getInt(1) === 2)
     snap.unpersist()
   }
 
@@ -77,6 +87,25 @@ class MaintenanceSpec extends SparkSuite {
     val vacuumOps = DeltaLog.snapshot(spark, path).history
       .where(col("operation") === "VACUUM").count()
     assert(vacuumOps === 1L)
+  }
+
+  test("vacuum is a no-op on a healthy table addressed by file: URI") {
+    // regression: manifest paths (tablePath + rel) vs folder-listing paths
+    // (always fully qualified) must normalize identically — before the
+    // qualification fix, a schemed or relative tablePath made EVERY active
+    // file miss the anti-join and vacuum deleted live data
+    val path = tmpDir("vacuri")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "day")
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day"))
+    val before = DeltaLog.snapshot(spark, path)
+    val nActive = before.activeFiles.count()
+    before.unpersist()
+    val deleted = Maintenance.vacuum(spark, s"file:$path", retainMs = 0L)
+    assert(deleted.count() === 0L, "no orphans → nothing to delete")
+    val after = DeltaLog.snapshot(spark, path)
+    assert(after.data.count() === 3L, "active data files must survive vacuum")
+    assert(after.activeFiles.count() === nActive)
+    after.unpersist()
   }
 
   test("DELETE keeps rows whose predicate evaluates to NULL") {

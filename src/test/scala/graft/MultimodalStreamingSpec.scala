@@ -42,16 +42,18 @@ class MultimodalStreamingSpec extends SparkSuite {
     val expected = EventStreams.hourlyTypeCounts(batchDf)
       .orderBy("window_start", "event_type").collect()
 
-    // stream the same parquet through a memory sink: use the nanos-as-long
-    // schema (set by Queries.events above) and the same ts rebuild
+    // stream the same parquet through a memory sink: the nanos-as-long flag
+    // is scoped to Queries.nanosSession, so both the schema read and the
+    // readStream must run on that session (the shared one never sees it).
     // streaming file source needs a DIRECTORY — glob-filter the events file
-    val rawSchema = spark.read.parquet(s"${sf()}/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema)
+    val nanos = Queries.nanosSession(spark)
+    val rawSchema = nanos.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = nanos.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf())
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
       .withWatermark("ts", "2 hours")
-    val got = EventStreams.runToMemory(spark, stream,
+    val got = EventStreams.runToMemory(nanos, stream,
         EventStreams.hourlyTypeCounts, "hourly_stream")
       .orderBy("window_start", "event_type").collect()
 

@@ -117,6 +117,17 @@ class PipelineSpec extends SparkSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("clusters: string ids converge (type-agnostic convergence check)") {
+    // regression: convergence used sum(cluster_id).getLong, which threw
+    // ClassCastException for non-integral ids
+    val ids = Seq("a", "b", "c", "d", "e").toDF("id")
+    val pairs = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("id_a", "id_b")
+    val labeled = Dedup.clusters(ids, pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labeled === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d"))
+  }
+
   test("keepList keeps one representative per near-dup component") {
     val docs = PipelineQueries.docsWithPlants(spark, sf())
     val pairs = PipelineQueries.dedupMinhash(spark, sf())
