@@ -168,6 +168,21 @@ object DeltaLog {
       .makeQualified(p).toString
   }
 
+  /** Join key for cross-frame path comparison: strips only the SCHEME but
+    * keeps the URI authority (bucket / namenode), so files from different
+    * stores that happen to share a path never collide
+    * (`s3a://bucketA/x` → `//bucketA/x` ≠ `//bucketB/x`), while the usual
+    * same-store spellings still normalize together
+    * (`file:///x`, `file:/x`, `/x` all → `/x`). Use this — not
+    * [[stripScheme]] — when either side of a path join may come from an
+    * arbitrary caller-supplied frame (e.g. orphan detection). */
+  def pathKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:///", "/"),
+        "^[a-zA-Z][a-zA-Z0-9+.\\-]*://", "//"),
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/", "/")
+
   /** Scala-side twin of [[stripScheme]] for path strings. */
   def stripSchemeStr(s: String): String =
     s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*", "")
@@ -280,6 +295,22 @@ final case class DeltaSnapshot(spark: SparkSession, tablePath: String, actions: 
     * by file-targeted rewrites (DELETE). Built on `_metadata.file_path`,
     * which unlike `input_file_name()` stays legal in multi-source join plans.
     *
+    * Scale shape: ONE distributed scan of the table directory (top-level
+    * entries only are listed on the driver — O(partition dirs), never
+    * O(files) — keeping `_delta_log`, and thus checkpoint parquet with its
+    * foreign schema, out of the scan), then a single broadcast INNER join of
+    * `_metadata.file_path` (relativized) against the distributed active-file
+    * manifest. The join simultaneously (a) filters out removed/orphan files
+    * the dir scan picked up — delete/overwrite replay correctness — and
+    * (b) re-attaches `partitionValues`, which Delta physical files do not
+    * contain. No per-file driver enumeration: a manifest of millions of adds
+    * never lands on the driver (the earlier design collected every active
+    * path into `spark.read.parquet(files: _*)`).
+    *
+    * `recursiveFileLookup` deliberately disables Hive partition-dir
+    * inference: partition values come from the MANIFEST (authoritative under
+    * replay), not from directory names.
+    *
     * The join key is the RELATIVE path, not the basename: a single Spark
     * write job emits the same `part-NNNNN-<jobUUID>` basename into every
     * partition directory it touches, so basenames are NOT unique within a
@@ -287,22 +318,25 @@ final case class DeltaSnapshot(spark: SparkSession, tablePath: String, actions: 
     * delta_python_analyzer.py:125-126 only because deltalake generates
     * per-file unique names). */
   lazy val dataWithFile: Option[DataFrame] = {
-    val files: Seq[String] =
-      activeFilePaths.select($"path").as[String].collect().toSeq
-    if (files.isEmpty) None
+    if (activeFiles.isEmpty) None
     else {
-      val raw = spark.read.parquet(files: _*)
+      val root = new org.apache.hadoop.fs.Path(qualifiedTablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(root).toSeq
+        .filterNot(_.getPath.getName == "_delta_log")
+        .map(_.getPath.toString)
+      val raw = spark.read
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(entries: _*)
       val withFile = raw.withColumn("__file",
         DeltaLog.relativize(col("_metadata.file_path"), qualifiedTablePath))
-      if (partitionColumns.isEmpty) Some(withFile)
-      else {
-        val manifest = activeFiles.select($"path".as("__file"), $"partitionValues")
-        val joined = withFile.join(broadcast(manifest), Seq("__file"), "left")
-        val partCols = partitionColumns.map(c =>
-          element_at($"partitionValues", c).as(c))
-        Some(joined.select(
-          (raw.columns.map(col).toSeq :+ $"__file") ++ partCols: _*))
-      }
+      val manifest = activeFiles.select($"path".as("__file"), $"partitionValues")
+      val joined = withFile.join(broadcast(manifest), Seq("__file"), "inner")
+      val partCols = partitionColumns.map(c =>
+        element_at($"partitionValues", c).as(c))
+      Some(joined.select(
+        (raw.columns.map(col).toSeq :+ $"__file") ++ partCols: _*))
     }
   }
 

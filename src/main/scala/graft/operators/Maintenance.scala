@@ -100,14 +100,20 @@ object Maintenance {
     val part = fs.listStatus(tmp).map(_.getPath)
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"checkpoint write produced no part file under $tmp"))
+    // count the actual checkpoint rows BEFORE any destructive move: a table
+    // whose log never emitted metaData would otherwise overstate `size`
+    val ckptRows = snap.activeFiles.count() + meta.count() + 1 // adds + metaData(0|1) + protocol
     val dest = new Path(dir, f"$v%020d.checkpoint.parquet")
     if (fs.exists(dest)) fs.delete(dest, true)
-    fs.rename(part, dest)
+    require(fs.rename(part, dest), s"checkpoint rename failed: $part -> $dest")
     fs.delete(tmp, true)
-    val nFiles = snap.activeFiles.count()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "_last_checkpoint"),
-      s"""{"version":$v,"size":${nFiles + 2}}""")
+    // _last_checkpoint only after the checkpoint file verifiably exists, and
+    // through the Hadoop fs handle so schemed/remote table paths resolve
+    // (java.nio on an unstripped "file:..." dir string would throw)
+    val lcOut = fs.create(new Path(dir, "_last_checkpoint"), true)
+    try lcOut.write(
+      s"""{"version":$v,"size":$ckptRows}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally lcOut.close()
     snap.unpersist()
     v
   }

@@ -78,15 +78,17 @@ object StorageAnalyzer {
   }
 
   /** J1: files on disk not referenced by the manifest — a broadcast
-    * left-anti join on the scheme-normalized full path. (The reference
-    * differences basename *sets*, delta_python_analyzer.py:125-126,264-266;
-    * full paths are strictly safer since Spark-written tables repeat
-    * basenames across partition directories.) */
+    * left-anti join on the scheme-stripped, AUTHORITY-KEEPING full path
+    * ([[graft.deltalog.DeltaLog.pathKey]]): both frames are caller-supplied,
+    * so equal paths on different buckets/namenodes must not silently match.
+    * (The reference differences basename *sets*, delta_python_analyzer.py:
+    * 125-126,264-266; full paths are strictly safer since Spark-written
+    * tables repeat basenames across partition directories.) */
   def orphanFiles(folder: DataFrame, manifest: DataFrame): DataFrame = {
     val f = folder.select(
-      graft.deltalog.DeltaLog.stripScheme(col("path")).as("file_key"), col("size"))
+      graft.deltalog.DeltaLog.pathKey(col("path")).as("file_key"), col("size"))
     val m = manifest.select(
-      graft.deltalog.DeltaLog.stripScheme(col("path")).as("file_key"))
+      graft.deltalog.DeltaLog.pathKey(col("path")).as("file_key"))
     f.join(broadcast(m), Seq("file_key"), "left_anti")
   }
 
