@@ -114,7 +114,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7, bucketCap: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     // Fused custom kernels (ShingleSet / MinHashSig): the HOF-composed
     // pipeline is CodegenFallback-interpreted and ~50x slower (21s vs <1s to
@@ -126,19 +126,30 @@ object Dedup {
       minhashExprs.wordShingleSet(col(textCol), 3).as("sh"))
       .withColumn("sig", minhashExprs.minhashSig(col("sh"), numHashes))
       .cache()
-    verifiedPairs(track(withSig), bands, rows, threshold, numHashes)
+    verifiedPairs(track(withSig), bands, rows, threshold, numHashes,
+      bucketCap, "minhash")
   }
 
   /** Shared LSH candidate generation + two-stage verification:
     * band self-join → signature-estimate prefilter (O(numHashes) per pair)
     * → exact set Jaccard (sorted-merge intersect kernel) only for
     * survivors. The estimate margin (0.2) keeps prefilter recall near 1 for
-    * pairs at the threshold. */
+    * pairs at the threshold.
+    *
+    * Bucket guard: band buckets larger than `bucketCap` are dropped (and
+    * the dropped volume observed/logged) BEFORE the self-join — a
+    * degenerate bucket of near-identical/empty docs would otherwise emit
+    * O(n²) candidates. Literally-identical documents are the exact-dedup
+    * operator's job ([[exactTextGroups]]), which catches them in one hash
+    * aggregation regardless of this cap. */
   private def verifiedPairs(withSig: DataFrame, bands: Int, rows: Int,
-                            threshold: Double, numHashes: Int): DataFrame = {
-    val exploded = withSig
-      .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+                            threshold: Double, numHashes: Int,
+                            bucketCap: Int, tag: String): DataFrame = {
+    val exploded = ScaleOps.capBuckets(
+      withSig
+        .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
+      Seq("band", "bkey"), bucketCap, tag)
     val a = exploded.alias("a")
     val b = exploded.alias("b")
     val candidates = a.join(b,
@@ -246,16 +257,22 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance <= maxBits, bucketed by
     * the 4 16-bit chunks (pigeonhole: any pair within 3 bits shares at least
-    * one exact chunk — standard simhash blocking, shuffle on chunk keys). */
+    * one exact chunk — standard simhash blocking, shuffle on chunk keys).
+    *
+    * Chunk buckets above `bucketCap` are dropped (observed/logged): chunk
+    * value 0 is a classic hot key (every empty/ultra-short doc simhashes to
+    * 0), and an uncapped self-join on it goes quadratic. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxBits: Int = 3): DataFrame = {
+                   maxBits: Int = 3, bucketCap: Int = 1000): DataFrame = {
     val sh = simhash(df, idCol, textCol)
-    val chunked = sh.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"),
-          (shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)).as("ckey"))): _*))
-        .as("ck"))
-      .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    val chunked = ScaleOps.capBuckets(
+      sh.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            (shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)).as("ckey"))): _*))
+          .as("ck"))
+        .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey")),
+      Seq("chunk", "ckey"), bucketCap, "simhash")
     val a = chunked.alias("a")
     val b = chunked.alias("b")
     a.join(b,
@@ -273,7 +290,8 @@ object Dedup {
     * candidate set (reuses MinHash banding for candidates, verifies with
     * character trigram Jaccard instead of word shingles). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.5,
+                        bucketCap: Int = 1000): DataFrame = {
     // char n-grams over a small alphabet are weakly selective (random docs
     // share many trigrams), so use FEW WIDE bands (4 bands x 8 rows:
     // P(candidate) = 1-(1-J^8)^4 — near-dups J>=0.8 still caught with
@@ -285,7 +303,8 @@ object Dedup {
       minhashExprs.charShingleSet(col(textCol), n).as("sh"))
       .withColumn("sig", minhashExprs.minhashSig(col("sh"), 32))
       .cache()
-    verifiedPairs(track(withSig), bands = 4, rows = 8, threshold, numHashes = 32)
+    verifiedPairs(track(withSig), bands = 4, rows = 8, threshold, numHashes = 32,
+      bucketCap, "ngram")
   }
 
   /** Character n-grams of normalized text. */
@@ -304,9 +323,12 @@ object Dedup {
     * fused codegen kernel. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, planes: Int = 8,
-                     seed: Long = 7L, dim: Int = 64): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", Similarity.lshBucket(col("vec"), planes, seed, dim))
+                     seed: Long = 7L, dim: Int = 64,
+                     bucketCap: Int = 1000): DataFrame = {
+    val withBucket = ScaleOps.capBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("bucket", Similarity.lshBucket(col("vec"), planes, seed, dim)),
+      Seq("bucket"), bucketCap, "embedding")
     val a = withBucket.alias("a")
     val b = withBucket.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -1,13 +1,93 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
 
-/** Scale-hygiene building blocks: skew-salted aggregation and partition
-  * sizing helpers. These exist for the 1000-executor deployment story — a
-  * hot grouping key (one giant partition value) would otherwise funnel into
-  * a single reducer. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Scale-hygiene building blocks: skew-salted aggregation, LSH bucket-size
+  * guards, and partition sizing helpers. These exist for the 1000-executor
+  * deployment story — a hot grouping key (one giant partition value) would
+  * otherwise funnel into a single reducer, and a degenerate LSH bucket
+  * (boilerplate/empty docs sharing a signature) would turn a bucket-local
+  * self-join quadratic. */
 object ScaleOps {
+
+  // ------------------------------------------------- bucket-size guards
+
+  private val obsId = new AtomicLong(0L)
+  private val hookedSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Report nonzero bucket-guard drop metrics after each query that carries
+    * one — piggybacks on `Dataset.observe`, so the counts come from the
+    * actual execution with ZERO extra jobs (no eager pre-count pass over the
+    * corpus). Registered at most once per session. */
+  private def ensureDropListener(spark: SparkSession): Unit =
+    if (hookedSessions.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_bucket_guard") && !row.isNullAt(0) &&
+                row.getLong(0) > 0L)
+              System.err.println(
+                s"[graft.ScaleOps] $name: ${row.getLong(0)} rows in " +
+                  s"over-cap buckets (largest bucket: ${row.getLong(1)})")
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
+
+  /** Drop every row belonging to a bucket (group of `keyCols`) larger than
+    * `cap` — the guard that keeps a bucket-local self-join from going
+    * quadratic on a degenerate hot bucket: with it, any single bucket
+    * contributes at most cap·(cap−1)/2 candidate pairs, whatever the corpus
+    * looks like. Dropped volume is observed (not silently truncated) and
+    * printed by a session listener when nonzero.
+    *
+    * Cost shape: one `count` window over the bucket key — the shuffle it
+    * introduces hash-partitions by exactly the key the downstream self-join
+    * uses, so the exchange is reused, not added. */
+  def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Int,
+                 tag: String): DataFrame = {
+    require(cap > 0, s"bucket cap must be positive, got $cap")
+    ensureDropListener(df.sparkSession)
+    val name = s"graft_bucket_guard_${tag}_${obsId.incrementAndGet()}"
+    df.withColumn("__bucket_n",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .observe(name,
+        coalesce(sum(when(col("__bucket_n") > cap, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("rows_over_cap"),
+        coalesce(max(col("__bucket_n")), lit(0L)).as("max_bucket"))
+      .where(col("__bucket_n") <= cap)
+      .drop("__bucket_n")
+  }
+
+  /** Keep at most `cap` rows per bucket (deterministic by `orderCol`) — the
+    * ANN-side guard: unlike [[capBuckets]] it degrades a hot bucket to a
+    * bounded sample instead of removing it, so queries probing a dense
+    * region still get neighbors. Truncated volume is observed and printed
+    * by the session listener when nonzero. */
+  def truncateBuckets(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                      cap: Int, tag: String): DataFrame = {
+    require(cap > 0, s"bucket cap must be positive, got $cap")
+    ensureDropListener(df.sparkSession)
+    val name = s"graft_bucket_guard_${tag}_${obsId.incrementAndGet()}"
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__bucket_rn", row_number().over(w))
+      .observe(name,
+        coalesce(sum(when(col("__bucket_rn") > cap, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("rows_over_cap"),
+        coalesce(max(col("__bucket_rn").cast("long")), lit(0L)).as("max_bucket"))
+      .where(col("__bucket_rn") <= cap)
+      .drop("__bucket_rn")
+  }
 
   /** Two-phase salted count: groupBy(keys + salt) partial counts (spreads a
     * hot key over `saltBuckets` reducers), then groupBy(keys) sum. With AQE

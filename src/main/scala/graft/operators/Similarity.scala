@@ -72,12 +72,20 @@ object Similarity {
 
   /** Approximate top-k via multi-probe sign-bit LSH: queries explode to
     * their probe buckets, join the bucketed corpus on bucket id, exact
-    * cosine + per-query top-k within the probed set. */
+    * cosine + per-query top-k within the probed set.
+    *
+    * Bucket guard: a corpus bucket larger than `bucketCap` is TRUNCATED to a
+    * deterministic bounded sample (not dropped — queries probing a dense
+    * region must still get neighbors), so one hot bucket cannot make the
+    * probe join quadratic; truncated volume is observed and logged
+    * ([[ScaleOps.truncateBuckets]]). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nPlanes: Int = 8,
-              seed: Long = 7L, dim: Int = 64): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
-      .withColumn("bucket", lshBucket(col("nvec"), nPlanes, seed, dim))
+              seed: Long = 7L, dim: Int = 64, bucketCap: Int = 4096): DataFrame = {
+    val c = ScaleOps.truncateBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+        .withColumn("bucket", lshBucket(col("nvec"), nPlanes, seed, dim)),
+      Seq("bucket"), "neighbor_id", bucketCap, "lsh_topk")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("bucket",
         explode(probeBuckets(lshBucket(col("qvec"), nPlanes, seed, dim), nPlanes)))

@@ -3,14 +3,64 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.ScaleOps
+import graft.operators.{Dedup, ScaleOps, Similarity}
 import graft.queries.Queries
 import graft.streaming.EventStreams
 
-/** Salted aggregation equivalence, SQL-extension registration, and stateful
-  * sessionization. */
+/** Salted aggregation equivalence, LSH bucket guards, SQL-extension
+  * registration, and stateful sessionization. */
 class ScaleOpsSpec extends SparkSuite {
   import spark.implicits._
+
+  test("bucket guard: capBuckets drops hot buckets, truncateBuckets bounds them") {
+    val df = spark.range(150).select(lit("hot").as("k"), col("id"))
+      .union(spark.range(5).select(lit("cold").as("k"), col("id")))
+    val kept = ScaleOps.capBuckets(df, Seq("k"), 100, "test_cap").collect()
+    assert(kept.length === 5 && kept.forall(_.getString(0) == "cold"))
+    val trunc = ScaleOps.truncateBuckets(df, Seq("k"), "id", 100, "test_trunc")
+      .groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(trunc === Map("hot" -> 100L, "cold" -> 5L))
+  }
+
+  test("bucket guard: 2k-identical-doc corpus cannot go quadratic in LSH dedup") {
+    val n = 2000
+    val cap = 100
+    val blob = spark.range(n).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated in every document of this corpus").as("text"))
+    // every band bucket holds all 2000 docs → over cap → dropped entirely:
+    // candidate-pair count is 0 (bounded by cap², not n²)
+    assert(Dedup.minhashPairs(blob, "doc_id", "text", bucketCap = cap).count() === 0L)
+    assert(Dedup.ngramJaccardPairs(blob, "doc_id", "text", bucketCap = cap).count() === 0L)
+    // identical docs are the exact-dedup operator's job — one hash agg,
+    // immune to the cap
+    val exact = Dedup.exactTextGroups(blob, "doc_id", "text").collect()
+    assert(exact.length === 1 && exact(0).getAs[Long]("dup_cnt") === n.toLong)
+    // empty docs: simhash 0 → all four 16-bit chunks are the classic hot
+    // key 0 → capped
+    val empties = spark.range(n).select(col("id").as("doc_id"), lit("").as("text"))
+    assert(Dedup.simhashPairs(empties, "doc_id", "text", bucketCap = cap).count() === 0L)
+    // identical embeddings: one hyperplane bucket holds the whole corpus
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      lit(Array.fill(16)(1.0f)).as("embedding"))
+    assert(Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+      dim = 16, bucketCap = cap).count() === 0L)
+  }
+
+  test("bucket guard: lshTopK truncates a hot corpus bucket but still answers") {
+    val n = 2000
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      lit(Array.fill(16)(1.0f)).as("embedding"))
+    val res = Similarity.lshTopK(
+      vecs.where(col("vec_id") < 2), vecs, "vec_id", "embedding",
+      k = 10, dim = 16, bucketCap = 100)
+    val byQuery = res.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each query still gets its full k neighbors from the bounded sample
+    assert(byQuery === Map(0L -> 10L, 1L -> 10L))
+    // and every neighbor comes from the deterministic truncated prefix
+    assert(res.agg(max("neighbor_id")).first().getLong(0) < 100L)
+  }
 
   test("salted counts == plain counts (skew-safe two-phase form)") {
     val li = table("lineitem")
