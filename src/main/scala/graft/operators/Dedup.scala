@@ -183,23 +183,41 @@ object Dedup {
 
   // ------------------------------------------------- clustering / keep-list
 
-  /** Connected components over near-dup pairs: label-propagation where every
-    * node repeatedly adopts the minimum id reachable through its edges,
-    * converging in O(component diameter) rounds (near-dup components are
-    * shallow in practice). Each round is one shuffle; lineage is truncated
-    * with an eager localCheckpoint so the loop stays O(1) plan-size.
-    * Returns (id, cluster_id) with cluster_id = min id of the component.
+  /** Materialize a loop frame with lineage truncation. If the context has a
+    * reliable checkpoint dir (`spark.sparkContext.setCheckpointDir`), use a
+    * RELIABLE checkpoint — an executor loss mid-loop then recovers from
+    * storage instead of killing the job, which is the right trade on a real
+    * cluster (set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * to have old round files reaped). Otherwise fall back to eager
+    * `localCheckpoint`: cheaper, fine for single-JVM/short loops, but NOT
+    * fault-tolerant (cached blocks die with their executor). */
+  private def materializeRound(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** Connected components over near-dup pairs: min-label propagation with a
+    * POINTER-DOUBLING shortcut — each round every node adopts (a) the
+    * minimum label among its neighbors and (b) the label OF that label
+    * (`least(lbl, label(lbl))`), so the component minimum spreads along a
+    * chain geometrically, converging in O(log diameter) rounds instead of
+    * O(diameter) (the hash-to-min trick of Rastogi et al.'s CC-MR family;
+    * labels are always ids of same-component nodes, so the shortcut never
+    * crosses components). Each round is a constant number of shuffles;
+    * lineage is truncated per round via [[materializeRound]] — set a
+    * reliable checkpoint dir on the SparkContext for fault-tolerant loops
+    * at cluster scale. Returns (id, cluster_id) with cluster_id = min id of
+    * the component.
     *
-    * If a component's diameter exceeds maxIter the labels are NOT fully
-    * converged — a warning is printed and downstream keepList would keep
-    * more than one representative for that component. Raise maxIter for
-    * corpora with long near-dup chains (rounds are one shuffle each). */
+    * If convergence is not reached within maxIter the labels are NOT final —
+    * a warning is printed and downstream keepList would keep more than one
+    * representative for that component. With the shortcut, maxIter 50
+    * covers component diameters up to ~2^50 — unreachable in practice. */
   def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    var labels = ids.select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
+    var labels = materializeRound(
+      ids.select(col("id"), col("id").as("cluster_id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -207,18 +225,25 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
+      val adopted = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster_id").as("old"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("lbl"))
+      // shortcut: lbl is itself a node id — adopt ITS current label too,
+      // halving the remaining chain depth every round
+      val parentLbl = labels
+        .select(col("id").as("lbl"), col("cluster_id").as("lbl2"))
       // convergence = no label changed this round. The changed flag is an
       // ordering comparison, so the check is id-type-agnostic (integral,
       // string, ... ids all work — unlike a sum(cluster_id) delta, which
       // assumed long ids) and costs one count over the already-materialized
       // checkpoint per round.
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"),
-          coalesce(col("neighbor_min") < col("cluster_id"), lit(false))
-            .as("changed"))
-        .localCheckpoint(true)
+      val updated = materializeRound(
+        adopted.join(parentLbl, Seq("lbl"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("cluster_id"),
+            (least(col("lbl"), coalesce(col("lbl2"), col("lbl"))) < col("old"))
+              .as("changed")))
       val nChanged = updated.where(col("changed")).count()
       labels.unpersist()
       labels = updated.drop("changed")

