@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -155,6 +157,123 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Mutable bounded top-k state: a size-k min-heap ordered by
+  * (score asc, id desc), so the root is always the WEAKEST kept element and
+  * a stronger incoming (score, id) evicts it in O(log k). The kept set is
+  * order-independent (strict total order on (score, id) — ids are distinct),
+  * so partial aggregation merges deterministically. */
+final class TopKHeap(val k: Int) extends Serializable {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n = 0
+
+  // is (s1,i1) weaker than (s2,i2) under (score desc, id asc) ranking?
+  @inline private def weaker(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    while (true) {
+      val l = 2 * i + 1
+      val r = 2 * i + 2
+      var m = i
+      if (l < n && weaker(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < n && weaker(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) return
+      val ts = scores(i); scores(i) = scores(m); scores(m) = ts
+      val ti = ids(i); ids(i) = ids(m); ids(m) = ti
+      i = m
+    }
+  }
+
+  def add(s: Double, id: Long): Unit =
+    if (n < k) {
+      scores(n) = s; ids(n) = id; n += 1
+      // sift up
+      var i = n - 1
+      while (i > 0 && weaker(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        val ts = scores(i); scores(i) = scores(p); scores(p) = ts
+        val ti = ids(i); ids(i) = ids(p); ids(p) = ti
+        i = p
+      }
+    } else if (weaker(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      siftDown(0)
+    }
+
+  /** Kept elements ranked strongest-first: (score desc, id asc). */
+  def sortedDesc: Array[(Double, Long)] = {
+    val out = Array.tabulate(n)(i => (scores(i), ids(i)))
+    out.sortWith { case ((s1, i1), (s2, i2)) => weaker(s2, i2, s1, i1) }
+  }
+}
+
+/** Bounded top-k aggregate: keeps the k strongest (score, id) pairs per
+  * group in O(k) memory with map-side partial aggregation — the scale-safe
+  * replacement for `row_number().over(Window.partitionBy(group))` + filter,
+  * which buffers and sorts EVERY candidate row of a group. Emits
+  * array<struct<score double, id bigint>> ranked by (score desc, id asc). */
+case class BoundedTopK(
+    scoreExpr: Expression, idExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKHeap] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bounded_top_k"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType), StructField("id", LongType))))
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val s = scoreExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (s != null && id != null)
+      buf.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKHeap, b: TopKHeap): TopKHeap = {
+    var i = 0
+    while (i < b.n) { a.add(b.scores(i), b.ids(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: TopKHeap): Any =
+    new GenericArrayData(buf.sortedDesc.map { case (s, id) =>
+      InternalRow(s, id)
+    }.toIndexedSeq)
+
+  override def serialize(buf: TopKHeap): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 16 * buf.n)
+    bb.putInt(buf.k).putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)).putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val heap = new TopKHeap(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { heap.add(bb.getDouble, bb.getLong); i += 1 }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedTopK =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+}
+
 /** Column-API entry points for the custom expressions. */
 object exprs {
   import GraftSqlBridge.{column, expression}
@@ -162,4 +281,7 @@ object exprs {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def cosineSimilarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def boundedTopK(score: Column, id: Column, k: Int): Column =
+    column(BoundedTopK(expression(score), expression(id), k)
+      .toAggregateExpression())
 }

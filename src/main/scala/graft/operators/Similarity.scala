@@ -51,6 +51,33 @@ object Similarity {
   def probeBuckets(bucket: Column, nPlanes: Int): Column =
     array((bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1L << i)))): _*)
 
+  /** Rank per-query candidates to (query_id, neighbor_id, cosine, rank),
+    * rank 1..k by (cosine desc, neighbor_id asc).
+    *
+    * For long neighbor ids this is a [[graft.functions.BoundedTopK]] hash
+    * aggregation: O(k) state per query with map-side partial merge, so
+    * memory stays flat as the candidate set grows 10× — unlike
+    * `row_number().over(partitionBy(query_id))`, which shuffles, buffers
+    * and SORTS every candidate row of a query. Non-long ids fall back to
+    * the window form (same semantics, unbounded per-query buffering). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    if (scored.schema("neighbor_id").dataType == org.apache.spark.sql.types.LongType) {
+      scored.groupBy(col("query_id"))
+        .agg(exprs.boundedTopK(col("cosine"), col("neighbor_id"), k).as("nn"))
+        .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+        .select(col("query_id"), col("nn.id").as("neighbor_id"),
+          round(col("nn.score"), 6).as("cosine"),
+          (col("pos") + 1).cast("long").as("rank"))
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }
+
   /** Exact brute-force cosine top-k.
     * @param queries frame with (idCol, vecCol) — must be broadcast-small
     * @param corpus  frame with (idCol, vecCol)
@@ -61,13 +88,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
   }
 
   /** Approximate top-k via multi-probe sign-bit LSH: queries explode to
@@ -92,14 +113,9 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    rankTopK(
+      scored.select(col("query_id"), col("neighbor_id"), col("cosine")).distinct(),
+      k)
   }
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
@@ -121,10 +137,15 @@ object Similarity {
       .withColumn("features", array_to_vector(col("nvec")))
     // train the quantizer on a bounded sample — centroid quality needs a
     // representative sample, not the full corpus (at 100 TB fitting on
-    // everything would dominate; assignment below still covers every row)
+    // everything would dominate; assignment below still covers every row).
+    // The sample is the id-ordered prefix, NOT a bare limit(n): limit takes
+    // whichever rows arrive first, which depends on partition layout, so the
+    // trained centroids (and thus probe results) would differ across
+    // spark.sql.shuffle.partitions settings / cluster layouts.
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(5).setFeaturesCol("features")
-      .fit(c.limit(math.max(nlist * 256, 4096)))
+      .fit(c.orderBy(col("neighbor_id"))
+        .limit(math.max(nlist * 256, 4096)))
     val assigned = model.transform(c)
       .select(col("neighbor_id"), col("nvec"), col("prediction").as("cell"))
 
@@ -147,13 +168,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
   }
 
   /** L2 norm of a float vector (double accumulation, deterministic

@@ -197,6 +197,40 @@ class MaintenanceSpec extends SparkSuite {
     assert(fullTop === bruteTop, "probing every cell must match brute force")
   }
 
+  test("ivf top-k is deterministic across shuffle settings and corpus layout") {
+    val e = table("embeddings")
+    def run(corpus: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      graft.operators.Similarity.ivfTopK(
+        e.where(col("vec_id") < 5), corpus, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 3)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val base = run(e)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      // different reducer count AND a different corpus partition layout must
+      // leave the quantizer sample — and so every probe result — unchanged
+      assert(run(e.repartition(13)) === base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("bounded top-k aggregation matches the window ranking on ties") {
+    import spark.implicits._
+    // two queries; query 1 has a cosine tie that must break by id asc
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.9), (1L, 13L, 0.1),
+      (2L, 10L, 0.5), (2L, 11L, 0.7))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val got = scored.groupBy($"query_id")
+      .agg(graft.functions.exprs.boundedTopK($"cosine", $"neighbor_id", 3).as("nn"))
+      .select($"query_id", posexplode($"nn").as(Seq("pos", "nn")))
+      .select($"query_id", $"nn.id", ($"pos" + 1).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got === Seq((1L, 10L, 1), (1L, 12L, 2), (1L, 11L, 3),
+      (2L, 11L, 1), (2L, 10L, 2)).sorted)
+  }
+
   test("optimize then vacuum: full maintenance cycle on a churned table") {
     val path = tmpDir("cycle")
     TestFixtures.buildOrphanTable(spark, path)
