@@ -41,12 +41,13 @@ object DeltaAnalyzer {
     scored.skewMetrics.foreach { sk =>
       sb ++= "\nPartition Skew Metrics:\n"
       sb ++= s"Partition Columns: ${sk.partitionColumns.mkString(", ")}\n"
-      sb ++= s"Partition Count: ${sk.recordsPerPartition.size}\n"
-      if (sk.recordsPerPartition.nonEmpty) {
-        val (maxK, maxV) = sk.recordsPerPartition.maxBy(_._2)
-        val (minK, minV) = sk.recordsPerPartition.minBy(_._2)
-        sb ++= s"Max Records: $maxV (Partition: $maxK)\n"
-        sb ++= s"Min Records: $minV (Partition: $minK)\n"
+      sb ++= s"Partition Count: ${sk.partitionCount}\n"
+      // exact extremes survive the top-N cap on recordsPerPartition
+      sk.maxPartition.foreach { case (k, v) =>
+        sb ++= s"Max Records: $v (Partition: $k)\n"
+      }
+      sk.minPartition.foreach { case (k, v) =>
+        sb ++= s"Min Records: $v (Partition: $k)\n"
       }
     }
     sb ++= f"Table Size: ${scored.tableSizeBytes / (1024.0 * 1024)}%.2f MB%n"

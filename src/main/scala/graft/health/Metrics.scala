@@ -20,13 +20,22 @@ object HealthStatus {
 }
 
 /** Skew metrics bundle (delta_python_analyzer.py:80-86), flattened from the
-  * reference's heterogeneous dict into a typed record. */
+  * reference's heterogeneous dict into a typed record.
+  *
+  * `recordsPerPartition` is the reference's per-partition dict CAPPED to the
+  * top-N heaviest partitions (see SkewAnalyzer.analyze): a high-cardinality
+  * partition column must not materialize millions of map entries on the
+  * driver. The true cardinality is `partitionCount`, and the exact extremes
+  * survive the cap in `minPartition`/`maxPartition` (key, count). */
 final case class SkewMetrics(
     partitionColumns: Seq[String] = Seq.empty,
     skewnessMax: Double = 0.0,
     skewnessAverage: Double = 0.0,
     isSkewed: Boolean = false,
-    recordsPerPartition: Map[String, Long] = Map.empty)
+    partitionCount: Long = 0L,
+    recordsPerPartition: Map[String, Long] = Map.empty,
+    minPartition: Option[(String, Long)] = None,
+    maxPartition: Option[(String, Long)] = None)
 
 /** Typed metrics record — field-for-field the reference's pydantic
   * `DeltaAnalyzerMetrics` (base_analyzer.py:17-50). Counters are Long

@@ -69,7 +69,7 @@ object HealthAnalyzer {
 
       val m = DeltaAnalyzerMetrics(
         versionCount = snap.version,
-        partitionCount = skew.recordsPerPartition.size.toLong,
+        partitionCount = skew.partitionCount,
         recordCount = recordCount,
         isSkewed = skew.isSkewed,
         skewnessMax = skew.skewnessMax,

@@ -80,22 +80,45 @@ object SkewAnalyzer {
 
   /** Full skew bundle for a table, collected to the typed record the health
     * calculus consumes. Only the (small) counts/stats rows ever reach the
-    * driver. */
-  def analyze(df: DataFrame, partitionCols: Seq[String], threshold: Double): SkewMetrics = {
+    * driver, and the per-partition dict is BOUNDED: the reference
+    * materializes every partition key (delta_python_analyzer.py:51-57),
+    * which a high-cardinality partition column (timestamps, ids) turns into
+    * a driver OOM at 100× — here the map keeps only the `topN` heaviest
+    * partitions, while the true cardinality and both exact extremes are
+    * computed distributively and carried separately. */
+  def analyze(df: DataFrame, partitionCols: Seq[String], threshold: Double,
+              topN: Int = 1000): SkewMetrics = {
     if (partitionCols.isEmpty) return SkewMetrics()
     val counts = partitionCounts(df, partitionCols).cache()
     try {
       val stats = skewnessStats(counts).first()
       val skewMax = stats.getAs[Double]("skewness_max")
       val skewAvg = stats.getAs[Double]("skewness_average")
-      val records = recordsPerPartition(df, partitionCols)
+      val strCounts = counts.select(
+        concat_ws("/", partitionCols.map(col): _*).as("partition"), col("count"))
+      val records = strCounts
+        .orderBy(col("count").desc, col("partition").asc).limit(topN)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mm = strCounts.agg(
+        min_by(struct(col("partition"), col("count")),
+          struct(col("count"), col("partition"))).as("mn"),
+        max_by(struct(col("partition"), col("count")),
+          struct(col("count"), col("partition"))).as("mx")).first()
+      def kv(i: Int): Option[(String, Long)] =
+        if (mm.isNullAt(i)) None
+        else {
+          val r = mm.getStruct(i)
+          Some(r.getString(0) -> r.getLong(1))
+        }
       SkewMetrics(
         partitionColumns = partitionCols,
         skewnessMax = skewMax,
         skewnessAverage = skewAvg,
         isSkewed = skewMax > threshold,
-        recordsPerPartition = records)
+        partitionCount = stats.getAs[Long]("partition_cnt"),
+        recordsPerPartition = records,
+        minPartition = kv(0),
+        maxPartition = kv(1))
     } finally { counts.unpersist(); () }
   }
 }

@@ -62,6 +62,26 @@ class HealthAnalyzerSpec extends SparkSuite {
     val (maxKey, maxCount) = sk.recordsPerPartition.maxBy(_._2)
     assert(maxKey === "Mon/Dinner")
     assert(maxCount >= 70)
+    assert(sk.maxPartition === Some(maxKey -> maxCount))
+    assert(sk.partitionCount === sk.recordsPerPartition.size.toLong,
+      "cap not hit here: dict covers all partitions")
+  }
+
+  test("skew analyze: high-cardinality partition column is capped on the driver") {
+    import org.apache.spark.sql.functions.{col, format_string, lit}
+    // 5000 distinct keys, one hot key — the dict must stay bounded while
+    // cardinality and exact extremes stay true
+    val df = spark.range(5000).select(format_string("k%04d", col("id")).as("k"))
+      .union(spark.range(99).select(lit("k0007").as("k")))
+    val sk = graft.operators.SkewAnalyzer.analyze(df.toDF(), Seq("k"),
+      threshold = 0.1, topN = 100)
+    assert(sk.partitionCount === 5000L)
+    assert(sk.recordsPerPartition.size === 100)
+    assert(sk.maxPartition === Some("k0007" -> 100L))
+    assert(sk.minPartition.get._2 === 1L)
+    // the top-N map is by weight: the hot key is in it
+    assert(sk.recordsPerPartition("k0007") === 100L)
+    assert(sk.isSkewed)
   }
 
   test("smoke: complex table loads and reports version_count > 0 (test_delta_analyzer_load.py:6-11)") {
