@@ -13,10 +13,12 @@ import graft.operators.HealthAnalyzer
   */
 object DeltaAnalyzer {
 
-  def analyze(spark: SparkSession, tablePath: String,
+  /** `data` is a table path OR a catalog table name — sniffed exactly like
+    * the reference's `_load_data` (delta_spark_analyzer.py:26-35). */
+  def analyze(spark: SparkSession, data: String,
               thresholds: Thresholds = Thresholds(),
               sparkHeuristics: Boolean = false): DeltaAnalyzerMetrics = {
-    val measured = HealthAnalyzer.analyzeTable(spark, tablePath, thresholds)
+    val measured = HealthAnalyzer.analyzeTarget(spark, data, thresholds)
     if (sparkHeuristics)
       HealthAnalyzer.sparkHeuristics(measured).withHealthScore
     else measured

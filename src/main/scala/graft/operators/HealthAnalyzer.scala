@@ -25,6 +25,41 @@ object HealthAnalyzer {
     try analyzeSnapshot(snap, thresholds) finally snap.unpersist()
   }
 
+  /** S1 with catalog dispatch: accepts EITHER a filesystem path or a
+    * catalog table name, mirroring the reference's sniff
+    * (delta_spark_analyzer.py:26-35 treats a leading "/" or URI scheme as a
+    * path, anything else as a `DeltaTable.forName` name; delta_analyzer.py:
+    * 64-90 threads both through). A name is resolved to its registered
+    * storage location and analyzed by path. */
+  def analyzeTarget(spark: SparkSession, tableNameOrPath: String,
+                    thresholds: Thresholds = Thresholds()): DeltaAnalyzerMetrics =
+    analyzeTable(spark, resolveTarget(spark, tableNameOrPath), thresholds)
+
+  /** Path-vs-name sniff + catalog resolution. Paths pass through verbatim;
+    * names are looked up in the session catalog via `DESCRIBE FORMATTED`
+    * (public SQL — works against any catalog implementation, unlike the
+    * private CatalogTable API). */
+  def resolveTarget(spark: SparkSession, tableNameOrPath: String): String =
+    if (looksLikePath(tableNameOrPath)) tableNameOrPath
+    else tableLocation(spark, tableNameOrPath)
+
+  /** The reference's path heuristic generalized: absolute, relative-dotted,
+    * or scheme-qualified strings are paths; bare identifiers (incl.
+    * `db.table`) are catalog names. */
+  private[graft] def looksLikePath(s: String): Boolean =
+    s.startsWith("/") || s.startsWith("./") || s.startsWith("../") ||
+      s.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/.*")
+
+  private def tableLocation(spark: SparkSession, name: String): String = {
+    val rows = spark.sql(s"DESCRIBE FORMATTED $name").collect()
+    rows.find(r => Option(r.getString(0)).exists(_.trim.equalsIgnoreCase("Location")))
+      .map(_.getString(1).trim)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog table '$name' reports no storage location — only " +
+          "path-backed (external) tables can be health-analyzed"))
+  }
+
   /** Analysis over an already-open snapshot — callers that need the
     * snapshot for other frames (e.g. Dashboard) share one log replay. */
   def analyzeSnapshot(snap: graft.deltalog.DeltaSnapshot,

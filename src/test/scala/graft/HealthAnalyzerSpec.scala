@@ -84,6 +84,34 @@ class HealthAnalyzerSpec extends SparkSuite {
     assert(sk.isSkewed)
   }
 
+  test("S1 catalog dispatch: analyze by registered table name == by path") {
+    val path = tmpDir("catalogtbl")
+    val df = TestFixtures.tips(spark,
+      Seq("Mon" -> 40, "Tue" -> 20), Seq("Dinner" -> 40, "Lunch" -> 20))
+    graft.deltalog.DeltaFixtureWriter.write(df, path, "overwrite", Seq("day"))
+    val name = "graft_s1_catalog_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // external path-backed registration — only the catalog LOCATION is
+    // consulted; the analyzer reads the delta log underneath, not the
+    // parquet-source table
+    spark.catalog.createTable(name, path)
+    try {
+      assert(graft.operators.HealthAnalyzer.resolveTarget(spark, path) === path)
+      val byName = graft.operators.HealthAnalyzer.analyzeTarget(spark, name)
+      val byPath = graft.operators.HealthAnalyzer.analyzeTable(spark, path)
+      // identical metrics; only the recorded tablePath spelling (catalog
+      // locations come back scheme-qualified) may differ
+      assert(byName.copy(tablePath = "") === byPath.copy(tablePath = ""))
+      assert(graft.deltalog.DeltaLog.stripSchemeStr(byName.tablePath) === path)
+      // facade sniff: same result through DeltaAnalyzer.analyze
+      val viaFacade = graft.DeltaAnalyzer.analyze(spark, name)
+      assert(viaFacade.copy(tablePath = "") === byPath.copy(tablePath = ""))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      ()
+    }
+  }
+
   test("smoke: complex table loads and reports version_count > 0 (test_delta_analyzer_load.py:6-11)") {
     val path = tmpDir("complex")
     TestFixtures.buildSkewedTable(spark, path)
