@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, decoded/feature-extracted in batched per-partition
   * passes.
   *
-  * The Spark-side plumbing (schema, partitioning, batch shape, typed
-  * Encoders) is real and tested; the actual media DECODE step is a clearly
-  * marked STUB (this container ships no image/audio codecs) — a deterministic
-  * fake that derives features from the payload bytes. Swapping in a real
-  * decoder (e.g. javacv / a JNI codec) changes only [[stubDecode]]'s body:
-  * same batch iteration, same output schema.
+  * IMAGE decode is REAL: JDK `javax.imageio` (PNG/JPEG/BMP/GIF — no extra
+  * deps) decodes the payload and the features are actual pixel statistics
+  * ([[decodeImage]]). AUDIO/VIDEO decode remains a clearly marked STUB
+  * (this container ships no audio/video codecs) — a deterministic fake that
+  * derives features from the payload bytes; an image payload ImageIO cannot
+  * parse falls back to the same stub rather than failing the batch.
+  * Swapping in a real A/V decoder (e.g. javacv / a JNI codec) changes only
+  * [[stubDecode]]'s body: same batch iteration, same output schema.
   */
 object Multimodal {
 
@@ -50,10 +52,64 @@ object Multimodal {
     }
   }
 
-  /** STUB decode ??? — stands in for the real codec call. Deterministic:
-    * features are rolling-hash projections of the payload, so tests can
-    * assert exact values. A real implementation would decode pixels/samples
-    * here and compute the same-shaped output. */
+  /** REAL image decode via JDK ImageIO: pixel statistics as the feature
+    * vector. Layout (FeatureDim = 16):
+    * {{{
+    * 0: width   1: height   2: aspect (w/h)
+    * 3-5: mean R,G,B (0..1)   6: mean luma   7: luma stddev
+    * 8-15: 8-bin luma histogram (fractions, sums to 1)
+    * }}}
+    * Large images are sampled on a deterministic pixel stride (≤ ~65k
+    * samples), so the per-record cost is bounded whatever the resolution.
+    * Returns None when ImageIO cannot parse the payload (caller falls back
+    * to [[stubDecode]] — undecodable bytes must not fail a whole batch). */
+  private[multimodal] def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val stride = math.max(1L, math.round(math.sqrt(w.toLong * h / 65536.0))).toInt
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var sl = 0.0; var sl2 = 0.0
+      val hist = new Array[Long](8)
+      var n = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val cr = ((rgb >> 16) & 0xFF) / 255.0
+          val cg = ((rgb >> 8) & 0xFF) / 255.0
+          val cb = (rgb & 0xFF) / 255.0
+          val luma = 0.299 * cr + 0.587 * cg + 0.114 * cb
+          sr += cr; sg += cg; sb += cb
+          sl += luma; sl2 += luma * luma
+          hist(math.min(7, (luma * 8).toInt)) += 1L
+          n += 1L
+          x += stride
+        }
+        y += stride
+      }
+      val f = new Array[Float](FeatureDim)
+      f(0) = w.toFloat; f(1) = h.toFloat; f(2) = w.toFloat / h
+      f(3) = (sr / n).toFloat; f(4) = (sg / n).toFloat; f(5) = (sb / n).toFloat
+      val meanL = sl / n
+      f(6) = meanL.toFloat
+      f(7) = math.sqrt(math.max(0.0, sl2 / n - meanL * meanL)).toFloat
+      var i = 0
+      while (i < 8) { f(8 + i) = (hist(i).toDouble / n).toFloat; i += 1 }
+      Some(MediaFeatures(r.media_id, r.kind, r.content.length.toLong, f))
+    }
+  }
+
+  /** STUB decode ??? — stands in for the real AUDIO/VIDEO codec call (and
+    * the fallback for undecodable image payloads). Deterministic: features
+    * are rolling-hash projections of the payload, so tests can assert exact
+    * values. A real implementation would decode samples/frames here and
+    * compute the same-shaped output. */
   private[multimodal] def stubDecode(r: MediaRecord): MediaFeatures = {
     val f = new Array[Float](FeatureDim)
     var h = 1125899906842597L
@@ -77,8 +133,11 @@ object Multimodal {
     val repartitioned = partitions.map(media.repartition(_)).getOrElse(media)
     repartitioned.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // per-batch decoder/codec setup would go here
-        batch.iterator.map(stubDecode)
+        // per-batch A/V codec setup would go here (ImageIO is stateless)
+        batch.iterator.map { r =>
+          if (r.kind == "image") decodeImage(r).getOrElse(stubDecode(r))
+          else stubDecode(r)
+        }
       }
     }
   }

@@ -24,6 +24,36 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("multimodal: real PNG payload decodes to pixel statistics via ImageIO") {
+    // 32x16, left half pure black, right half pure white
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png, Map.empty),
+      // non-image payload keeps the declared stub path
+      Multimodal.MediaRecord(2L, "audio", Array[Byte](1, 2, 3), Map.empty))
+      .toDS()
+    val feats = Multimodal.decodeFeatures(media, batchSize = 2).collect()
+      .map(f => f.media_id -> f).toMap
+    val f = feats(1L).feature
+    assert(f(0) === 32.0f && f(1) === 16.0f && f(2) === 2.0f, "dims + aspect")
+    assert(f(3) === 0.5f && f(4) === 0.5f && f(5) === 0.5f, "mean RGB = 0.5")
+    assert(math.abs(f(6) - 0.5f) < 1e-6, "mean luma")
+    assert(math.abs(f(7) - 0.5f) < 1e-6, "luma stddev of a half/half image")
+    assert(f(8) === 0.5f && f(15) === 0.5f, "luma histogram: extremes only")
+    assert((9 to 14).forall(i => f(i) === 0.0f))
+    assert(feats(1L).n_bytes === png.length.toLong)
+    // corrupt image payload falls back to the stub instead of failing
+    val broken = Seq(Multimodal.MediaRecord(3L, "image",
+      Array[Byte](9, 9, 9, 9), Map.empty)).toDS()
+    assert(Multimodal.decodeFeatures(broken).collect().length === 1)
+  }
+
   test("multimodal: resize rewrites image meta only; frame plan explodes video") {
     val media = Multimodal.syntheticMedia(spark, 60)
     val resized = Multimodal.resizeMeta(media, maxSide = 32).collect()
