@@ -103,9 +103,16 @@ object SparkEntry {
     "fingerprint_md5" -> Oracles.fingerprintMd5,
     "dedup_exact" -> Oracles.dedupExact,
     "jaccard_planted" -> Oracles.jaccardPlanted,
-    "embedding_norms" -> Oracles.embeddingNorms)
-    // dedup_minhash / dedup_simhash / dedup_ngram / dedup_embedding /
-    // knn_bruteforce / knn_lsh: LSH plumbing is not SQL-expressible in
-    // DuckDB → driver records the weaker rows-only check; their similarity
-    // *math* is oracle-covered via jaccard_planted / embedding_norms.
+    "embedding_norms" -> Oracles.embeddingNorms,
+    "dedup_minhash" -> Oracles.dedupMinhash,
+    "dedup_keeplist" -> Oracles.dedupKeeplist,
+    "dedup_embedding" -> Oracles.dedupEmbedding,
+    "knn_lsh" -> Oracles.knnLsh)
+    // Remaining rows-only entries (their similarity *math* is oracle-covered
+    // via jaccard_planted / embedding_norms / knn_bruteforce):
+    //  - dedup_simhash: simhash bit arithmetic has no DuckDB counterpart
+    //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 on
+    //    organic pairs, so no closed-form expected set exists
+    //  - knn_ivf: the KMeans quantizer is not expressible in SQL (full-probe
+    //    == brute-force parity is covered in MaintenanceSpec instead)
 }

@@ -345,21 +345,32 @@ object Dedup {
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
     * random-hyperplane LSH buckets (see [[Similarity.lshBucket]]) so the
     * self-join is bucket-local, then exact cosine verification with the
-    * fused codegen kernel. */
+    * fused codegen kernel.
+    *
+    * `probe = true` additionally matches pairs whose bucket codes differ in
+    * ONE bit (multi-probe, [[Similarity.probeBuckets]]): a near-identical
+    * pair sitting astride a single hyperplane is then still a candidate,
+    * trading (planes+1)× candidate volume for near-1 recall on
+    * high-similarity pairs. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, planes: Int = 8,
                      seed: Long = 7L, dim: Int = 64,
-                     bucketCap: Int = 1000): DataFrame = {
+                     bucketCap: Int = 1000, probe: Boolean = false): DataFrame = {
     val withBucket = ScaleOps.capBuckets(
       df.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .withColumn("bucket", Similarity.lshBucket(col("vec"), planes, seed, dim)),
       Seq("bucket"), bucketCap, "embedding")
+    val right =
+      if (probe) withBucket.withColumn("bucket",
+        explode(Similarity.probeBuckets(col("bucket"), planes)))
+      else withBucket
     val a = withBucket.alias("a")
-    val b = withBucket.alias("b")
+    val b = right.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cosine", exprs.cosineSimilarity(col("a.vec"), col("b.vec")))
       .where(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cosine"), 6).as("cosine"))
+      .distinct()
   }
 }

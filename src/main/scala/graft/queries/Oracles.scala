@@ -225,6 +225,101 @@ object Oracles {
       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Shared CTE chain: planted corpus -> normalized word tokens -> distinct
+    * word-3-shingle sets (w = min(3, ntok), exactly MinHashKernel's rule) ->
+    * all pairs with exact set Jaccard >= 0.7. This is the BRUTE-FORCE ground
+    * truth the MinHash-LSH pipeline approximates; the banding parameters
+    * (16 bands x 4 rows) give recall 1 on this corpus, so the LSH output
+    * must equal it row-for-row and value-for-value. */
+  private val minhashPairsCte: String =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' graft planted near duplicate suffix'
+      |  FROM documents WHERE doc_id < 20),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0) AS t
+      |  FROM docs),
+      |shingle AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) = 0 THEN []
+      |         ELSE list_distinct(list_transform(range(1, len(t) - least(len(t), 3) + 2),
+      |                i -> array_to_string(t[i:i + least(len(t), 3) - 1], ' ')))
+      |    END AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      |  FROM shingle a JOIN shingle b ON a.doc_id < b.doc_id
+      |  WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+      |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7)""".stripMargin
+
+  val dedupMinhash: String =
+    s"""WITH $minhashPairsCte
+      |SELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2""".stripMargin
+
+  /** Connected components over the brute-force pair set via a recursive
+    * min-label closure; kept = each component's minimum id — the same
+    * keep-one-representative semantics as Dedup.keepList. */
+  val dedupKeeplist: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION
+      |  SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM docs
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+      |SELECT id AS doc_id FROM labels WHERE id = cluster_id ORDER BY 1""".stripMargin
+
+  /** Planted-jitter corpus: the jittered copy of vec v (id v + 1000000) is
+    * x_i + sin(i + v + 1000000) * 0.02 per dimension, cast to float — the
+    * exact construction PipelineQueries.embeddingsWithPlants performs. */
+  private def plantedCosineCte(maxId: Int): String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxId),
+      |jit AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(CAST(embedding[i] AS DOUBLE)
+      |           + sin(CAST(i - 1 AS DOUBLE) + vec_id + 1000000) * 0.02 AS FLOAT)) AS je
+      |  FROM e),
+      |pc AS (
+      |  SELECT e.vec_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(jit.je[i] AS DOUBLE))) AS dot,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS nq,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(jit.je[i] AS DOUBLE) * CAST(jit.je[i] AS DOUBLE))) AS ne
+      |  FROM e JOIN jit USING (vec_id))""".stripMargin
+
+  /** Every planted embedding pair with its exact cosine: the organic corpus
+    * has no pair above 0.98 (max ~0.51), and multi-probe recall over the
+    * plants is 1, so the LSH pair output equals this set exactly. */
+  val dedupEmbedding: String =
+    s"""WITH ${plantedCosineCte(20)}
+      |SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+      |  round(CASE WHEN nq = 0 OR ne = 0 THEN 0.0
+      |             ELSE dot / (sqrt(nq) * sqrt(ne)) END, 6) AS cosine
+      |FROM pc ORDER BY 1""".stripMargin
+
+  /** Rank-1 LSH hit per query over the planted corpus: the plant (cosine
+    * ~0.994) dominates every organic neighbor (<= ~0.51) and shares the
+    * query's bucket or a 1-bit probe neighbor, so it must be the top hit. */
+  val knnLsh: String =
+    s"""WITH ${plantedCosineCte(10)}
+      |SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+      |  round(CASE WHEN nq = 0 OR ne = 0 THEN 0.0
+      |             ELSE dot / (sqrt(nq) * sqrt(ne)) END, 6) AS cosine,
+      |  CAST(1 AS BIGINT) AS rank
+      |FROM pc ORDER BY 1""".stripMargin
+
   val langId: String =
     """WITH base AS (
       |  SELECT doc_id, lang, text,

@@ -35,11 +35,17 @@ object PipelineQueries {
     * per-dimension jitter, cosine ≈ 0.999). */
   def embeddingsWithPlants(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
+    // two-step select: Spark 4's implicit LATERAL column aliasing would
+    // otherwise resolve a `vec_id` reference inside the transform to the
+    // just-aliased planted id — spell the jitter base (the planted id)
+    // explicitly instead of relying on that
     val planted = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("orig_id"), col("embedding"), col("label"))
       .select(
-        (col("vec_id") + PlantShift).as("vec_id"),
+        (col("orig_id") + PlantShift).as("vec_id"),
         transform(col("embedding"),
-          (x, i) => (x.cast("double") + sin(i.cast("double") + col("vec_id")) * 0.02)
+          (x, i) => (x.cast("double")
+            + sin(i.cast("double") + col("orig_id") + PlantShift) * 0.02)
             .cast("float")).as("embedding"),
         col("label"))
     e.select("vec_id", "embedding", "label").union(planted)
@@ -127,10 +133,15 @@ object PipelineQueries {
         n = 3, threshold = 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Embedding-cosine near-dup pairs over LSH buckets (planted jitter). */
+  /** Embedding-cosine near-dup pairs over LSH buckets (planted jitter),
+    * with Hamming-1 multi-probe so a planted pair (cosine ≈ 0.994) split by
+    * one hyperplane is still a candidate — recall over the plants is 1 and
+    * the organic corpus has no pair above 0.98 (max ≈ 0.51), so the output
+    * is exactly the DuckDB-computable planted set: a full value oracle on
+    * LSH recall AND the cosine math. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(embeddingsWithPlants(spark, dir), "vec_id", "embedding",
-        threshold = 0.98)
+        threshold = 0.98, planes = 4, probe = true)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Full dedup pipeline end-to-end: MinHash LSH pairs → connected
@@ -153,11 +164,18 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Approximate LSH top-5 for the first 10 vectors (multi-probe). */
+  /** Approximate LSH top-5 over the PLANTED corpus, reporting each query's
+    * rank-1 hit. The planted near-duplicate (cosine ≈ 0.9996, far above any
+    * organic neighbor) shares the query's bucket — or a 1-bit probe
+    * neighbor — so multi-probe LSH must surface it at rank 1: the output is
+    * DuckDB-computable from the plant arithmetic, value-checking recall AND
+    * the verified cosine. Full top-5 is still computed (and ranked) before
+    * the rank-1 projection, so the whole LSH path executes. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
+    val e = embeddingsWithPlants(spark, dir)
     Similarity.lshTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5)
-      .orderBy(col("query_id"), col("rank"))
+      .where(col("rank") === 1)
+      .orderBy(col("query_id"))
   }
 }
