@@ -216,8 +216,15 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
+    // iterate ONLY over nodes that have at least one edge: in a near-dup
+    // workload the pair graph touches a small fraction of the corpus, so
+    // the per-round joins shrink from |corpus| to |V(edges)| rows;
+    // untouched nodes are singletons by definition and are unioned back
+    // with their own id at the end
+    val touched = edges.select(col("src").as("id")).distinct()
+      .join(ids.select(col("id")), Seq("id"), "left_semi")
     var labels = materializeRound(
-      ids.select(col("id"), col("id").as("cluster_id")))
+      touched.select(col("id"), col("id").as("cluster_id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -256,7 +263,10 @@ object Dedup {
         s"[graft.Dedup.clusters] WARNING: label propagation did not converge " +
           s"in $maxIter iterations — some components have multiple labels; " +
           s"re-run with a larger maxIter")
-    labels
+    val singletons = ids.select(col("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.unionByName(singletons)
   }
 
   /** Keep-list dedup: from near-dup `pairs` over `df`, keep exactly one
