@@ -145,11 +145,13 @@ object Dedup {
   private def verifiedPairs(withSig: DataFrame, bands: Int, rows: Int,
                             threshold: Double, numHashes: Int,
                             bucketCap: Int, tag: String): DataFrame = {
-    val exploded = ScaleOps.capBuckets(
+    // cached: the capped band frame feeds BOTH sides of the self-join, and
+    // the bucket-count window (sort + shuffle) must not run twice
+    val exploded = track(ScaleOps.capBuckets(
       withSig
         .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
         .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
-      Seq("band", "bkey"), bucketCap, tag)
+      Seq("band", "bkey"), bucketCap, tag).cache())
     val a = exploded.alias("a")
     val b = exploded.alias("b")
     val candidates = a.join(b,
@@ -300,14 +302,14 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxBits: Int = 3, bucketCap: Int = 1000): DataFrame = {
     val sh = simhash(df, idCol, textCol)
-    val chunked = ScaleOps.capBuckets(
+    val chunked = track(ScaleOps.capBuckets(
       sh.select(col("id"), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),
             (shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)).as("ckey"))): _*))
           .as("ck"))
         .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey")),
-      Seq("chunk", "ckey"), bucketCap, "simhash")
+      Seq("chunk", "ckey"), bucketCap, "simhash").cache())
     val a = chunked.alias("a")
     val b = chunked.alias("b")
     a.join(b,
@@ -366,10 +368,10 @@ object Dedup {
                      threshold: Double = 0.95, planes: Int = 8,
                      seed: Long = 7L, dim: Int = 64,
                      bucketCap: Int = 1000, probe: Boolean = false): DataFrame = {
-    val withBucket = ScaleOps.capBuckets(
+    val withBucket = track(ScaleOps.capBuckets(
       df.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .withColumn("bucket", Similarity.lshBucket(col("vec"), planes, seed, dim)),
-      Seq("bucket"), bucketCap, "embedding")
+      Seq("bucket"), bucketCap, "embedding").cache())
     val right =
       if (probe) withBucket.withColumn("bucket",
         explode(Similarity.probeBuckets(col("bucket"), planes)))
