@@ -14,10 +14,27 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     val targets = args.headOption.map(_.split(",").toSeq).getOrElse(
-      Seq("q1_agg", "join_revenue_by_nation", "anti_join_orphans", "skewness_metrics"))
-    targets.foreach { name =>
-      println(s"########## $name")
-      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+      Seq("q1_agg", "join_revenue_by_nation", "anti_join_orphans",
+        "skewness_metrics", "delta_scan"))
+    targets.foreach {
+      case "delta_scan" =>
+        // the replayed Delta data scan: ONE distributed parquet scan of the
+        // table dir + a broadcast inner join against the manifest — the plan
+        // must show no per-file driver enumeration (a long literal file list
+        // in the scan node) and no partition-dir inference
+        println(s"########## delta_scan (DeltaSnapshot.data)")
+        val path = java.nio.file.Files.createTempDirectory("graft_planaudit").toString
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+        graft.deltalog.DeltaFixtureWriter.write(li, path, "overwrite", Seq("l_returnflag"))
+        graft.deltalog.DeltaFixtureWriter.delete(spark, path, "l_quantity > 45")
+        val snap = graft.deltalog.DeltaLog.snapshot(spark, path)
+        snap.data.explain("formatted")
+        snap.unpersist()
+        graft.deltalog.DeltaFixtureWriter.drop(path)
+      case name =>
+        println(s"########## $name")
+        graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
     spark.stop()
   }
