@@ -40,6 +40,20 @@ object ScaleProbe {
       graft.operators.Similarity.bruteForceTopK(
         emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 5).count()
     }
+    // adversarial corpus: 100k IDENTICAL documents — without the bucket
+    // guard every band bucket holds all 100k docs and the self-join emits
+    // ~10^10 candidate pairs; with it the probe must complete in seconds
+    // with zero pairs (exact dedup owns identical docs)
+    val blob = spark.range(100000L).select(col("id").as("doc_id"),
+      lit("identical boilerplate text repeated across the entire corpus " +
+        "to form one degenerate lsh bucket").as("text"))
+    time("DEGENERATE: minhash LSH over 100k identical docs (bucket guard)") {
+      graft.operators.Dedup.minhashPairs(blob, "doc_id", "text").count()
+    }
+    time("DEGENERATE: simhash LSH over 100k identical docs (bucket guard)") {
+      graft.operators.Dedup.simhashPairs(blob, "doc_id", "text").count()
+    }
+    graft.operators.Dedup.unpersistAll()
     spark.stop()
   }
 }
