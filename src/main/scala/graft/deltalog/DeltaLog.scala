@@ -298,7 +298,7 @@ final case class DeltaSnapshot(spark: SparkSession, tablePath: String, actions: 
     * Scale shape: ONE distributed scan of the table directory (top-level
     * entries only are listed on the driver — O(partition dirs), never
     * O(files) — keeping `_delta_log`, and thus checkpoint parquet with its
-    * foreign schema, out of the scan), then a single broadcast INNER join of
+    * foreign schema, out of the scan), then a single INNER join of
     * `_metadata.file_path` (relativized) against the distributed active-file
     * manifest. The join simultaneously (a) filters out removed/orphan files
     * the dir scan picked up — delete/overwrite replay correctness — and
@@ -325,14 +325,34 @@ final case class DeltaSnapshot(spark: SparkSession, tablePath: String, actions: 
       val entries = fs.listStatus(root).toSeq
         .filterNot(_.getPath.getName == "_delta_log")
         .map(_.getPath.toString)
+      // The dir scan also sees REMOVED-but-not-yet-vacuumed and orphan
+      // files (the inner join below discards their rows; read amplification
+      // is bounded by how much dead data VACUUM — which this engine both
+      // recommends and executes — has not yet reclaimed). Two consequences
+      // are handled explicitly:
+      //  - schema authority: infer from ONE manifest-ACTIVE file (a single
+      //    driver-side footer read), never from whatever dead file the scan
+      //    would otherwise sample first — an old overwrite with a different
+      //    schema must not shape the read;
+      //  - a corrupt uncommitted file still fails the scan by default; set
+      //    spark.sql.files.ignoreCorruptFiles=true to tolerate dirty dirs
+      //    (active-file corruption then drops rows silently — the default
+      //    stays strict on purpose).
+      val oneActive: String =
+        activeFilePaths.select($"path").limit(1).as[String].head()
+      val activeSchema = spark.read.parquet(oneActive).schema
       val raw = spark.read
+        .schema(activeSchema)
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.parquet")
         .parquet(entries: _*)
       val withFile = raw.withColumn("__file",
         DeltaLog.relativize(col("_metadata.file_path"), qualifiedTablePath))
+      // no broadcast hint: an explicit broadcast would collect the whole
+      // manifest onto the driver even at millions of files — let the
+      // planner/AQE broadcast small manifests and shuffle-join huge ones
       val manifest = activeFiles.select($"path".as("__file"), $"partitionValues")
-      val joined = withFile.join(broadcast(manifest), Seq("__file"), "inner")
+      val joined = withFile.join(manifest, Seq("__file"), "inner")
       val partCols = partitionColumns.map(c =>
         element_at($"partitionValues", c).as(c))
       Some(joined.select(

@@ -63,10 +63,34 @@ object Multimodal {
     * samples), so the per-record cost is bounded whatever the resolution.
     * Returns None when ImageIO cannot parse the payload (caller falls back
     * to [[stubDecode]] — undecodable bytes must not fail a whole batch). */
+  /** Decode-size ceiling: a few-KB payload can DECLARE a 50k×50k canvas (a
+    * decompression bomb) and ImageIO.read would allocate w·h·4 bytes before
+    * any sampling — check the header dims first and refuse anything that
+    * would materialize over ~256 MB. */
+  private[multimodal] val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   private[multimodal] def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-      catch { case _: java.io.IOException | _: RuntimeException => null }
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        if (iis == null) null
+        else try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            reader.setInput(iis)
+            try {
+              // header-only dims — no pixel allocation yet
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) null
+              else reader.read(0)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: java.io.IOException | _: RuntimeException => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
       val w = img.getWidth

@@ -34,9 +34,16 @@ object Dashboard {
     try {
       val m = HealthAnalyzer.analyzeSnapshot(snap, thresholds)
       import spark.implicits._
-      val counts = m.skewMetrics
-        .map(_.recordsPerPartition.toSeq.toDF("partition", "count"))
-        .getOrElse(Seq.empty[(String, Long)].toDF("partition", "count"))
+      val counts = m.skewMetrics match {
+        case Some(sk) if sk.partitionCount > sk.recordsPerPartition.size =>
+          // the driver dict was capped to the top-N heaviest partitions —
+          // rebuild the FULL counts frame distributively so the "Others"
+          // bucket sums the whole tail, not just ranks topN-and-under
+          SkewAnalyzer.recordsPerPartition(snap.data, sk.partitionColumns)
+        case Some(sk) =>
+          sk.recordsPerPartition.toSeq.toDF("partition", "count")
+        case None => Seq.empty[(String, Long)].toDF("partition", "count")
+      }
       Frames(
         metrics = m,
         recommendations = HealthAnalyzer.recommendations(spark, m),

@@ -363,18 +363,34 @@ object Dedup {
     * ONE bit (multi-probe, [[Similarity.probeBuckets]]): a near-identical
     * pair sitting astride a single hyperplane is then still a candidate,
     * trading (planes+1)× candidate volume for near-1 recall on
-    * high-similarity pairs. */
+    * high-similarity pairs.
+    *
+    * `planes = 0` (the default) SIZES THE BUCKET SPACE TO THE CORPUS (one
+    * count job): buckets ≈ corpus / (bucketCap/4), so the average bucket
+    * stays well under the guard cap however large the corpus grows — with a
+    * fixed plane count, a 10× corpus would eventually push EVERY bucket
+    * over the cap and the guard would silently drop the whole dataset.
+    * Fixing `planes` explicitly is for deterministic small-scale runs. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.95, planes: Int = 8,
+                     threshold: Double = 0.95, planes: Int = 0,
                      seed: Long = 7L, dim: Int = 64,
                      bucketCap: Int = 1000, probe: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val nPlanes =
+      if (planes > 0) planes
+      else {
+        val targetBuckets =
+          math.max(1L, base.count() / math.max(1, bucketCap / 4))
+        math.min(24, math.max(4,
+          math.ceil(math.log(targetBuckets.toDouble) / math.log(2)).toInt))
+      }
     val withBucket = track(ScaleOps.capBuckets(
-      df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .withColumn("bucket", Similarity.lshBucket(col("vec"), planes, seed, dim)),
+      base.withColumn("bucket",
+        Similarity.lshBucket(col("vec"), nPlanes, seed, dim)),
       Seq("bucket"), bucketCap, "embedding").cache())
     val right =
       if (probe) withBucket.withColumn("bucket",
-        explode(Similarity.probeBuckets(col("bucket"), planes)))
+        explode(Similarity.probeBuckets(col("bucket"), nPlanes)))
       else withBucket
     val a = withBucket.alias("a")
     val b = right.alias("b")

@@ -43,11 +43,12 @@ object HealthAnalyzer {
     if (looksLikePath(tableNameOrPath)) tableNameOrPath
     else tableLocation(spark, tableNameOrPath)
 
-  /** The reference's path heuristic generalized: absolute, relative-dotted,
-    * or scheme-qualified strings are paths; bare identifiers (incl.
+  /** The reference's path heuristic generalized: anything containing a
+    * slash (a catalog identifier never can), or absolute/relative-dotted/
+    * scheme-qualified strings, are paths; bare identifiers (incl.
     * `db.table`) are catalog names. */
   private[graft] def looksLikePath(s: String): Boolean =
-    s.startsWith("/") || s.startsWith("./") || s.startsWith("../") ||
+    s.contains("/") || s.startsWith(".") ||
       s.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/.*")
 
   private def tableLocation(spark: SparkSession, name: String): String = {

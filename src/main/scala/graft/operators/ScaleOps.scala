@@ -69,17 +69,22 @@ object ScaleOps {
       .drop("__bucket_n")
   }
 
-  /** Keep at most `cap` rows per bucket (deterministic by `orderCol`) — the
-    * ANN-side guard: unlike [[capBuckets]] it degrades a hot bucket to a
-    * bounded sample instead of removing it, so queries probing a dense
-    * region still get neighbors. Truncated volume is observed and printed
-    * by the session listener when nonzero. */
+  /** Keep at most `cap` rows per bucket — the ANN-side guard: unlike
+    * [[capBuckets]] it degrades a hot bucket to a bounded sample instead of
+    * removing it, so queries probing a dense region still get neighbors.
+    * The sample order is a deterministic HASH of `orderCol` (tie-broken by
+    * the column itself), not the raw column: a raw-id prefix would
+    * systematically evict the largest ids — e.g. exactly the newest
+    * documents — from every hot bucket, while the hash keeps an unbiased
+    * cross-section. Truncated volume is observed and printed by the session
+    * listener when nonzero. */
   def truncateBuckets(df: DataFrame, keyCols: Seq[String], orderCol: String,
                       cap: Int, tag: String): DataFrame = {
     require(cap > 0, s"bucket cap must be positive, got $cap")
     ensureDropListener(df.sparkSession)
     val name = s"graft_bucket_guard_${tag}_${obsId.incrementAndGet()}"
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(xxhash64(col(orderCol)), col(orderCol))
     df.withColumn("__bucket_rn", row_number().over(w))
       .observe(name,
         coalesce(sum(when(col("__bucket_rn") > cap, lit(1L)).otherwise(lit(0L))),

@@ -10,6 +10,14 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unset the context's reliable-checkpoint dir (SparkContext offers a
+    * setter but no clearer; `checkpointDir` is `private[spark]`, reachable
+    * from this bridge package). Lets tests restore the
+    * localCheckpoint-based code path after exercising reliable
+    * checkpoints. */
+  def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    sc.checkpointDir = None
+
   /** Register a temp SQL function on an existing session (the
     * `withExtensions` route only applies to a freshly built session —
     * `getOrCreate` on a live context ignores it). */

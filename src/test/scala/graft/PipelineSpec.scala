@@ -142,7 +142,6 @@ class PipelineSpec extends SparkSuite {
 
   test("clusters: reliable checkpoints when a checkpoint dir is set") {
     val prev = spark.sparkContext.getCheckpointDir
-    assert(prev.isEmpty, "suite assumes no checkpoint dir was set before")
     spark.sparkContext.setCheckpointDir(tmpDir("graft_ckpt"))
     try {
       val ids = (1L to 6L).toDF("id")
@@ -152,10 +151,14 @@ class PipelineSpec extends SparkSuite {
       assert(labeled === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
         4L -> 4L, 5L -> 4L, 6L -> 6L))
     } finally {
-      // SparkContext has no unset API; point it back at a throwaway dir so
-      // later suites keep localCheckpoint-equivalent behavior semantics
-      // (reliable checkpoints remain correct either way)
-      ()
+      // restore the shared session's state so later suites keep exercising
+      // the localCheckpoint path (SparkContext has a setter but no clearer
+      // — the bridge reaches the private[spark] var)
+      prev match {
+        case Some(dir) => spark.sparkContext.setCheckpointDir(dir)
+        case None =>
+          org.apache.spark.sql.GraftSqlBridge.clearCheckpointDir(spark.sparkContext)
+      }
     }
   }
 
