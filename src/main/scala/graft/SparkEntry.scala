@@ -72,7 +72,10 @@ object SparkEntry {
     "dedup_embedding" -> (PipelineQueries.dedupEmbedding _),
     "dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "knn_bruteforce" -> (PipelineQueries.knnBruteforce _),
-    "knn_lsh" -> (PipelineQueries.knnLsh _))
+    "knn_lsh" -> (PipelineQueries.knnLsh _),
+    "hash_split" -> (PipelineQueries.hashSplit _),
+    "decontamination" -> (PipelineQueries.decontamination _),
+    "vocab_topk" -> (PipelineQueries.vocabTopK _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -107,7 +110,10 @@ object SparkEntry {
     "dedup_minhash" -> Oracles.dedupMinhash,
     "dedup_keeplist" -> Oracles.dedupKeeplist,
     "dedup_embedding" -> Oracles.dedupEmbedding,
-    "knn_lsh" -> Oracles.knnLsh)
+    "knn_lsh" -> Oracles.knnLsh,
+    "hash_split" -> Oracles.hashSplit,
+    "decontamination" -> Oracles.decontamination,
+    "vocab_topk" -> Oracles.vocabTopK)
     // Remaining rows-only entries (their similarity *math* is oracle-covered
     // via jaccard_planted / embedding_norms / knn_bruteforce):
     //  - dedup_simhash: simhash bit arithmetic has no DuckDB counterpart

@@ -174,6 +174,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION: for every corpus document, the benchmark
+    * documents it shares at least `minShared` distinct word `w`-shingles
+    * with — the standard check that evaluation data has not leaked into a
+    * training corpus. Returns (doc_id, bench_id, n_shared).
+    *
+    * Plan shape: both sides explode to (id, shingle) and meet in ONE
+    * equi-join keyed on the shingle — shuffle volume is the shingle count,
+    * never |corpus|×|benchmark|. The benchmark side is typically small
+    * enough that the planner broadcasts it. String shingles keep the result
+    * engine-portable (DuckDB-oracle-checkable); swap in xxhash64(shingle)
+    * on both sides for long shingles at extreme scale. */
+  def crossNgramOverlap(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        w: Int = 3, minShared: Int = 5): DataFrame = {
+    def side(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(array_distinct(shingles(col(textCol), w))).as("sh"))
+    side(corpus, "doc_id")
+      .join(side(benchmark, "bench_id"), "sh")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))   // distinct per doc ⇒ count = |∩|
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Exact Jaccard over two string arrays (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting/sampling for training pipelines.
+  *
+  * The split assignment must be a pure function of the RECORD ID — never of
+  * partition layout, row order, or an RNG stream — so that (a) re-running
+  * the pipeline on a re-partitioned/grown corpus keeps every existing row's
+  * split stable (no train/test leakage across runs), and (b) any engine can
+  * recompute the assignment for audit. `randomSplit` fails both: it samples
+  * per-partition and reshuffles assignments whenever the layout changes.
+  */
+object Sampling {
+
+  private val HexChars: Array[String] = "0123456789abcdef".split("").filter(_.nonEmpty)
+
+  /** Engine-portable deterministic bucket in [0, 256): the first two hex
+    * chars of md5(id) — md5 of the decimal string is identical in every SQL
+    * engine (unlike xxhash64/crc32 which are Spark-specific), so the
+    * assignment is reproducible for audits in DuckDB/Trino/anything. */
+  def hashBucket(id: Column): Column = {
+    val m = md5(id.cast("string"))
+    val hexArr = lit(HexChars)
+    ((array_position(hexArr, substring(m, 1, 1)) - 1) * 16 +
+      (array_position(hexArr, substring(m, 2, 1)) - 1)).cast("int")
+  }
+
+  /** Assign train/val/test by hash bucket: bucket < 256·trainPct → train,
+    * < 256·(trainPct+valPct) → val, else test. Adds `bucket` and `split`
+    * columns; one narrow projection, no shuffle, no RNG. */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 1.0,
+      s"bad split fractions: train=$trainPct val=$valPct")
+    val trainCut = (256 * trainPct).toInt
+    val valCut = (256 * (trainPct + valPct)).toInt
+    val b = hashBucket(col(idCol))
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainCut, "train")
+          .when(col("bucket") < valCut, "val")
+          .otherwise("test"))
+  }
+
+  /** Deterministic ~fraction sample: keep rows whose bucket falls under
+    * 256·fraction. Same id ⇒ same decision on every run and engine. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1.0, s"bad fraction $fraction")
+    df.where(hashBucket(col(idCol)) < (256 * fraction).toInt)
+  }
+}

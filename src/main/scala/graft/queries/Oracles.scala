@@ -225,6 +225,57 @@ object Oracles {
       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** The same md5-bucket split arithmetic as Sampling.hashSplit — the split
+    * being auditable from plain SQL is the point of that design. */
+  val hashSplit: String =
+    """SELECT doc_id,
+      |  CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+      |    AS BIGINT) AS bucket,
+      |  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204
+      |       THEN 'train'
+      |       WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
+      |       THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Distinct word-3-shingle intersection counts between originals and
+    * their planted near-copies (the "benchmark" side), >= 5 shared. */
+  val decontamination: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' graft planted near duplicate suffix'
+      |  FROM documents WHERE doc_id < 20),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0) AS t
+      |  FROM docs),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> array_to_string(t[i:i+2], ' ')))
+      |    END AS s
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh)
+      |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+      |FROM ex c JOIN ex b USING (sh)
+      |WHERE c.doc_id < 1000000 AND b.doc_id >= 1000000
+      |GROUP BY 1, 2 HAVING count(*) >= 5
+      |ORDER BY 1, 2""".stripMargin
+
+  val vocabTopK: String =
+    """SELECT token, count(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0)) AS token
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin
+
   /** Shared CTE chain: planted corpus -> normalized word tokens -> distinct
     * word-3-shingle sets (w = min(3, ntok), exactly MinHashKernel's rule) ->
     * all pairs with exact set Jaccard >= 0.7. This is the BRUTE-FORCE ground

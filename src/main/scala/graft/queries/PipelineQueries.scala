@@ -114,6 +114,37 @@ object PipelineQueries {
       round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"))
       .orderBy(col("vec_id"))
 
+  /** Deterministic train/val/test split assignment per document (md5-bucket,
+    * engine-portable — the exact same bucket arithmetic runs in DuckDB). */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(
+        t(spark, dir, "documents").select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination over the planted corpus: each plant is a
+    * near-copy of its original, so treating plants as the "benchmark" set
+    * must flag every original as contaminated (plus any organic template
+    * overlap) — fully value-checked against DuckDB's set arithmetic. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlants(spark, dir)
+    Dedup.crossNgramOverlap(
+        corpus = docs.where(col("doc_id") < PlantShift),
+        benchmark = docs.where(col("doc_id") >= PlantShift),
+        "doc_id", "text", w = 3, minShared = 5)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** Corpus vocabulary: top-50 whitespace tokens of normalized text by
+    * frequency (count desc, token asc). */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(
+        TextFunctions.normalized(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(50)
+
   // --------------------------------------------------- rows-only (no SQL)
 
   /** MinHash+LSH near-dup pairs (finds the planted dups). */

@@ -184,6 +184,38 @@ class PipelineSpec extends SparkSuite {
     assert(keptIds === reps)
   }
 
+  test("hashSplit: id-pure assignment is stable across layouts and repeatable") {
+    import graft.operators.Sampling
+    val docs = table("documents").select("doc_id")
+    val a = Sampling.hashSplit(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // repartitioned input must produce the IDENTICAL assignment (the whole
+    // point vs randomSplit) and fractions should be near 80/10/10
+    val b = Sampling.hashSplit(docs.repartition(13), "doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1)
+    // deterministic sample is a subset-consistent filter
+    val s = Sampling.hashSample(docs, "doc_id", 0.5).count()
+    assert(s > 0 && s < docs.count())
+  }
+
+  test("decontamination flags every original whose plant is in the benchmark") {
+    val docs = PipelineQueries.docsWithPlants(spark, sf())
+    val hits = Dedup.crossNgramOverlap(
+        corpus = docs.where(col("doc_id") < PipelineQueries.PlantShift),
+        benchmark = docs.where(col("doc_id") >= PipelineQueries.PlantShift),
+        "doc_id", "text", w = 3, minShared = 5)
+      .collect()
+    // each plant shares nearly all shingles with its original
+    val selfHits = hits.filter(r =>
+      r.getLong(1) == r.getLong(0) + PipelineQueries.PlantShift)
+    assert(selfHits.length === 20)
+    assert(selfHits.forall(_.getLong(2) >= 5L))
+  }
+
   test("dedupKeepMin removes exact duplicates keeping min id") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     val out = Dedup.dedupKeepMin(df, "id", Seq("k"))
