@@ -179,18 +179,21 @@ object Dedup {
     * with — the standard check that evaluation data has not leaked into a
     * training corpus. Returns (doc_id, bench_id, n_shared).
     *
-    * Plan shape: both sides explode to (id, shingle) and meet in ONE
-    * equi-join keyed on the shingle — shuffle volume is the shingle count,
+    * Plan shape: both sides explode to (id, shingle-hash) and meet in ONE
+    * equi-join keyed on the hash — shuffle volume is the shingle count,
     * never |corpus|×|benchmark|. The benchmark side is typically small
-    * enough that the planner broadcasts it. String shingles keep the result
-    * engine-portable (DuckDB-oracle-checkable); swap in xxhash64(shingle)
-    * on both sides for long shingles at extreme scale. */
+    * enough that the planner broadcasts it. Shingles are the fused kernel's
+    * 64-bit hashes ([[graft.functions.minhashExprs.wordShingleSet]] — the
+    * HOF string pipeline is CodegenFallback-interpreted and measured ~4×
+    * slower here); the distinct-intersection COUNT is identical to the
+    * string-set count barring a 64-bit collision, which keeps the result
+    * DuckDB-oracle-checkable via plain string sets. */
   def crossNgramOverlap(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String,
                         w: Int = 3, minShared: Int = 5): DataFrame = {
     def side(df: DataFrame, as: String) = df.select(
       col(idCol).as(as),
-      explode(array_distinct(shingles(col(textCol), w))).as("sh"))
+      explode(minhashExprs.wordShingleSet(col(textCol), w)).as("sh"))
     side(corpus, "doc_id")
       .join(side(benchmark, "bench_id"), "sh")
       .groupBy(col("doc_id"), col("bench_id"))
