@@ -51,8 +51,8 @@ class LogReplayModelSpec extends SparkSuite {
       }
       assertMatches("initial overwrite")
 
-      (1 to 6).foreach { step =>
-        rnd.nextInt(5) match {
+      (1 to 8).foreach { step =>
+        rnd.nextInt(7) match {
           case 0 => // append
             val rows = mkRows(5 + rnd.nextInt(10))
             DeltaFixtureWriter.write(toDF(rows), path, "append", Seq("day"))
@@ -82,6 +82,14 @@ class LogReplayModelSpec extends SparkSuite {
             DeltaFixtureWriter.write(toDF(rows), path, "overwrite", Seq("day"))
             model = rows.toVector
             assertMatches(s"step$step overwrite")
+          case 5 => // checkpoint mid-sequence: replay + every LATER op must
+                    // keep working on top of the parquet checkpoint
+            graft.operators.Maintenance.checkpoint(spark, path)
+            assertMatches(s"step$step checkpoint")
+          case 6 => // vacuum mid-sequence: physically deletes dead files,
+                    // active data untouched
+            graft.operators.Maintenance.vacuum(spark, path, retainMs = 0L)
+            assertMatches(s"step$step vacuum")
         }
       }
       // final: maintenance cycle leaves data intact
