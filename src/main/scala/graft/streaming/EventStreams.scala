@@ -152,6 +152,19 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming EXACT dedup for ingestion pipelines: emit each key's first
+    * arrival, drop later duplicates that arrive within the watermark delay
+    * of the kept row. `dropDuplicatesWithinWatermark` bounds the dedup
+    * state by event time (a plain streaming dropDuplicates would grow state
+    * forever on an unbounded corpus) — the standard way to de-duplicate an
+    * at-least-once ingest feed before it lands in the lake. Key on a
+    * content fingerprint column (e.g. `TextFunctions.fingerprintMd5`) for
+    * content-level dedup. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String],
+                  watermarkCol: String, delay: String): DataFrame =
+    df.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drive a streaming transform of `dir`'s parquet through a memory sink
     * synchronously; returns the materialized result table. Batch/stream
     * parity harness for tests. */

@@ -67,6 +67,31 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(perVideo.agg(min("count")).as[Long].first() >= 2L)
   }
 
+  test("streaming: dedupStream keeps first arrival, drops in-watermark duplicates") {
+    import org.apache.spark.sql.types._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = tmpDir("stream_dedup")
+    val schema = StructType(Seq(
+      StructField("doc_key", StringType), StructField("ts", TimestampType),
+      StructField("payload", StringType)))
+    Seq(("A", ts("2024-01-01 10:00:00"), "first-a"), ("B", ts("2024-01-01 10:01:00"), "first-b"))
+      .toDF("doc_key", "ts", "payload").coalesce(1).write.parquet(s"$dir/b1")
+    Thread.sleep(1100)
+    // A re-arrives in a later micro-batch within the watermark → dropped
+    Seq(("A", ts("2024-01-01 10:02:00"), "dup-a"), ("C", ts("2024-01-01 10:03:00"), "first-c"))
+      .toDF("doc_key", "ts", "payload").coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val got = EventStreams.runToMemoryAppend(spark, stream,
+        df => EventStreams.dedupStream(df, Seq("doc_key"), "ts", "1 hour"),
+        "stream_dedup")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got === Map("A" -> "first-a", "B" -> "first-b", "C" -> "first-c"))
+  }
+
   test("streaming: windowed agg over readStream == batch result") {
     val batchDf = Queries.events(spark, sf())
     val expected = EventStreams.hourlyTypeCounts(batchDf)
