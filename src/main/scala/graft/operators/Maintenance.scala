@@ -24,33 +24,45 @@ object Maintenance {
   /** VACUUM: delete on-disk data files that are not in the active manifest
     * and are older than `retainMs` (by filesystem modification time).
     * Returns the deleted-file frame (path, size). `dryRun` lists without
-    * deleting. Logs a VACUUM commit like deltalake does. */
+    * deleting. Logs a VACUUM commit like deltalake does.
+    *
+    * Scale shape: the folder listing is the distributed per-subtree walk
+    * and the per-file stat + delete run inside `mapPartitions` on the
+    * executors — at object-store scale both the LIST and the DELETE calls
+    * are the bottleneck and must parallelize; only the (path, size) result
+    * rows reach the driver. */
   def vacuum(spark: SparkSession, tablePath: String,
              retainMs: Long = 7L * 24 * 3600 * 1000,
              dryRun: Boolean = false): DataFrame = {
+    import spark.implicits._
     val snap = DeltaLog.snapshot(spark, tablePath)
-    val folder = StorageAnalyzer.folderFiles(spark, tablePath)
+    val folder = StorageAnalyzer.folderFilesDistributed(spark, tablePath)
     val orphans = StorageAnalyzer.orphanFiles(folder, snap.activeFilePaths)
     val cutoff = System.currentTimeMillis() - retainMs
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val candidates = orphans.select(col("file_key"), col("size")).collect()
-      .filter { r =>
-        val p = new Path(r.getString(0))
-        fs.exists(p) && fs.getFileStatus(p).getModificationTime < cutoff
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val processed: Array[(String, Long)] = orphans
+      .select(col("file_key"), col("size")).as[(String, Long)]
+      .mapPartitions { it =>
+        it.filter { case (p, _) =>
+          val path = new Path(p)
+          val pfs = path.getFileSystem(conf.value)
+          pfs.exists(path) &&
+            pfs.getFileStatus(path).getModificationTime < cutoff &&
+            (dryRun || pfs.delete(path, false))
+        }
       }
+      .collect()   // materializes (and on !dryRun, performs) the deletes
     if (!dryRun) {
-      candidates.foreach(r => fs.delete(new Path(r.getString(0)), false))
       // logCommit is java.nio-based (fixture scope): give it a plain local
       // path even when the caller addressed the table by file: URI
       DeltaFixtureWriter.logCommit(DeltaLog.stripSchemeStr(tablePath),
         snap.version + 1, "VACUUM",
         Seq("retentionCheck" -> "false",
-            "numFilesDeleted" -> candidates.length.toString))
+            "numFilesDeleted" -> processed.length.toString))
     }
     snap.unpersist()
-    import spark.implicits._
-    candidates.map(r => (r.getString(0), r.getLong(1))).toSeq
-      .toDF("path", "size")
+    processed.toSeq.toDF("path", "size")
   }
 
   /** Write a parquet checkpoint of the current snapshot state — active adds
