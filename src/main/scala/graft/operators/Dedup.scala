@@ -292,6 +292,8 @@ object Dedup {
         s"[graft.Dedup.clusters] WARNING: label propagation did not converge " +
           s"in $maxIter iterations — some components have multiple labels; " +
           s"re-run with a larger maxIter")
+    else
+      System.err.println(s"[graft.Dedup.clusters] converged in $iter rounds")
     val singletons = ids.select(col("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
