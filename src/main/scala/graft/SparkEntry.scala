@@ -51,11 +51,16 @@ object SparkEntry {
     "events_json" -> (Queries.eventsJson _),
     "left_join_agg" -> (Queries.leftJoinAgg _),
     "distinct_counts" -> (Queries.distinctCounts _),
+    // full probe (nprobe = nlist): the entire IVF machinery executes —
+    // quantizer fit, cell assignment, per-query cell ranking, probe join —
+    // and the result is provably identical to exact brute force, which
+    // makes it DuckDB-value-checkable (selective nprobe < nlist recall is
+    // covered in MaintenanceSpec instead)
     "knn_ivf" -> ((s: SparkSession, d: String) => {
       val e = Queries.t(s, d, "embeddings")
       graft.operators.Similarity.ivfTopK(
         e.where(org.apache.spark.sql.functions.col("vec_id") < 10), e,
-        "vec_id", "embedding", k = 5)
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
         .orderBy("query_id", "rank")
     }),
     // training-data pipeline extensions
@@ -113,12 +118,11 @@ object SparkEntry {
     "knn_lsh" -> Oracles.knnLsh,
     "hash_split" -> Oracles.hashSplit,
     "decontamination" -> Oracles.decontamination,
-    "vocab_topk" -> Oracles.vocabTopK)
+    "vocab_topk" -> Oracles.vocabTopK,
+    "knn_ivf" -> Oracles.knnBruteforce)  // full probe ≡ exact brute force
     // Remaining rows-only entries (their similarity *math* is oracle-covered
     // via jaccard_planted / embedding_norms / knn_bruteforce):
     //  - dedup_simhash: simhash bit arithmetic has no DuckDB counterpart
     //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 on
     //    organic pairs, so no closed-form expected set exists
-    //  - knn_ivf: the KMeans quantizer is not expressible in SQL (full-probe
-    //    == brute-force parity is covered in MaintenanceSpec instead)
 }
