@@ -47,9 +47,20 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** All Hamming-distance-1 neighbor buckets of a bucket id (multi-probe). */
-  def probeBuckets(bucket: Column, nPlanes: Int): Column =
-    array((bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1L << i)))): _*)
+  /** All neighbor buckets within Hamming distance `radius` of a bucket id
+    * (multi-probe). radius 1 → 1 + planes buckets; radius 2 additionally
+    * covers every 2-bit flip (1 + p + p(p−1)/2 buckets) — the standard
+    * recall/volume dial: a near-identical pair sitting astride TWO
+    * hyperplanes is only reachable at radius 2. */
+  def probeBuckets(bucket: Column, nPlanes: Int, radius: Int = 1): Column = {
+    require(radius == 1 || radius == 2, s"probe radius must be 1 or 2, got $radius")
+    val one = (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1L << i)))
+    val two =
+      if (radius < 2) Seq.empty
+      else for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+        yield bucket.bitwiseXOR(lit((1L << i) | (1L << j)))
+    array((bucket +: one) ++ two: _*)
+  }
 
   /** Rank per-query candidates to (query_id, neighbor_id, cosine, rank),
     * rank 1..k by (cosine desc, neighbor_id asc).
@@ -102,14 +113,16 @@ object Similarity {
     * ([[ScaleOps.truncateBuckets]]). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nPlanes: Int = 8,
-              seed: Long = 7L, dim: Int = 64, bucketCap: Int = 4096): DataFrame = {
+              seed: Long = 7L, dim: Int = 64, bucketCap: Int = 4096,
+              probeRadius: Int = 1): DataFrame = {
     val c = ScaleOps.truncateBuckets(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
         .withColumn("bucket", lshBucket(col("nvec"), nPlanes, seed, dim)),
       Seq("bucket"), "neighbor_id", bucketCap, "lsh_topk")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("bucket",
-        explode(probeBuckets(lshBucket(col("qvec"), nPlanes, seed, dim), nPlanes)))
+        explode(probeBuckets(lshBucket(col("qvec"), nPlanes, seed, dim),
+          nPlanes, probeRadius)))
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))

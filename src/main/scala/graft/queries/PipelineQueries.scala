@@ -196,16 +196,18 @@ object PipelineQueries {
   }
 
   /** Approximate LSH top-5 over the PLANTED corpus, reporting each query's
-    * rank-1 hit. The planted near-duplicate (cosine ≈ 0.9996, far above any
-    * organic neighbor) shares the query's bucket — or a 1-bit probe
-    * neighbor — so multi-probe LSH must surface it at rank 1: the output is
-    * DuckDB-computable from the plant arithmetic, value-checking recall AND
-    * the verified cosine. Full top-5 is still computed (and ranked) before
-    * the rank-1 projection, so the whole LSH path executes. */
+    * rank-1 hit. The planted near-duplicate (cosine ≈ 0.994, far above any
+    * organic neighbor) differs from its query by at most a couple of
+    * hyperplane sign bits, so radius-2 multi-probe LSH must surface it at
+    * rank 1 (radius 1 missed one plant at sf0.1 — a deterministic 2-bit
+    * split): the output is DuckDB-computable from the plant arithmetic,
+    * value-checking recall AND the verified cosine. Full top-5 is still
+    * computed (and ranked) before the rank-1 projection, so the whole LSH
+    * path executes. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsWithPlants(spark, dir)
     Similarity.lshTopK(e.where(col("vec_id") < 10), e,
-        "vec_id", "embedding", k = 5)
+        "vec_id", "embedding", k = 5, probeRadius = 2)
       .where(col("rank") === 1)
       .orderBy(col("query_id"))
   }
