@@ -25,12 +25,22 @@ object Bench {
     catch { case _: Throwable => () }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+    // a query that throws records NO sample and a failure marker — timing the
+    // exception path as a valid sample would let a breaking regression
+    // masquerade as a speedup in the headline number
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (_ <- 1 to rounds) {
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        samples(name) += (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          samples(name) += (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
+        }
       }
       // each round re-derives the dedup signature caches from scratch
       graft.operators.Dedup.unpersistAll()
@@ -39,14 +49,23 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val med = names.map(n => n -> median(samples(n).toSeq)).toMap
-    val qs = names.map(n => s"\"" + n + "\":" + med(n)).mkString("{", ",", "}")
-    val spread = names.map { n =>
+    def r3(x: Double): String = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val ok = names.filter(samples(_).nonEmpty)
+    val med = ok.map(n => n -> median(samples(n).toSeq)).toMap
+    val spread = ok.map { n =>
       val xs = samples(n)
-      s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
+      "\"" + n + "\":[" + r3(xs.min) + "," + r3(xs.max) + "]"
     }.mkString("{", ",", "}")
+    // spread on its own line: with ~40 queries the combined line overflows
+    // the harness's 2 KB output-tail window and the headline never parses
+    println(s"""{"detail":"spread_min_max","runs":$rounds,"spread":$spread}""")
+    val qs = ok.map(n => "\"" + n + "\":" + r3(med(n))).mkString("{", ",", "}")
+    val errJson = errors.map { case (n, m) => "\"" + n + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
     val total = med.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$rounds,"sf":"$sfDir"}""")
+    // the machine-readable headline is the LAST printed line and kept compact
+    // (3-decimal medians, no spread) so it fits the output tail intact
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

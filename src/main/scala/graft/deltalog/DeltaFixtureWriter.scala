@@ -84,7 +84,8 @@ object DeltaFixtureWriter {
       adds: Seq[(String, Long)],
       removes: Seq[String],
       partitionBy: Seq[String],
-      writeMeta: Boolean): Unit = {
+      writeMeta: Boolean,
+      schemaJson: Option[String] = None): Unit = {
     val ts = System.currentTimeMillis()
     val lines = mutable.ArrayBuffer[String]()
     val metrics = Seq(
@@ -93,8 +94,12 @@ object DeltaFixtureWriter {
     lines += s"""{"commitInfo":{"timestamp":$ts,"operation":${jStr(operation)},"operationParameters":${jMap(parameters)},"operationMetrics":${jMap(metrics)}}}"""
     if (writeMeta) {
       val pcJson = partitionBy.map(jStr).mkString("[", ",", "]")
+      // schemaString is the authoritative FULL table schema (partition
+      // columns included), per the Delta protocol — readers must shape scans
+      // from it, never from a sampled data-file footer
+      val schemaStr = schemaJson.getOrElse("{}")
       lines += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      lines += s"""{"metaData":{"id":${jStr(java.util.UUID.nameUUIDFromBytes(table.getBytes(StandardCharsets.UTF_8)).toString)},"schemaString":"{}","partitionColumns":$pcJson,"createdTime":$ts}}"""
+      lines += s"""{"metaData":{"id":${jStr(java.util.UUID.nameUUIDFromBytes(table.getBytes(StandardCharsets.UTF_8)).toString)},"schemaString":${jStr(schemaStr)},"partitionColumns":$pcJson,"createdTime":$ts}}"""
     }
     removes.foreach { p =>
       lines += s"""{"remove":{"path":${jStr(p)},"deletionTimestamp":$ts,"dataChange":true}}"""
@@ -116,14 +121,23 @@ object DeltaFixtureWriter {
             partitionBy: Seq[String] = Seq.empty): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val before = listDataFiles(table)
-    val snapBefore: Seq[String] =
-      if (mode == "overwrite" && currentVersion(table).isDefined) {
+    // one snapshot read serves both the overwrite remove-list and the
+    // schema-evolution check
+    val (snapBefore: Seq[String], schemaChanged: Boolean, effPartitionBy: Seq[String]) =
+      if (currentVersion(table).isDefined) {
         val snap = DeltaLog.snapshot(df.sparkSession, table)
-        val files = snap.activeFiles.select("path")
-          .collect().map(_.getString(0)).toSeq
+        val files =
+          if (mode == "overwrite")
+            snap.activeFiles.select("path").collect().map(_.getString(0)).toSeq
+          else Seq.empty
+        val changed = !snap.tableSchema.contains(df.schema)
+        // partitioning is immutable in Delta: a later write that omits
+        // partitionBy must not clobber partitionColumns in an evolved
+        // metaData action
+        val pb = if (partitionBy.nonEmpty) partitionBy else snap.partitionColumns
         snap.unpersist()
-        files
-      } else Seq.empty
+        (files, changed, pb)
+      } else (Seq.empty, false, partitionBy)
     val w = df.write.mode("append")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(table)
     val after = listDataFiles(table)
@@ -133,7 +147,11 @@ object DeltaFixtureWriter {
       Seq("mode" -> (if (mode == "overwrite") "Overwrite" else "Append"),
           "partitionBy" -> partitionBy.mkString("[", ",", "]")),
       adds = newFiles, removes = snapBefore,
-      partitionBy = partitionBy, writeMeta = version == 0L)
+      // metaData rides the first commit AND any commit whose write changes
+      // the schema (Delta schema evolution) — replay takes the latest, so
+      // schemaString stays the live authority after evolving appends
+      partitionBy = effPartitionBy, writeMeta = version == 0L || schemaChanged,
+      schemaJson = Some(df.schema.json))
   }
 
   /** Predicate DELETE: rewrites only the active files that contain matching

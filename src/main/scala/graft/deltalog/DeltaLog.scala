@@ -221,6 +221,26 @@ final case class DeltaSnapshot(spark: SparkSession, tablePath: String, actions: 
   lazy val version: Long =
     actions.agg(max($"version")).as[Option[Long]].first().getOrElse(0L)
 
+  /** Authoritative table schema from the latest metaData action's
+    * `schemaString` (the Delta protocol's schema authority — the FULL
+    * schema, partition columns included). None when the log predates schema
+    * emission (legacy fixtures wrote the stub "{}") or the string does not
+    * parse as a StructType. */
+  lazy val tableSchema: Option[StructType] = {
+    val rows = actions
+      .where($"metaData".isNotNull)
+      .orderBy($"version".desc)
+      .select($"metaData.schemaString")
+      .limit(1)
+      .as[Option[String]]
+      .collect()
+    rows.headOption.flatten.flatMap { s =>
+      scala.util.Try(DataType.fromJson(s)).toOption.collect {
+        case st: StructType if st.fields.nonEmpty => st
+      }
+    }
+  }
+
   /** Partition columns from the latest metaData action. */
   lazy val partitionColumns: Seq[String] = {
     val rows = actions
@@ -330,17 +350,27 @@ final case class DeltaSnapshot(spark: SparkSession, tablePath: String, actions: 
       // is bounded by how much dead data VACUUM — which this engine both
       // recommends and executes — has not yet reclaimed). Two consequences
       // are handled explicitly:
-      //  - schema authority: infer from ONE manifest-ACTIVE file (a single
-      //    driver-side footer read), never from whatever dead file the scan
-      //    would otherwise sample first — an old overwrite with a different
-      //    schema must not shape the read;
+      //  - schema authority: the latest metaData.schemaString (the Delta
+      //    protocol's authority — a column added by a later append is
+      //    present even if an unsampled old file lacks it, and a dead file's
+      //    foreign schema can never shape the read). Partition columns are
+      //    stripped because Delta physical files do not contain them (they
+      //    are re-attached from the manifest below). Logs that predate
+      //    schema emission fall back to ONE manifest-active footer, picked
+      //    DETERMINISTICALLY (min path) — not limit(1), whose choice is
+      //    partition-layout-dependent;
       //  - a corrupt uncommitted file still fails the scan by default; set
       //    spark.sql.files.ignoreCorruptFiles=true to tolerate dirty dirs
       //    (active-file corruption then drops rows silently — the default
       //    stays strict on purpose).
-      val oneActive: String =
-        activeFilePaths.select($"path").limit(1).as[String].head()
-      val activeSchema = spark.read.parquet(oneActive).schema
+      val activeSchema: StructType = tableSchema match {
+        case Some(full) =>
+          StructType(full.fields.filterNot(f => partitionColumns.contains(f.name)))
+        case None =>
+          val oneActive: String =
+            activeFilePaths.select($"path").orderBy($"path").limit(1).as[String].head()
+          spark.read.parquet(oneActive).schema
+      }
       val raw = spark.read
         .schema(activeSchema)
         .option("recursiveFileLookup", "true")

@@ -256,6 +256,10 @@ object Dedup {
       touched.select(col("id"), col("id").as("cluster_id")))
     var iter = 0
     var converged = false
+    // the cache must be released even when a round's job dies (OOM, task
+    // abort): without the finally, every failed clusters() call would leak
+    // the edges RDD for the session lifetime
+    try {
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -286,7 +290,7 @@ object Dedup {
       converged = nChanged == 0L
       iter += 1
     }
-    edges.unpersist()
+    } finally edges.unpersist()
     if (!converged)
       System.err.println(
         s"[graft.Dedup.clusters] WARNING: label propagation did not converge " +

@@ -52,7 +52,15 @@ object HealthAnalyzer {
       s.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/.*")
 
   private def tableLocation(spark: SparkSession, name: String): String = {
-    val rows = spark.sql(s"DESCRIBE FORMATTED $name").collect()
+    // backtick-quote each dot-separated part so a non-identifier string
+    // surfaces as "table not found" instead of a SQL parse error (or worse,
+    // smuggled SQL through the analyzer entry point)
+    val quoted = name.split('.').toSeq.map { part =>
+      require(part.nonEmpty,
+        s"'$name' is not a valid table identifier (empty name part)")
+      "`" + part.replace("`", "``") + "`"
+    }.mkString(".")
+    val rows = spark.sql(s"DESCRIBE FORMATTED $quoted").collect()
     rows.find(r => Option(r.getString(0)).exists(_.trim.equalsIgnoreCase("Location")))
       .map(_.getString(1).trim)
       .filter(_.nonEmpty)

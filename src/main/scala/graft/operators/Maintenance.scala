@@ -41,28 +41,43 @@ object Maintenance {
     val cutoff = System.currentTimeMillis() - retainMs
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val processed: Array[(String, Long)] = orphans
+    // one row PER candidate with an outcome flag — never a filter on the
+    // delete result: a task re-attempt (retry/speculation) re-runs the
+    // lambda, sees exists()=false for files its first attempt already
+    // removed, and a filter would silently drop those rows, undercounting
+    // numFilesDeleted in the VACUUM commit
+    val processed: Array[(String, Long, String)] = orphans
       .select(col("file_key"), col("size")).as[(String, Long)]
       .mapPartitions { it =>
-        it.filter { case (p, _) =>
+        it.map { case (p, sz) =>
           val path = new Path(p)
           val pfs = path.getFileSystem(conf.value)
-          pfs.exists(path) &&
-            pfs.getFileStatus(path).getModificationTime < cutoff &&
-            (dryRun || pfs.delete(path, false))
+          val status =
+            if (!pfs.exists(path)) "missing" // gone already — a prior attempt of this run (or an external actor) removed it
+            else if (pfs.getFileStatus(path).getModificationTime >= cutoff) "retained"
+            else if (dryRun) "deleted"
+            // a false delete() that leaves the file in place is a real
+            // failure (permissions, lease); a false delete() on a vanished
+            // file is just a lost race with a concurrent attempt
+            else if (pfs.delete(path, false) || !pfs.exists(path)) "deleted"
+            else "failed"
+          (p, sz, status)
         }
       }
       .collect()   // materializes (and on !dryRun, performs) the deletes
+    // "missing" counts as removed-by-this-run: the only way a listed orphan
+    // is already gone mid-job is an earlier attempt's delete
+    val gone = processed.filter(t => t._3 == "deleted" || t._3 == "missing")
     if (!dryRun) {
       // logCommit is java.nio-based (fixture scope): give it a plain local
       // path even when the caller addressed the table by file: URI
       DeltaFixtureWriter.logCommit(DeltaLog.stripSchemeStr(tablePath),
         snap.version + 1, "VACUUM",
         Seq("retentionCheck" -> "false",
-            "numFilesDeleted" -> processed.length.toString))
+            "numFilesDeleted" -> gone.length.toString))
     }
     snap.unpersist()
-    processed.toSeq.toDF("path", "size")
+    gone.toSeq.map { case (p, s, _) => (p, s) }.toDF("path", "size")
   }
 
   /** Write a parquet checkpoint of the current snapshot state — active adds

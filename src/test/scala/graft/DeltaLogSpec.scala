@@ -95,4 +95,54 @@ class DeltaLogSpec extends SparkSuite {
     assert(d.getAs[Long]("sizeInBytes") > 0)
     snap.unpersist()
   }
+
+  test("metaData.schemaString is the schema authority for the data scan") {
+    val path = tmpDir("dlog")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 5), Seq("Dinner" -> 5))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day", "time"))
+    val snap = DeltaLog.snapshot(spark, path)
+    val full = snap.tableSchema.getOrElse(fail("schemaString not persisted/parsed"))
+    assert(full.fieldNames.toSet === df.columns.toSet,
+      "schemaString carries the FULL schema incl. partition columns")
+    assert(snap.data.columns.toSet === df.columns.toSet)
+    snap.unpersist()
+  }
+
+  test("schema-evolving append: new column visible, old files read as null") {
+    val path = tmpDir("dlog")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 4), Seq("Dinner" -> 4))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day", "time"))
+    // append WITH an extra column — a new metaData action must make it the
+    // live schema even though the old physical files lack the column
+    val evolved = TestFixtures.tips(spark, Seq("Tue" -> 3), Seq("Lunch" -> 3))
+      .withColumn("source", lit("v2"))
+    DeltaFixtureWriter.write(evolved, path, "append", Seq("day", "time"))
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.tableSchema.exists(_.fieldNames.contains("source")),
+      "evolved schemaString is the latest metaData")
+    val data = snap.data
+    assert(data.columns.contains("source"))
+    assert(data.count() === 7)
+    assert(data.where(col("source").isNull).count() === 4,
+      "pre-evolution rows surface the added column as null")
+    assert(data.where(col("source") === "v2").count() === 3)
+    snap.unpersist()
+  }
+
+  test("legacy stub schemaString falls back to deterministic footer pick") {
+    val path = tmpDir("dlog")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 6), Seq("Dinner" -> 6))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day", "time"))
+    // simulate a legacy log: rewrite commit 0's metaData schemaString to the
+    // old stub "{}" so tableSchema cannot parse
+    val lp = java.nio.file.Paths.get(path, "_delta_log", f"${0L}%020d.json")
+    val rewritten = new String(java.nio.file.Files.readAllBytes(lp),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .replaceAll("\"schemaString\":\"\\{.*?\\}\"", "\"schemaString\":\"{}\"")
+    java.nio.file.Files.write(lp, rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.tableSchema.isEmpty, "stub schema must not parse")
+    assert(snap.data.count() === 6, "footer-pick fallback still reads the table")
+    snap.unpersist()
+  }
 }
