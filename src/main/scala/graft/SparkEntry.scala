@@ -80,7 +80,8 @@ object SparkEntry {
     "knn_lsh" -> (PipelineQueries.knnLsh _),
     "hash_split" -> (PipelineQueries.hashSplit _),
     "decontamination" -> (PipelineQueries.decontamination _),
-    "vocab_topk" -> (PipelineQueries.vocabTopK _))
+    "vocab_topk" -> (PipelineQueries.vocabTopK _),
+    "ngram_exact" -> (PipelineQueries.ngramExact _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -119,10 +120,20 @@ object SparkEntry {
     "hash_split" -> Oracles.hashSplit,
     "decontamination" -> Oracles.decontamination,
     "vocab_topk" -> Oracles.vocabTopK,
-    "knn_ivf" -> Oracles.knnBruteforce)  // full probe ≡ exact brute force
+    "knn_ivf" -> Oracles.knnBruteforce,  // full probe ≡ exact brute force
+    "ngram_exact" -> Oracles.ngramExact)
     // Remaining rows-only entries (their similarity *math* is oracle-covered
-    // via jaccard_planted / embedding_norms / knn_bruteforce):
-    //  - dedup_simhash: simhash bit arithmetic has no DuckDB counterpart
+    // via jaccard_planted / embedding_norms / knn_bruteforce / ngram_exact):
+    //  - dedup_simhash: simhash is FREQUENCY-weighted (cosine-like over the
+    //    token multiset) while every DuckDB-computable truth here is a set
+    //    measure — measured on this corpus (demo.SimhashProbe): token-SET
+    //    Jaccard-1.0 pairs occur at Hamming distances up to 28/64, so no
+    //    set-Jaccard threshold yields a truth set that Hamming<=3 blocking
+    //    could equal; the 64-bit weighted hash arithmetic itself has no
+    //    DuckDB counterpart. Kernel parity and planted recall are covered
+    //    in MinHashKernelSpec / DedupSpec.
     //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 on
-    //    organic pairs, so no closed-form expected set exists
+    //    organic pairs near the threshold, so no closed-form expected set
+    //    exists; its exact-Jaccard verification math is ngram_exact's
+    //    oracle, leaving only the banding prefilter rows-only.
 }

@@ -313,6 +313,35 @@ object Oracles {
     s"""WITH $minhashPairsCte
       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2""".stripMargin
 
+  /** Brute-force char-trigram Jaccard over doc_id < 150 — mirrors
+    * MinHashKernel's char mode exactly: ASCII lowercase, non-alnum runs →
+    * one space, trim; window k = min(3, len) so short strings yield the
+    * whole-string gram; DISTINCT trigram set. String-set Jaccard equals the
+    * kernel's 64-bit-hash-set Jaccard barring a hash collision. */
+  val ngramExact: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      |norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+      |  FROM docs),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(s) = 0 THEN []
+      |         WHEN len(s) <= 3 THEN [s]
+      |         ELSE list_distinct(list_transform(range(1, len(s) - 1),
+      |                i -> s[i:i + 2]))
+      |    END AS g
+      |  FROM norm),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.g, b.g)) AS inter,
+      |    len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS unn
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(inter::DOUBLE / unn, 6) AS jaccard
+      |FROM pairs
+      |WHERE unn > 0 AND inter::DOUBLE / unn >= 0.5
+      |ORDER BY 1, 2""".stripMargin
+
   /** Connected components over the brute-force pair set via a recursive
     * min-label closure; kept = each component's minimum id — the same
     * keep-one-representative semantics as Dedup.keepList. */

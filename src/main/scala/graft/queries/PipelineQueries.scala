@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{minhashExprs, TextFunctions}
 import graft.operators.{Dedup, Similarity}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis) over
@@ -133,6 +133,28 @@ object PipelineQueries {
         benchmark = docs.where(col("doc_id") >= PlantShift),
         "doc_id", "text", w = 3, minShared = 5)
       .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** Brute-force char-trigram Jaccard over a bounded slice — the exact-math
+    * twin of dedup_ngram: value-checks the charShingleSet kernel (ASCII
+    * normalization, min(n, len) whole-string window, distinct trigram set)
+    * and the sorted-merge intersect against DuckDB's string-set arithmetic.
+    * The LSH banding that dedup_ngram puts in front of this math is the
+    * only part left rows-only. */
+  def ngramExact(spark: SparkSession, dir: String): DataFrame = {
+    val side = t(spark, dir, "documents").where(col("doc_id") < 150)
+      .select(col("doc_id"),
+        minhashExprs.charShingleSet(col("text"), 3).as("sh"))
+    val a = side.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = side.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("inter", minhashExprs.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("union_n", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .where(col("union_n") > 0 &&
+        col("inter").cast("double") / col("union_n") >= 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("union_n"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Corpus vocabulary: top-50 whitespace tokens of normalized text by
