@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session setup for the engine — one place that encodes the
+  * cluster-scale execution defaults every operator in this library is
+  * designed against, instead of each caller rediscovering them:
+  *
+  *  - **AQE on, with partition coalescing and skew-join splitting**: the
+  *    dedup/ANN self-joins and the Delta-manifest joins are written to
+  *    declare their shuffles and let runtime re-planning right-size them —
+  *    a label-propagation round over a million-edge graph and one over a
+  *    thousand-edge tail both get sensible partition counts from the SAME
+  *    program. Skew splitting is the second line of defense behind the
+  *    explicit LSH bucket caps ([[graft.operators.ScaleOps.capBuckets]])
+  *    and salting helpers ([[graft.operators.ScaleOps]]).
+  *  - **shuffle.partitions ≈ 2× total cores** as the pre-AQE upper bound
+  *    (AQE coalesces DOWN from it; it cannot split an under-partitioned
+  *    non-skewed stage, so err high).
+  *  - **128 MiB scan splits** (`files.maxPartitionBytes` default kept
+  *    explicit): the parquet-scan granularity the partition-math in
+  *    SURVEY.md assumes.
+  *  - **32 MiB broadcast threshold**: dimension tables (nation, region,
+  *    probe/query sides of the kNN joins) broadcast; fact-fact joins never
+  *    accidentally do.
+  *
+  * Use [[local]] for tests/benchmarks on one JVM and [[tuned]] to apply the
+  * same policy to a cluster builder (`master`/deploy conf supplied by the
+  * environment). Both register the engine's SQL functions
+  * ([[GraftFunctions]]) so `spark.sql("SELECT minhash_sig(...)")` works
+  * out of the box.
+  */
+object GraftSession {
+
+  /** The engine's recommended execution conf. `totalCores` is executors ×
+    * cores-per-executor on a cluster; `shufflePartitions` defaults to 2×
+    * that (the pre-AQE bound — pass the core count itself for single-JVM
+    * runs, where shuffle fan-out past the core count only adds task
+    * overhead). */
+  def scaleConf(totalCores: Int, shufflePartitions: Int = 0): Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.shuffle.partitions" ->
+      math.max(1, if (shufflePartitions > 0) shufflePartitions else totalCores * 2).toString,
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.autoBroadcastJoinThreshold" -> (32L * 1024 * 1024).toString)
+
+  /** Apply the scale policy to an externally-configured builder (cluster
+    * master, memory, dynamic allocation etc. stay the caller's business). */
+  def tuned(builder: SparkSession.Builder, totalCores: Int): SparkSession.Builder =
+    scaleConf(totalCores).foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+
+  /** Policy-applied local builder — callers may layer further conf (UTC
+    * timezone, UI off, ...) before `getOrCreate()`. Shuffle partitions are
+    * pinned to the core count, not 2× (single JVM: fan-out past the cores
+    * only adds task overhead). */
+  def localBuilder(cores: Int, appName: String = "graft"): SparkSession.Builder =
+    scaleConf(cores, shufflePartitions = cores)
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)) { case (b, (k, v)) => b.config(k, v) }
+
+  /** Single-JVM session with the same policy — what Bench/Verify use. */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = localBuilder(cores, appName).getOrCreate()
+    GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -252,8 +252,10 @@ object Dedup {
     // with their own id at the end
     val touched = edges.select(col("src").as("id")).distinct()
       .join(ids.select(col("id")), Seq("id"), "left_semi")
-    var labels = materializeRound(
-      touched.select(col("id"), col("id").as("cluster_id")))
+    // round 0's labels are a trivial projection of `touched` — shallow
+    // lineage, not worth a materialization job of its own; the first
+    // round's checkpoint truncates it
+    var labels = touched.select(col("id"), col("id").as("cluster_id"))
     var iter = 0
     var converged = false
     // the cache must be released even when a round's job dies (OOM, task
