@@ -98,4 +98,52 @@ class LogReplayModelSpec extends SparkSuite {
       assertMatches("post checkpoint+vacuum")
     }
   }
+
+  test("schema evolution survives delete/compact/merge/checkpoint/vacuum") {
+    import org.apache.spark.sql.functions._
+    val path = tmpDir("evolve")
+    DeltaFixtureWriter.write(
+      toDF(Seq(R(0, 10, "Mon"), R(1, 120, "Tue"), R(2, 30, "Mon"))),
+      path, "overwrite", Seq("day"))
+    // evolving append: adds `tag`; older rows must read it as null
+    DeltaFixtureWriter.write(
+      toDF(Seq(R(3, 140, "Tue"), R(4, 50, "Mon"))).withColumn("tag", lit("v2")),
+      path, "append", Seq("day"))
+    def rows() = {
+      val snap = DeltaLog.snapshot(spark, path)
+      val got = snap.data.select("id", "value", "day", "tag")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          Option(r.getString(3)))).toSeq.sortBy(_._1)
+      snap.unpersist(); got
+    }
+    assert(rows() === Seq(
+      (0L, 10.0, "Mon", None), (1L, 120.0, "Tue", None), (2L, 30.0, "Mon", None),
+      (3L, 140.0, "Tue", Some("v2")), (4L, 50.0, "Mon", Some("v2"))))
+    // delete rewrites an old (pre-evolution) file WITH the evolved schema
+    DeltaFixtureWriter.delete(spark, path, "value > 100")
+    assert(rows() === Seq(
+      (0L, 10.0, "Mon", None), (2L, 30.0, "Mon", None), (4L, 50.0, "Mon", Some("v2"))))
+    // compact rewrites everything under the evolved schema; nulls survive
+    DeltaFixtureWriter.compact(spark, path)
+    assert(rows() === Seq(
+      (0L, 10.0, "Mon", None), (2L, 30.0, "Mon", None), (4L, 50.0, "Mon", Some("v2"))))
+    // merge after evolution: update one, insert one, tag values kept
+    DeltaFixtureWriter.merge(spark, path,
+      toDF(Seq(R(2, 31, "Mon"), R(5, 60, "Tue"))).withColumn("tag", lit("v3")),
+      Seq("id"))
+    assert(rows() === Seq(
+      (0L, 10.0, "Mon", None), (2L, 31.0, "Mon", Some("v3")),
+      (4L, 50.0, "Mon", Some("v2")), (5L, 60.0, "Tue", Some("v3"))))
+    // maintenance cycle: checkpoint carries the latest metaData (evolved
+    // schema) and vacuum only removes dead files
+    graft.operators.Maintenance.checkpoint(spark, path)
+    graft.operators.Maintenance.vacuum(spark, path, retainMs = 0L)
+    assert(rows() === Seq(
+      (0L, 10.0, "Mon", None), (2L, 31.0, "Mon", Some("v3")),
+      (4L, 50.0, "Mon", Some("v2")), (5L, 60.0, "Tue", Some("v3"))))
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.tableSchema.exists(_.fieldNames.contains("tag")),
+      "post-checkpoint replay still reports the evolved schema")
+    snap.unpersist()
+  }
 }
