@@ -8,8 +8,7 @@ import org.apache.spark.sql.functions._
   * the plans survive a 10x scale-up with sublinear-to-linear wall-clock. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = graft.GraftSession.localBuilder(32, "graft-scaleprobe")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,10 +34,19 @@ object ScaleProbe {
     time("minhash LSH dedup over 50k docs") {
       graft.operators.Dedup.minhashPairs(docs, "doc_id", "text").count()
     }
+    time("connected components + keep-list over 50k docs") {
+      val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")
+      graft.operators.Dedup.keepList(docs, "doc_id", pairs).count()
+    }
     val emb = x10("embeddings", "vec_id")
-    time("knn brute-force 10 queries x 500k corpus") {
+    time("knn brute-force 10 queries x 50k corpus") {
       graft.operators.Similarity.bruteForceTopK(
         emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 5).count()
+    }
+    time("knn IVF (nlist=64, nprobe=8) 10 queries x 50k corpus") {
+      graft.operators.Similarity.ivfTopK(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 5,
+        nlist = 64, nprobe = 8).count()
     }
     // adversarial corpus: 100k IDENTICAL documents — without the bucket
     // guard every band bucket holds all 100k docs and the self-join emits

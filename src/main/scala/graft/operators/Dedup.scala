@@ -253,9 +253,12 @@ object Dedup {
     val touched = edges.select(col("src").as("id")).distinct()
       .join(ids.select(col("id")), Seq("id"), "left_semi")
     // round 0's labels are a trivial projection of `touched` — shallow
-    // lineage, not worth a materialization job of its own; the first
-    // round's checkpoint truncates it
-    var labels = touched.select(col("id"), col("id").as("cluster_id"))
+    // lineage, so no eager materialization job of its own; the LAZY cache
+    // still matters: round 1 consumes `labels` three times (neighbor-min,
+    // adoption, parent-label sides) and would otherwise recompute the
+    // edge-distinct + semi-join each time (measured 2x slower at a 500k-edge
+    // 10x probe). The loop's labels.unpersist() releases it after round 1.
+    var labels = touched.select(col("id"), col("id").as("cluster_id")).cache()
     var iter = 0
     var converged = false
     // the cache must be released even when a round's job dies (OOM, task
