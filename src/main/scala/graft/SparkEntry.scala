@@ -81,7 +81,9 @@ object SparkEntry {
     "hash_split" -> (PipelineQueries.hashSplit _),
     "decontamination" -> (PipelineQueries.decontamination _),
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
-    "ngram_exact" -> (PipelineQueries.ngramExact _))
+    "ngram_exact" -> (PipelineQueries.ngramExact _),
+    "repetition_stats" -> (PipelineQueries.repetitionStats _),
+    "pii_redaction" -> (PipelineQueries.piiRedaction _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -121,7 +123,9 @@ object SparkEntry {
     "decontamination" -> Oracles.decontamination,
     "vocab_topk" -> Oracles.vocabTopK,
     "knn_ivf" -> Oracles.knnBruteforce,  // full probe ≡ exact brute force
-    "ngram_exact" -> Oracles.ngramExact)
+    "ngram_exact" -> Oracles.ngramExact,
+    "repetition_stats" -> Oracles.repetitionStats,
+    "pii_redaction" -> Oracles.piiRedaction)
     // Remaining rows-only entries (their similarity *math* is oracle-covered
     // via jaccard_planted / embedding_norms / knn_bruteforce / ngram_exact):
     //  - dedup_simhash: simhash is FREQUENCY-weighted (cosine-like over the

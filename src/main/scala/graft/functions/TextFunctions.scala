@@ -78,6 +78,64 @@ object TextFunctions {
   /** 64-bit rolling-hash fingerprint (custom codegen expression). */
   def fingerprint64(text: Column): Column = exprs.fingerprint64(normalized(text))
 
+  /** PII redaction: emails → [EMAIL], dotted-quad IPs → [IP], phone-shaped
+    * digit runs → [PHONE]. Pure chained `regexp_replace` (codegen'd, scales
+    * as a row-local map) with RE2-compatible patterns so the exact same
+    * regexes run in DuckDB for the oracle. Order matters: emails first
+    * (they contain digits and dots that the other patterns could nibble). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
+      "\\+?\\d[\\d-]{7,}\\d", "[PHONE]")
+
+  /** Gopher-style repetition profile per document — the standard
+    * web-pipeline signals for boilerplate/degenerate text:
+    *  - `ttr`: type-token ratio (distinct/total tokens),
+    *  - `top_token_frac`: most frequent token's share of all tokens,
+    *  - `top_bigram_frac`: most frequent word bigram's share of all bigrams.
+    *
+    * Shape: explode the fused-kernel gram multisets ([[minhashExprs
+    * .tokenHashes]] / [[minhashExprs.wordGramMultiset]] — hashes, not
+    * strings, so shuffle rows are 8 bytes) → two-level hash aggregation
+    * (per-(doc,gram) counts, then per-doc max/sum/count). Both levels are
+    * map-side-combining groupBys keyed by doc id — shuffle volume is the
+    * DISTINCT gram count per doc, never corpus token volume. Docs with no
+    * tokens keep a row with zeroed stats; docs shorter than the bigram
+    * width zero `top_bigram_frac` (the kernel's min(w, ntok) whole-doc
+    * gram is discarded, matching the n-1-bigrams definition). */
+  def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val ids = df.select(col(idCol).as("doc_id"))
+    def gramAgg(grams: Column, as: String) = df
+      .select(col(idCol).as("doc_id"), explode(grams).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as(s"n_$as"),
+        count(lit(1)).as(s"distinct_$as"),
+        max(col("c")).as(s"top_$as"))
+    val tok = gramAgg(minhashExprs.tokenHashes(col(textCol)), "tok")
+    val big = gramAgg(minhashExprs.wordGramMultiset(col(textCol), 2), "big")
+    def frac(num: Column, den: Column): Column =
+      when(den <= 0, 0.0).otherwise(round(num.cast("double") / den, 6))
+    ids
+      .join(tok, Seq("doc_id"), "left")
+      .join(big, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tokens"),
+        frac(coalesce(col("distinct_tok"), lit(0L)),
+          coalesce(col("n_tok"), lit(0L))).as("ttr"),
+        frac(coalesce(col("top_tok"), lit(0L)),
+          coalesce(col("n_tok"), lit(0L))).as("top_token_frac"),
+        // < 2 tokens ⇒ no bigrams (kernel emitted a whole-doc gram; zero it)
+        when(coalesce(col("n_tok"), lit(0L)) < 2, 0.0)
+          .otherwise(frac(col("top_big"), col("n_tok") - 1))
+          .as("top_bigram_frac"))
+  }
+
   /** Language identification via stopword/character n-gram evidence:
     * per-language stopword hit counts over the token set, CJK-character count
     * as the zh signal, argmax via Spark's struct ordering (greatest compares

@@ -280,6 +280,12 @@ object minhashExprs {
   /** Raw token-hash multiset (frequency preserved) for weighted simhash. */
   def tokenHashes(text: Column): Column =
     column(ShingleSet(expression(text), 1, 0, dedup = false))
+  /** Raw word w-gram hash multiset (frequency + order preserved) — feeds
+    * repetition profiling, where gram FREQUENCIES matter. NOTE the kernel's
+    * w = min(w, ntok) rule: a doc shorter than w yields one whole-doc gram;
+    * consumers must zero out their w-gram stats for such docs. */
+  def wordGramMultiset(text: Column, w: Int): Column =
+    column(ShingleSet(expression(text), w, 0, dedup = false))
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedLongIntersectCount(expression(a), expression(b)))
   def arrayAgreeCount(a: Column, b: Column): Column =

@@ -313,6 +313,55 @@ object Oracles {
     s"""WITH $minhashPairsCte
       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2""".stripMargin
 
+  /** Repetition profile — gram STRINGS here vs gram hashes Spark-side;
+    * same normalization as the minhash CTE (the kernel's tokenizer), same
+    * n-1 bigram definition with the <2-token zero rule. */
+  val repetitionStats: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0) AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS g FROM toks),
+      |tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+      |ta AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_distinct, max(c) AS top_c
+      |  FROM tc GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS g
+      |  FROM toks WHERE len(t) >= 2),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big, max(c) AS top_b
+      |  FROM bc GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(ta.n_tokens, 0) AS n_tokens,
+      |  CASE WHEN coalesce(ta.n_tokens, 0) <= 0 THEN 0.0
+      |       ELSE round(ta.n_distinct::DOUBLE / ta.n_tokens, 6) END AS ttr,
+      |  CASE WHEN coalesce(ta.n_tokens, 0) <= 0 THEN 0.0
+      |       ELSE round(ta.top_c::DOUBLE / ta.n_tokens, 6) END AS top_token_frac,
+      |  CASE WHEN coalesce(ta.n_tokens, 0) < 2 THEN 0.0
+      |       ELSE round(ba.top_b::DOUBLE / (ta.n_tokens - 1), 6) END AS top_bigram_frac
+      |FROM documents d
+      |LEFT JOIN ta USING (doc_id)
+      |LEFT JOIN ba USING (doc_id)
+      |ORDER BY 1""".stripMargin
+
+  /** PII redaction — identical RE2 patterns and replacement order as
+    * TextFunctions.redactPii over identically planted contact lines. */
+  val piiRedaction: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        text || ' contact user' || doc_id || '@example.com ip 10.0.' ||
+      |          (doc_id % 256) || '.7 call +1-555-' || (doc_id + 1000),
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+      |    '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS redacted
+      |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin
+
   /** Brute-force char-trigram Jaccard over doc_id < 150 — mirrors
     * MinHashKernel's char mode exactly: ASCII lowercase, non-alnum runs →
     * one space, trim; window k = min(3, len) so short strings yield the

@@ -157,6 +157,31 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Gopher-style repetition signals per document (type-token ratio, top
+    * token / top bigram share) — see [[TextFunctions.repetitionProfile]].
+    * Gram hashes on the Spark side, gram strings in DuckDB: counts agree
+    * barring a 64-bit collision (the standing kernel-oracle premise). */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.repetitionProfile(
+        t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** PII redaction over docs with deterministically planted contact lines
+    * (email + dotted-quad IP + phone appended from doc_id arithmetic): the
+    * output text must be byte-identical to DuckDB running the SAME RE2
+    * patterns, proving the planted PII is gone and nothing else changed. */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        TextFunctions.redactPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 call +1-555-"), (col("doc_id") + 1000).cast("string")))
+          .as("redacted"))
+      .orderBy(col("doc_id"))
+
   /** Corpus vocabulary: top-50 whitespace tokens of normalized text by
     * frequency (count desc, token asc). */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =

@@ -222,4 +222,43 @@ class PipelineSpec extends SparkSuite {
       .select("id").orderBy("id").as[Long].collect()
     assert(out.toSeq === Seq(1L, 3L))
   }
+
+  test("redactPii: email/ip/phone replaced, clean text untouched") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org today"),
+      (2L, "server 192.168.1.254 and 10.0.0.1 are up"),
+      (3L, "call +1-555-123-4567 or 555-1234567 now"),
+      (4L, "no pii here, just 3 words and v1.2 punctuation!"),
+      (5L, "")).toDF("id", "t")
+    val out = df.select($"id", TextFunctions.redactPii($"t").as("r"))
+      .orderBy("id").as[(Long, String)].collect().toMap
+    assert(out(1L) === "mail me at [EMAIL] today")
+    assert(out(2L) === "server [IP] and [IP] are up")
+    assert(out(3L) === "call [PHONE] or [PHONE] now")
+    assert(out(4L) === "no pii here, just 3 words and v1.2 punctuation!",
+      "version numbers / small digits are not dotted-quads or phones")
+    assert(out(5L) === "")
+  }
+
+  test("repetitionProfile: degenerate, short, and empty docs") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "spam spam spam spam"),           // 1 type / 4 tokens, bigram "spam spam" x3 of 3
+      (2L, "a b a b"),                       // bigrams: "a b" x2, "b a" x1
+      (3L, "one"),                           // single token: no bigrams by definition
+      (4L, ""),                              // empty: all zeros
+      (5L, "all words here are unique")).toDF("doc_id", "text")
+    val out = TextFunctions.repetitionProfile(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out(0) === ((1L, 4L, 0.25, 1.0, 1.0)))
+    assert(out(1) === ((2L, 4L, 0.5, 0.5, round6(2.0 / 3))))
+    assert(out(2) === ((3L, 1L, 1.0, 1.0, 0.0)))
+    assert(out(3) === ((4L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(4) === ((5L, 5L, 1.0, 0.2, 0.25)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
