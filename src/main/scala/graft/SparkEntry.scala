@@ -49,6 +49,7 @@ object SparkEntry {
     "price_percentiles" -> (Queries.pricePercentiles _),
     "rollup_agg" -> (Queries.rollupAgg _),
     "events_json" -> (Queries.eventsJson _),
+    "asof_join" -> (Queries.asofJoin _),
     "left_join_agg" -> (Queries.leftJoinAgg _),
     "distinct_counts" -> (Queries.distinctCounts _),
     // full probe (nprobe = nlist): the entire IVF machinery executes —
@@ -105,6 +106,7 @@ object SparkEntry {
     "price_percentiles" -> Oracles.pricePercentiles,
     "rollup_agg" -> Oracles.rollupAgg,
     "events_json" -> Oracles.eventsJson,
+    "asof_join" -> Oracles.asofJoin,
     "left_join_agg" -> Oracles.leftJoinAgg,
     "distinct_counts" -> Oracles.distinctCounts,
     "knn_bruteforce" -> Oracles.knnBruteforce,

@@ -521,6 +521,22 @@ object Oracles {
       |  round(avg(value), 6) AS avg_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Native DuckDB ASOF LEFT JOIN verifies AsOfJoin.asofBackward's whole
+    * contract: backward-inclusive match, per-(user, ts) deterministic
+    * tie-break via the same max/arg_max pre-reduction. */
+  val asofJoin: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, max(event_id) AS evt,
+      |    arg_max(value, event_id) AS val
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT event_id, ts, user_id FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, c.evt AS asof_event_id,
+      |  round(c.val, 6) AS asof_value
+      |FROM p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val leftJoinAgg: String =
     """SELECT c_custkey,
       |  count(o_orderkey) AS n_orders,

@@ -182,6 +182,28 @@ object Queries {
         round(avg(col("value")), 6).as("avg_value"))
       .orderBy(col("k_bucket"))
 
+  /** Backward AS-OF join: each purchase event matched to the same user's
+    * latest click at or before it ([[graft.operators.AsOfJoin]]). The right
+    * side is pre-reduced to unique (user_id, ts) via max_by so tie-breaks
+    * are deterministic — the exact contract DuckDB's native ASOF LEFT JOIN
+    * verifies. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("evt"),
+        max_by(col("value"), col("event_id")).as("val"))
+    graft.operators.AsOfJoin.asofBackward(
+        ev.where(col("event_type") === "purchase"),
+        clicks, keys = Seq("user_id"), tsCol = "ts", payload = Seq("evt", "val"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_evt").as("asof_event_id"),
+        round(col("asof_val"), 6).as("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Left-outer join aggregation: per-customer order stats including
     * zero-order customers (null-aware count/sum). */
   def leftJoinAgg(spark: SparkSession, dir: String): DataFrame =

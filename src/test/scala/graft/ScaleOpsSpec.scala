@@ -213,4 +213,24 @@ class ScaleOpsSpec extends SparkSuite {
       .agg(sum("n_events")).as[Long].first()
     assert(viaState === viaWindow, "both cover every event exactly once")
   }
+
+  test("asofBackward: inclusive ties, no-match nulls, latest-prior wins") {
+    import graft.operators.AsOfJoin
+    val left = Seq(
+      (1L, 100L, 10L),  // before any right row for key 100
+      (2L, 100L, 20L),  // exactly at a right ts -> inclusive match
+      (3L, 100L, 35L),  // between right rows -> latest prior (ts=20)
+      (4L, 100L, 50L),  // after all -> ts=40 row
+      (5L, 200L, 99L)   // key with no right rows at all
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, 20L, "r20"), (100L, 40L, "r40")
+    ).toDF("k", "t", "tag")
+    val got = AsOfJoin.asofBackward(left, right, Seq("k"), "t", Seq("tag"))
+      .orderBy("id").select("id", "asof_tag")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got === Seq(
+      1L -> None, 2L -> Some("r20"), 3L -> Some("r20"),
+      4L -> Some("r40"), 5L -> None))
+  }
 }
