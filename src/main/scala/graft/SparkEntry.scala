@@ -84,7 +84,8 @@ object SparkEntry {
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
     "ngram_exact" -> (PipelineQueries.ngramExact _),
     "repetition_stats" -> (PipelineQueries.repetitionStats _),
-    "pii_redaction" -> (PipelineQueries.piiRedaction _))
+    "pii_redaction" -> (PipelineQueries.piiRedaction _),
+    "embedding_quant" -> (PipelineQueries.embeddingQuant _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -127,7 +128,8 @@ object SparkEntry {
     "knn_ivf" -> Oracles.knnBruteforce,  // full probe ≡ exact brute force
     "ngram_exact" -> Oracles.ngramExact,
     "repetition_stats" -> Oracles.repetitionStats,
-    "pii_redaction" -> Oracles.piiRedaction)
+    "pii_redaction" -> Oracles.piiRedaction,
+    "embedding_quant" -> Oracles.embeddingQuant)
     // Remaining rows-only entries (their similarity *math* is oracle-covered
     // via jaccard_planted / embedding_norms / knn_bruteforce / ngram_exact):
     //  - dedup_simhash: simhash is FREQUENCY-weighted (cosine-like over the

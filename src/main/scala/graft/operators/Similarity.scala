@@ -189,4 +189,35 @@ object Similarity {
     * parity). */
   def l2Norm(vec: Column): Column =
     sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Scalar int8 quantization round-trip error per vector — the standard
+    * 4× embedding-storage compression (per-vector min/max affine codes,
+    * 256 levels) with its reconstruction error surfaced so a pipeline can
+    * gate compression on measured quality. All arithmetic is plain IEEE
+    * double with `floor(x + 0.5)` rounding (NOT round(), whose half-even
+    * vs half-up behavior differs across engines), so DuckDB reproduces the
+    * reconstruction bit-for-bit. Constant vectors (scale 0) reconstruct to
+    * the constant exactly.
+    *
+    * Scale shape: row-local map (no shuffle); the interpreted HOF lambdas
+    * are acceptable here because the op is storage-bound, not compute-bound
+    * — promote to a fused kernel like [[graft.functions.exprs
+    * .cosineSimilarity]] if it ever lands on a hot path. */
+  def int8RoundtripError(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    df.select(col(idCol).as("vec_id"), v.as("v"),
+        array_min(v).cast("double").as("mn"),
+        ((array_max(v).cast("double") - array_min(v).cast("double")) / 255.0).as("sc"))
+      .withColumn("r", transform(col("v"), x =>
+        when(col("sc") === 0, col("mn")).otherwise(
+          col("mn") + least(greatest(
+            floor((x.cast("double") - col("mn")) / col("sc") + 0.5),
+            lit(0.0)), lit(255.0)) * col("sc"))))
+      .withColumn("errs", zip_with(col("v"), col("r"),
+        (a, b) => abs(a.cast("double") - b)))
+      .select(col("vec_id"),
+        round(aggregate(col("errs"), lit(0.0), (acc, x) => acc + x)
+          / size(col("errs")), 9).as("mae"),
+        round(array_max(col("errs")), 9).as("max_err"))
+  }
 }

@@ -313,6 +313,29 @@ object Oracles {
     s"""WITH $minhashPairsCte
       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2""".stripMargin
 
+  /** int8 round-trip — same affine code arithmetic, floor(x+0.5) rounding
+    * (engine-portable, unlike round()'s half-even/half-up split). */
+  val embeddingQuant: String =
+    """WITH st AS (
+      |  SELECT vec_id, embedding AS v,
+      |    list_min(embedding)::DOUBLE AS mn,
+      |    (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0 AS sc
+      |  FROM embeddings),
+      |rec AS (
+      |  SELECT vec_id, v, mn, sc,
+      |    list_transform(v, x -> CASE WHEN sc = 0 THEN mn
+      |      ELSE mn + least(greatest(floor((x::DOUBLE - mn) / sc + 0.5), 0), 255) * sc
+      |      END) AS r
+      |  FROM st),
+      |err AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(v) + 1), i -> abs(v[i]::DOUBLE - r[i])) AS e
+      |  FROM rec)
+      |SELECT vec_id,
+      |  round(list_sum(e) / len(e), 9) AS mae,
+      |  round(list_max(e), 9) AS max_err
+      |FROM err ORDER BY 1""".stripMargin
+
   /** Repetition profile — gram STRINGS here vs gram hashes Spark-side;
     * same normalization as the minhash CTE (the kernel's tokenizer), same
     * n-1 bigram definition with the <2-token zero rule. */

@@ -114,6 +114,13 @@ object PipelineQueries {
       round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"))
       .orderBy(col("vec_id"))
 
+  /** int8 quantization round-trip error per embedding — see
+    * [[Similarity.int8RoundtripError]]; bit-for-bit vs DuckDB. */
+  def embeddingQuant(spark: SparkSession, dir: String): DataFrame =
+    Similarity.int8RoundtripError(
+        t(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
   /** Deterministic train/val/test split assignment per document (md5-bucket,
     * engine-portable — the exact same bucket arithmetic runs in DuckDB). */
   def hashSplit(spark: SparkSession, dir: String): DataFrame =

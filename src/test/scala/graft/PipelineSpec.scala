@@ -261,4 +261,21 @@ class PipelineSpec extends SparkSuite {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("int8RoundtripError: constant vectors are exact, errors bounded by scale/2") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Array(3.5f, 3.5f, 3.5f)),             // constant: scale 0, exact
+      (2L, Array(0f, 255f)),                      // endpoints are code-exact
+      (3L, Array(0f, 1f, 2f, 100f))               // generic: err <= scale/2
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.int8RoundtripError(df, "vec_id", "embedding")
+      .orderBy("vec_id").as[(Long, Double, Double)].collect()
+    assert(out(0) === ((1L, 0.0, 0.0)))
+    assert(out(1) === ((2L, 0.0, 0.0)))
+    val scale3 = 100.0 / 255.0
+    assert(out(2)._3 <= scale3 / 2 + 1e-9,
+      "max reconstruction error bounded by half a quantization step")
+    assert(out(2)._2 > 0.0, "generic vector has nonzero mean error")
+  }
 }
