@@ -214,6 +214,28 @@ class ScaleOpsSpec extends SparkSuite {
     assert(viaState === viaWindow, "both cover every event exactly once")
   }
 
+  test("asofBackward matches a brute-force reference on random data") {
+    import graft.operators.AsOfJoin
+    val rnd = new scala.util.Random(7)
+    // duplicate (key, ts) pairs on the right are pre-reduced to max payload
+    // (the documented determinism contract)
+    val leftRows = (0 until 300).map(i =>
+      (i.toLong, (rnd.nextInt(5)).toLong, rnd.nextInt(50).toLong))
+    val rightRaw = (0 until 200).map(_ =>
+      ((rnd.nextInt(5)).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+    val rightRows = rightRaw.groupBy(r => (r._1, r._2))
+      .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+    val left = leftRows.toDF("id", "k", "t")
+    val right = rightRows.toDF("k", "t", "pay")
+    val got = AsOfJoin.asofBackward(left, right, Seq("k"), "t", Seq("pay"))
+      .select("id", "asof_pay").as[(Long, Option[Long])].collect().toMap
+    leftRows.foreach { case (id, k, t) =>
+      val expected = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(id) === expected, s"id=$id k=$k t=$t")
+    }
+  }
+
   test("asofBackward: inclusive ties, no-match nulls, latest-prior wins") {
     import graft.operators.AsOfJoin
     val left = Seq(
