@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.functions.{exprs, minhashExprs, TextFunctions}
 
@@ -224,34 +225,154 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
-  /** Connected components over near-dup pairs: min-label propagation with a
-    * POINTER-DOUBLING shortcut — each round every node adopts (a) the
-    * minimum label among its neighbors and (b) the label OF that label
-    * (`least(lbl, label(lbl))`), so the component minimum spreads along a
-    * chain geometrically, converging in O(log diameter) rounds instead of
-    * O(diameter) (the hash-to-min trick of Rastogi et al.'s CC-MR family;
-    * labels are always ids of same-component nodes, so the shortcut never
-    * crosses components). Each round is a constant number of shuffles;
-    * lineage is truncated per round via [[materializeRound]] — set a
-    * reliable checkpoint dir on the SparkContext for fault-tolerant loops
-    * at cluster scale. Returns (id, cluster_id) with cluster_id = min id of
-    * the component.
+  /** Connected components over near-dup pairs. Returns (id, cluster_id)
+    * with cluster_id = min id of the component.
     *
-    * If convergence is not reached within maxIter the labels are NOT final —
-    * a warning is printed and downstream keepList would keep more than one
-    * representative for that component. With the shortcut, maxIter 50
-    * covers component diameters up to ~2^50 — unreachable in practice. */
-  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+    * Two execution paths, picked by MEASURED edge count — the same hybrid
+    * production web-dedup pipelines use, because the near-dup edge set is
+    * orders of magnitude smaller than the corpus (edges ≈ verified dup
+    * pairs, not documents):
+    *
+    *  - |E| ≤ `driverEdgeLimit` (and the id type is orderable on the
+    *    driver): collect the deduplicated, ids-validated edge list and run
+    *    exact union-find (path-halving + union by rank) in one pass — no
+    *    iteration, no per-round shuffle barrage. At the 5M-edge default the
+    *    collected payload is tens-to-hundreds of MB: driver-safe even when
+    *    the corpus itself is 100 TB. The labels are shipped back as a
+    *    distributed frame, so downstream joins stay distributed.
+    *  - larger graphs: distributed min-label propagation with a
+    *    POINTER-DOUBLING shortcut — each round every node adopts (a) the
+    *    minimum label among its neighbors and (b) the label OF that label
+    *    (`least(lbl, label(lbl))`), so the component minimum spreads along
+    *    a chain geometrically, converging in O(log diameter) rounds
+    *    (the hash-to-min trick of Rastogi et al.'s CC-MR family; labels are
+    *    always ids of same-component nodes, so the shortcut never crosses
+    *    components). Each round is a constant number of shuffles; lineage
+    *    is truncated per round via [[materializeRound]] — set a reliable
+    *    checkpoint dir on the SparkContext for fault-tolerant loops at
+    *    cluster scale.
+    *
+    * Both paths label only nodes present in `ids` (a pair endpoint foreign
+    * to `ids` neither receives a label nor bridges two components — the
+    * edge is dropped), and both append untouched ids as singletons.
+    *
+    * If the distributed path does not converge within maxIter the labels
+    * are NOT final — a warning is printed and downstream keepList would
+    * keep more than one representative for that component. With the
+    * shortcut, maxIter 50 covers component diameters up to ~2^50. */
+  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 50,
+               driverEdgeLimit: Long = 5000000L): DataFrame = {
+    // one undirected, deduplicated, ids-validated edge set feeds BOTH paths;
+    // validation = semi-join each endpoint against ids (matches the loop's
+    // touched-node semantics below)
+    // canonical (least, greatest) orientation: dedups (a,b)/(b,a) pair
+    // orderings in one distinct, and makes the loop path's bidirectional
+    // union disjoint by construction
+    val undirected = pairs
+      .select(least(col("id_a"), col("id_b")).as("src"),
+              greatest(col("id_a"), col("id_b")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+      .cache()
+    try {
+      val nEdges = undirected.count()
+      val ord = driverOrdering(ids.schema.head.dataType)
+      if (nEdges <= driverEdgeLimit && ord.isDefined) {
+        System.err.println(
+          s"[graft.Dedup.clusters] driver union-find over $nEdges edges")
+        driverUnionFind(ids, undirected, ord.get)
+      } else clustersDistributed(ids, undirected, maxIter)
+    } finally undirected.unpersist()
+  }
+
+  /** Driver-side Ordering for id types whose Spark `least`/min semantics we
+    * can reproduce exactly on the JVM; other types take the distributed
+    * path. */
+  private def driverOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
+    case LongType    => Some(Ordering.Long.on((a: Any) => a.asInstanceOf[Long]))
+    case IntegerType => Some(Ordering.Int.on((a: Any) => a.asInstanceOf[Int]))
+    case StringType  => Some(Ordering.String.on((a: Any) => a.asInstanceOf[String]))
+    case _           => None
+  }
+
+  /** Exact single-pass connected components: collect the (already validated,
+    * deduplicated, counted) edge list, union-find with path-halving + union
+    * by rank, label every touched node with the component's min id, ship the
+    * labels back as a distributed frame and append singletons. */
+  private def driverUnionFind(ids: DataFrame, undirected: DataFrame,
+                              ord: Ordering[Any]): DataFrame = {
+    val spark = ids.sparkSession
+    val dt = ids.schema.head.dataType
+    val edgeRows = undirected.collect()
+    val index = new java.util.HashMap[Any, Integer]()
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val rank = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def idx(v: Any): Int = {
+      val got = index.get(v)
+      if (got != null) got.intValue()
+      else {
+        val i = nodes.length
+        index.put(v, Integer.valueOf(i))
+        nodes += v; parent += i; rank += 0.toByte
+        i
+      }
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edgeRows.foreach { r =>
+      val (a, b) = (find(idx(r.get(0))), find(idx(r.get(1))))
+      if (a != b) {
+        if (rank(a) < rank(b)) parent(a) = b
+        else if (rank(a) > rank(b)) parent(b) = a
+        else { parent(b) = a; rank(a) = (rank(a) + 1).toByte }
+      }
+    }
+    // component label = min member id (same representative the distributed
+    // min-label path converges to)
+    val rootMin = new java.util.HashMap[Integer, Any]()
+    nodes.indices.foreach { i =>
+      val r = Integer.valueOf(find(i))
+      val cur = rootMin.get(r)
+      if (cur == null || ord.lt(nodes(i), cur)) rootMin.put(r, nodes(i))
+    }
+    val labelRows = nodes.indices.map(i => Row(nodes(i), rootMin.get(Integer.valueOf(find(i)))))
+    val schema = StructType(Seq(
+      StructField("id", dt, nullable = false),
+      StructField("cluster_id", dt, nullable = false)))
+    val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      labelRows.length / 65536 + 1))
+    val labels = spark.createDataFrame(
+      spark.sparkContext.parallelize(labelRows, nParts), schema)
+    val singletons = ids.select(col("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.unionByName(singletons)
+  }
+
+  /** Distributed min-label propagation (see [[clusters]] for the recipe). */
+  private def clustersDistributed(ids: DataFrame, undirected: DataFrame,
+                                  maxIter: Int): DataFrame = {
+    val edges = undirected
+      .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
     // iterate ONLY over nodes that have at least one edge: in a near-dup
     // workload the pair graph touches a small fraction of the corpus, so
     // the per-round joins shrink from |corpus| to |V(edges)| rows;
     // untouched nodes are singletons by definition and are unioned back
-    // with their own id at the end
+    // with their own id at the end. Edges arrive already ids-validated
+    // (clusters() semi-joined both endpoints), so no further membership
+    // check is needed here.
     val touched = edges.select(col("src").as("id")).distinct()
-      .join(ids.select(col("id")), Seq("id"), "left_semi")
     // round 0's labels are a trivial projection of `touched` — shallow
     // lineage, so no eager materialization job of its own; the LAZY cache
     // still matters: round 1 consumes `labels` three times (neighbor-min,
