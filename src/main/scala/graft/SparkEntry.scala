@@ -85,7 +85,12 @@ object SparkEntry {
     "ngram_exact" -> (PipelineQueries.ngramExact _),
     "repetition_stats" -> (PipelineQueries.repetitionStats _),
     "pii_redaction" -> (PipelineQueries.piiRedaction _),
-    "embedding_quant" -> (PipelineQueries.embeddingQuant _))
+    "embedding_quant" -> (PipelineQueries.embeddingQuant _),
+    "source_quota" -> (PipelineQueries.sourceQuota _),
+    "stratified_sample" -> (PipelineQueries.stratifiedSample _),
+    "chunk_plan" -> (PipelineQueries.chunkPlan _),
+    "char_entropy" -> (PipelineQueries.charEntropy _),
+    "tfidf_topterms" -> (PipelineQueries.tfidfTopTerms _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -129,7 +134,12 @@ object SparkEntry {
     "ngram_exact" -> Oracles.ngramExact,
     "repetition_stats" -> Oracles.repetitionStats,
     "pii_redaction" -> Oracles.piiRedaction,
-    "embedding_quant" -> Oracles.embeddingQuant)
+    "embedding_quant" -> Oracles.embeddingQuant,
+    "source_quota" -> Oracles.sourceQuota,
+    "stratified_sample" -> Oracles.stratifiedSample,
+    "chunk_plan" -> Oracles.chunkPlan,
+    "char_entropy" -> Oracles.charEntropy,
+    "tfidf_topterms" -> Oracles.tfidfTopTerms)
     // Remaining rows-only entries (their similarity *math* is oracle-covered
     // via jaccard_planted / embedding_norms / knn_bruteforce / ngram_exact):
     //  - dedup_simhash: simhash is FREQUENCY-weighted (cosine-like over the

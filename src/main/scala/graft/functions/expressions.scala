@@ -287,6 +287,58 @@ case class BoundedTopK(
 }
 
 /** Column-API entry points for the custom expressions. */
+/** Shannon entropy (nats) of a string's code-point distribution — a cheap
+  * compression-proxy quality signal: boilerplate/repetitive text scores low,
+  * natural prose high. Computed in one pass over the decoded code points
+  * (an ASCII fast path hits a flat 128-slot array; everything else falls to
+  * a map), kept inside whole-stage codegen via a static helper call. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropy.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+object CharEntropy {
+  def compute(u: UTF8String): Double = {
+    val s = u.toString
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return 0.0
+    val ascii = new Array[Int](128)
+    var wide: java.util.HashMap[Integer, Array[Int]] = null
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (wide == null) wide = new java.util.HashMap[Integer, Array[Int]]()
+        val cell = wide.computeIfAbsent(cp, _ => new Array[Int](1))
+        cell(0) += 1
+      }
+      i += Character.charCount(cp)
+    }
+    var h = 0.0
+    val nd = n.toDouble
+    var j = 0
+    while (j < 128) {
+      if (ascii(j) > 0) { val p = ascii(j) / nd; h -= p * math.log(p) }
+      j += 1
+    }
+    if (wide != null) {
+      val it = wide.values().iterator()
+      while (it.hasNext) { val p = it.next()(0) / nd; h -= p * math.log(p) }
+    }
+    h
+  }
+}
+
 object exprs {
   import GraftSqlBridge.{column, expression}
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
@@ -296,4 +348,5 @@ object exprs {
   def boundedTopK(score: Column, id: Column, k: Int): Column =
     column(BoundedTopK(expression(score), expression(id), k)
       .toAggregateExpression())
+  def charEntropy(c: Column): Column = column(CharEntropy(expression(c)))
 }

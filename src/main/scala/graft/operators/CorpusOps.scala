@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level text operators for training-data preparation: context-window
+  * chunking and TF-IDF term profiling. Both are pure DataFrame plans —
+  * shuffle-keyed aggregations and a per-row explode, nothing driver-side —
+  * so they scale with executor count, not corpus size.
+  */
+object CorpusOps {
+
+  /** Split every document into consecutive ≤`window`-token chunks — the
+    * context-window packing plan of an LM data pipeline (each chunk becomes
+    * one training sequence; the final short chunk is kept, not padded or
+    * dropped, so downstream packing can decide). Tokens are the engine's
+    * whitespace tokens ([[TextFunctions.tokens]]); `chunk_text` re-joins the
+    * token slice with single spaces, i.e. intra-token whitespace is
+    * normalized — by design, chunk boundaries cannot preserve the original
+    * inter-token runs.
+    *
+    * Shape: narrow projection + per-row explode of a `sequence()` of chunk
+    * indices — no shuffle at all; output size ≈ corpus size. Token-empty
+    * documents produce zero chunks. */
+  def chunkPlan(df: DataFrame, idCol: String, textCol: String,
+                window: Int): DataFrame = {
+    require(window > 0, s"bad window $window")
+    val sized = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .where(col("n_tokens") > 0)
+    sized
+      .select(col(idCol), col("toks"), col("n_tokens"),
+        // Spark's `/` is true division even on longs — the floor-cast is the
+        // integer chunk-count arithmetic (n_tokens ≥ 1 here, so truncation
+        // toward zero IS floor, and doubles are exact to 2^53)
+        explode(sequence(lit(0L),
+          ((col("n_tokens") - 1) / window).cast("long"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(window.toLong), col("n_tokens") - col("chunk_idx") * window)
+          .as("chunk_tokens"),
+        array_join(
+          slice(col("toks"), (col("chunk_idx") * window + 1).cast("int"),
+            lit(window)),
+          " ").as("chunk_text"))
+  }
+
+  /** Per-document top-`k` TF-IDF terms over the corpus's own vocabulary —
+    * the classic keyword/topic profile used for corpus exploration and
+    * near-dup triage. Terms are normalized words ([[TextFunctions
+    * .normalized]] — lowercase, non-alphanumeric runs collapsed); term
+    * frequency is the raw in-document count; idf = ln((N+1)/(df+1)) + 1
+    * (the smoothed scikit-learn convention — never divides by zero, and a
+    * term in every document still gets positive weight). Ranking orders on
+    * the score ROUNDED to 6 decimals, term-ascending on ties: `ln` is not
+    * required to be correctly rounded by IEEE 754, so two engines can
+    * disagree in the last ulp — ranking on the rounded score keeps the
+    * top-k reproducible everywhere while staying semantically faithful.
+    *
+    * Shape: explode → two hash aggregations (tf keyed on (doc, term), df
+    * keyed on term) → broadcast-friendly join on term → per-doc top-k via
+    * window. The df side aggregates to vocabulary cardinality — small — so
+    * the planner broadcasts it; the top-k window shuffles on doc_id, the
+    * same key the tf aggregation already partitioned by. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"bad k $k")
+    val terms = df.select(col(idCol),
+      explode(TextFunctions.tokens(TextFunctions.normalized(col(textCol))))
+        .as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docCount = df.select(col(idCol)).distinct().count()
+    val dfreq = terms.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(docCount.toDouble) + 1) / (col("df") + 1)) + 1),
+          6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+}

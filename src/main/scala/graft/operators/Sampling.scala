@@ -50,4 +50,44 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1.0, s"bad fraction $fraction")
     df.where(hashBucket(col(idCol)) < (256 * fraction).toInt)
   }
+
+  /** STRATIFIED deterministic sample: per-stratum keep fractions (e.g. a
+    * language-balance recipe downsampling the dominant language), keyed by
+    * the same engine-portable md5 bucket as [[hashSample]] so every
+    * stratum's decision is a pure function of the record id. Strata absent
+    * from `rates` keep `defaultRate`. This is the data-mixing primitive of
+    * an LLM pretraining pipeline ("keep 30% of en, all of the rest"): one
+    * narrow filter, no shuffle, no RNG, stable under corpus growth. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1.0, s"bad fraction $r"))
+    val cut = rates.foldLeft(lit((256 * defaultRate).toInt)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((256 * rate).toInt)).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol)) < cut)
+  }
+
+  /** Per-group quota cap ("at most n docs per source/domain") with a
+    * deterministic, id-hash-ordered priority — the standard anti-domination
+    * guard of web-corpus curation (an over-crawled domain must not flood
+    * the mix). Hash priority, not first-n-ids: the kept subset is an
+    * unbiased sample of each group, stable under reruns and corpus
+    * repartitioning. Ties (identical bucket) break on the id itself.
+    *
+    * Scale shape: one hash-partitioned window per group — the shuffle is
+    * keyed on the group column, and skew (one giant domain) is AQE's
+    * skew-join/partition-split territory; no group's rows ever meet on the
+    * driver. Adds `priority` (1-based rank within the group). */
+  def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                    quota: Int): DataFrame = {
+    require(quota > 0, s"bad quota $quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("priority", row_number().over(w).cast("long"))
+      .where(col("priority") <= quota)
+  }
 }

@@ -276,6 +276,87 @@ object Oracles {
       |  FROM documents)
       |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin
 
+  /** Per-source quota: same md5-bucket priority arithmetic as
+    * Sampling.quotaPerGroup — row_number per source over (bucket, id). */
+  val sourceQuota: String =
+    """SELECT doc_id, source, priority FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+      |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) ASC,
+      |      doc_id ASC) AS BIGINT) AS priority
+      |  FROM documents)
+      |WHERE priority <= 8 ORDER BY doc_id""".stripMargin
+
+  /** Stratified language mix: en keeps buckets < 76 (~30%), zh < 192
+    * (~75%), everything else all 256. */
+  val stratifiedSample: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE lang WHEN 'en' THEN 76 WHEN 'zh' THEN 192 ELSE 256 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Context-window chunking: same whitespace tokens as token_stats, chunk
+    * indices via unnest(range(...)) (DuckDB 1.0 rejects a lateral
+    * generate_series over a column), text re-joined with single spaces. */
+  val chunkPlan: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |sized AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+      |  FROM base WHERE len(toks) > 0),
+      |ex AS (
+      |  SELECT doc_id, toks, n_tokens,
+      |    unnest(range(0, (n_tokens - 1) // 32 + 1)) AS chunk_idx
+      |  FROM sized)
+      |SELECT doc_id, chunk_idx,
+      |  least(32, n_tokens - chunk_idx*32) AS chunk_tokens,
+      |  array_to_string(toks[(chunk_idx*32+1):least((chunk_idx+1)*32, n_tokens)], ' ') AS chunk_text
+      |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Code-point entropy: DuckDB's per-character unnest vs the engine's
+    * one-pass kernel — same -sum(p ln p), rounded to 6 so the engines'
+    * different summation orders cannot surface (double addition is
+    * order-sensitive at the last ulp). Docs with no characters fall out of
+    * the unnest and are re-attached with entropy 0 (the kernel's empty-text
+    * value). */
+  val charEntropy: String =
+    """WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |freq AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c FROM chars GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY 1),
+      |ent AS (SELECT freq.doc_id, round(-sum((c/n)*ln(c/n)), 6) AS char_entropy
+      |        FROM freq JOIN tot USING (doc_id) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy
+      |FROM documents d LEFT JOIN ent e USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF top-3: same normalized tokens as vocab_topk, smoothed idf
+    * ln((N+1)/(df+1))+1, ranked on the ROUNDED score (ln is not
+    * correctly-rounded per IEEE — ranking on raw doubles could disagree
+    * across engines in the last ulp), term-ascending ties. */
+  val tfidfTopTerms: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, round(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Shared CTE chain: planted corpus -> normalized word tokens -> distinct
     * word-3-shingle sets (w = min(3, ntok), exactly MinHashKernel's rule) ->
     * all pairs with exact set Jaccard >= 0.7. This is the BRUTE-FORCE ground

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{minhashExprs, TextFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.functions.{exprs, minhashExprs, TextFunctions}
+import graft.operators.{CorpusOps, Dedup, Sampling, Similarity}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis) over
   * the documents and embeddings tables — the post-parity extension surface
@@ -198,6 +198,47 @@ object PipelineQueries {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(50)
+
+  /** Per-source quota cap (at most 8 docs per source, hash-priority) — the
+    * anti-domination guard of corpus curation. */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.quotaPerGroup(
+        t(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", quota = 8)
+      .select(col("doc_id"), col("source"), col("priority"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified language-mix sample: keep ~30% of en, ~75% of zh, all of
+    * the rest — deterministic per-id md5 buckets, auditable in plain SQL. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(
+        t(spark, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 0.3, "zh" -> 0.75))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Context-window chunk plan: ≤32-token chunks per document with the
+    * re-joined chunk text (see [[CorpusOps.chunkPlan]]). */
+  def chunkPlan(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.chunkPlan(t(spark, dir, "documents"), "doc_id", "text",
+        window = 32)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Code-point Shannon entropy per document (compression-proxy quality
+    * signal) via the codegen [[graft.functions.CharEntropy]] kernel. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(exprs.charEntropy(col("text")), 6).as("char_entropy"))
+      .orderBy(col("doc_id"))
+
+  /** Per-doc top-3 TF-IDF terms (smoothed idf, rank on the ROUNDED score so
+    * the ordering is reproducible across engines' last-ulp log differences;
+    * ties break on the term string). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text",
+        k = 3)
+      .orderBy(col("doc_id"), col("rank"))
 
   // --------------------------------------------------- rows-only (no SQL)
 

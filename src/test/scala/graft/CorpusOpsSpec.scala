@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs
+import graft.operators.{CorpusOps, Sampling}
+
+/** Edge cases for the corpus-preparation operators that the DuckDB oracles
+  * (which run on the organic documents table) cannot reach: empty/boundary
+  * inputs, quota saturation, zero-rate strata, non-ASCII entropy. */
+class CorpusOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("chunkPlan: boundaries — empty, exact window, window+1") {
+    val df = Seq(
+      (1L, "   "),                                  // whitespace-only: no chunks
+      (2L, (1 to 4).map(i => s"t$i").mkString(" ")), // tokens == window: 1 chunk
+      (3L, (1 to 5).map(i => s"t$i").mkString(" "))  // window+1: 2 chunks
+    ).toDF("id", "text")
+    val out = CorpusOps.chunkPlan(df, "id", "text", window = 4)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (2L, 0L, 4L, "t1 t2 t3 t4"),
+      (3L, 0L, 4L, "t1 t2 t3 t4"),
+      (3L, 1L, 1L, "t5")))
+  }
+
+  test("chunkPlan: chunk tokens re-concatenate to the full token stream") {
+    val text = (1 to 23).map(i => s"w$i").mkString(" ")
+    val out = CorpusOps.chunkPlan(Seq((7L, text)).toDF("id", "text"), "id",
+        "text", window = 5)
+      .orderBy("chunk_idx").collect().map(_.getString(3))
+    assert(out.length === 5)
+    assert(out.mkString(" ") === text)
+  }
+
+  test("quotaPerGroup: caps big groups, keeps small ones whole, dense ranks") {
+    val df = (1L to 30L).map(i => (i, if (i <= 25) "big" else "small"))
+      .toDF("id", "grp")
+    val out = Sampling.quotaPerGroup(df, "id", "grp", quota = 10)
+    val byGrp = out.groupBy("grp").agg(count(lit(1)).as("n"),
+        max(col("priority")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byGrp("big") === ((10L, 10L)), "big group capped at quota")
+    assert(byGrp("small") === ((5L, 5L)), "small group kept whole")
+    // determinism: same input, same kept set
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.quotaPerGroup(df, "id", "grp", quota = 10)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
+  test("stratifiedHashSample: rate 0 empties a stratum, default keeps all") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "drop" else "keep"))
+      .toDF("id", "s")
+    val out = Sampling.stratifiedHashSample(df, "id", "s",
+      Map("drop" -> 0.0))
+    val langs = out.select("s").distinct().as[String].collect().toSet
+    assert(langs === Set("keep"))
+    assert(out.count() === 50L)
+  }
+
+  test("charEntropy: closed-form values, unicode, empties") {
+    val df = Seq(
+      (1L, ""),            // empty -> 0
+      (2L, "aaaa"),        // single symbol -> 0
+      (3L, "ab"),          // two equiprobable -> ln 2
+      (4L, "aabb"),        // still ln 2
+      (5L, "中中文")        // CJK code points: p=(2/3,1/3)
+    ).toDF("id", "text")
+      .select(col("id"), exprs.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(df(1L) === 0.0)
+    assert(df(2L) === 0.0)
+    assert(math.abs(df(3L) - math.log(2)) < 1e-12)
+    assert(math.abs(df(4L) - math.log(2)) < 1e-12)
+    val expect5 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(df(5L) - expect5) < 1e-12)
+  }
+
+  test("tfIdfTopTerms: hand-computed scores on a 2-doc corpus") {
+    val df = Seq((1L, "apple apple banana"), (2L, "banana cherry")).toDF("id", "text")
+    val out = CorpusOps.tfIdfTopTerms(df, "id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // N=2; df(apple)=1, df(banana)=2, df(cherry)=1
+    // idf(apple)=ln(3/2)+1, idf(banana)=ln(3/3)+1=1, idf(cherry)=ln(3/2)+1
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val apple = r6(2 * (math.log(1.5) + 1))
+    val single = r6(math.log(1.5) + 1)
+    assert(out === Array(
+      (1L, 1L, "apple", apple), (1L, 2L, "banana", 1.0),
+      (2L, 1L, "cherry", single), (2L, 2L, "banana", 1.0)))
+  }
+}
