@@ -287,6 +287,79 @@ case class BoundedTopK(
 }
 
 /** Column-API entry points for the custom expressions. */
+/** Sign-bit random-hyperplane LSH bucket of an embedding vector — the fused
+  * codegen twin of the `zip_with`+`aggregate` HOF formulation (HOFs are
+  * CodegenFallback-interpreted; this kernel keeps the corpus-wide bucketing
+  * pass inside whole-stage codegen). Bit p of the result = sign(dot(vec,
+  * plane_p)) over the first min(|vec|, dim) dimensions, null elements
+  * contributing 0 — accumulation order matches the HOF's left-to-right
+  * `aggregate`, so buckets are bit-for-bit identical (tested). Planes are
+  * regenerated deterministically from (nPlanes, seed, dim). */
+case class HyperplaneBucket(child: Expression, nPlanes: Int, seed: Long,
+                            dim: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_bucket needs array<float|double>, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val planesFlat: Array[Double] =
+    HyperplaneBucket.planesFlat(nPlanes, dim, seed)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBucket.compute(input.asInstanceOf[ArrayData], planesFlat,
+      nPlanes, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planesFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneBucket.compute(" +
+        s"$c, $planesRef, $nPlanes, $dim, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+object HyperplaneBucket {
+  /** Row-major flattened planes — same Gaussian stream as the HOF path's
+    * literal planes (one `scala.util.Random(seed)`, plane-by-plane). */
+  def planesFlat(nPlanes: Int, dim: Int, seed: Long): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes * dim)(rnd.nextGaussian())
+  }
+
+  def compute(arr: ArrayData, planes: Array[Double], nPlanes: Int, dim: Int,
+              isFloat: Boolean): Long = {
+    val n = math.min(arr.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val off = p * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          dot += x * planes(off + i)
+        }
+        i += 1
+      }
+      if (dot >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}
+
 /** Shannon entropy (nats) of a string's code-point distribution — a cheap
   * compression-proxy quality signal: boilerplate/repetitive text scores low,
   * natural prose high. Computed in one pass over the decoded code points
@@ -349,4 +422,6 @@ object exprs {
     column(BoundedTopK(expression(score), expression(id), k)
       .toAggregateExpression())
   def charEntropy(c: Column): Column = column(CharEntropy(expression(c)))
+  def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Long, dim: Int): Column =
+    column(HyperplaneBucket(expression(vec), nPlanes, seed, dim))
 }

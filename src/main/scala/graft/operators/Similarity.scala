@@ -28,15 +28,22 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket id of a vector: bit i = sign(dot(v, plane_i)).
-    * Pure expression tree (zip_with + aggregate), no shuffle.
+  /** Sign-bit LSH bucket id of a vector: bit i = sign(dot(v, plane_i)),
+    * over the shared prefix of dimensions when the vector's length differs
+    * from `dim` (instead of silently collapsing every vector into bucket 0
+    * as a bare null-propagating dot product would). No shuffle.
     *
-    * `dim` is the plane dimensionality; vectors of a DIFFERENT length still
-    * bucket sensibly (the zip_with null-pads the shorter side and the
-    * products are coalesced to 0 — the projection just uses the shared
-    * prefix of dimensions) instead of silently collapsing every vector into
-    * bucket 0 as a bare null-propagating dot product would. */
-  def lshBucket(vec: Column, nPlanes: Int = 8, seed: Long = 7L, dim: Int = 64): Column = {
+    * Backed by the fused codegen [[graft.functions.HyperplaneBucket]]
+    * kernel: the earlier `zip_with`+`aggregate` expression tree
+    * ([[lshBucketHof]], kept for the parity spec) is CodegenFallback-
+    * interpreted and dominated the corpus bucketing pass. */
+  def lshBucket(vec: Column, nPlanes: Int = 8, seed: Long = 7L, dim: Int = 64): Column =
+    exprs.hyperplaneBucket(vec, nPlanes, seed, dim)
+
+  /** The original HOF formulation — interpreted, bit-for-bit equal to
+    * [[lshBucket]] (the kernel parity oracle). */
+  private[graft] def lshBucketHof(vec: Column, nPlanes: Int = 8, seed: Long = 7L,
+                                  dim: Int = 64): Column = {
     val planes = planesLit(nPlanes, dim, seed)
     planes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(

@@ -70,6 +70,17 @@ class PipelineSpec extends SparkSuite {
     assert(pairs.agg(min("cosine")).as[Double].first() >= 0.98)
   }
 
+  test("hyperplane bucket kernel ≡ HOF formulation, bit for bit") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    for ((planes, seed, dim) <- Seq((8, 7L, 64), (12, 99L, 64), (6, 7L, 32))) {
+      val cmp = e.select(
+        Similarity.lshBucket(col("embedding"), planes, seed, dim).as("k"),
+        Similarity.lshBucketHof(col("embedding"), planes, seed, dim).as("h"))
+        .where(col("k") =!= col("h"))
+      assert(cmp.count() === 0L, s"planes=$planes seed=$seed dim=$dim")
+    }
+  }
+
   test("brute-force knn: self excluded, ranks dense, cosine descending") {
     val r = PipelineQueries.knnBruteforce(spark, sf()).collect()
     assert(r.length === 50)
