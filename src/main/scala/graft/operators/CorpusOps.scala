@@ -73,8 +73,10 @@ object CorpusOps {
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val docCount = df.select(col(idCol)).distinct().count()
-    val dfreq = terms.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency falls out of tf for free: tf is already one row
+    // per (doc, term), so counting rows per term IS the distinct-doc count —
+    // no second corpus explode + distinct shuffle
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "term")
       .withColumn("tfidf",
         round(col("tf") * (log((lit(docCount.toDouble) + 1) / (col("df") + 1)) + 1),
