@@ -90,7 +90,8 @@ object SparkEntry {
     "stratified_sample" -> (PipelineQueries.stratifiedSample _),
     "chunk_plan" -> (PipelineQueries.chunkPlan _),
     "char_entropy" -> (PipelineQueries.charEntropy _),
-    "tfidf_topterms" -> (PipelineQueries.tfidfTopTerms _))
+    "tfidf_topterms" -> (PipelineQueries.tfidfTopTerms _),
+    "pack_plan" -> (PipelineQueries.packPlan _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -139,7 +140,8 @@ object SparkEntry {
     "stratified_sample" -> Oracles.stratifiedSample,
     "chunk_plan" -> Oracles.chunkPlan,
     "char_entropy" -> Oracles.charEntropy,
-    "tfidf_topterms" -> Oracles.tfidfTopTerms)
+    "tfidf_topterms" -> Oracles.tfidfTopTerms,
+    "pack_plan" -> Oracles.packPlan)
     // Remaining rows-only entries (their similarity *math* is oracle-covered
     // via jaccard_planted / embedding_norms / knn_bruteforce / ngram_exact):
     //  - dedup_simhash: simhash is FREQUENCY-weighted (cosine-like over the

@@ -47,6 +47,56 @@ object CorpusOps {
           " ").as("chunk_text"))
   }
 
+  /** Sequence PACKING: assign documents to fixed-token-budget packs (the
+    * step that turns chunked documents into training sequences without
+    * padding waste). Next-fit per hash group: documents land in
+    * `numGroups` groups by the engine-portable md5 bucket of their id,
+    * are ordered by id within the group, and a sequential next-fit scan
+    * opens a new pack whenever the running token total would exceed
+    * `budget` (an oversize document gets a pack of its own). Output:
+    * (id, n_tokens, grp, pack_id) with pack_id dense per group.
+    *
+    * Determinism and scale: group assignment and in-group order are pure
+    * functions of the id — NOT of partition layout — so the packing is
+    * bit-identical across cluster layouts and reruns (tested under
+    * different shuffle-partition settings). The sequential scan is the
+    * textbook mapPartitions case (genuinely stateful per-row logic Spark's
+    * declarative ops cannot express): each group's rows are co-located by a
+    * repartition on grp and scanned once, so parallelism = `numGroups` —
+    * size it to O(cluster cores) at scale (each group's scan is O(group)
+    * time and O(1) memory). */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, numGroups: Int = 16): DataFrame = {
+    require(budget > 0, s"bad budget $budget")
+    require(numGroups > 0 && numGroups <= 256,
+      s"numGroups must be in [1,256] (md5-bucket granularity), got $numGroups")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("id").asc)
+    val prepared = df
+      .select(col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("grp", (Sampling.hashBucket(col("id")) % numGroups).cast("int"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .repartition(numGroups, col("grp"))
+      .sortWithinPartitions(col("grp"), col("rn"))
+      .as[(Long, Long, Int, Long)]
+    prepared.mapPartitions { it =>
+      // rows arrive (grp, rn)-sorted with every grp complete in this
+      // partition; next-fit state resets at each group boundary
+      var curGrp = Int.MinValue
+      var acc = 0L
+      var pack = -1L
+      it.map { case (id, nTok, grp, _) =>
+        if (grp != curGrp) { curGrp = grp; acc = 0L; pack = -1L }
+        if (pack < 0 || acc + nTok > budget) { pack += 1; acc = nTok }
+        else acc += nTok
+        (id, nTok, grp, pack)
+      }
+    }.toDF("id", "n_tokens", "grp", "pack_id")
+  }
+
   /** Per-document top-`k` TF-IDF terms over the corpus's own vocabulary —
     * the classic keyword/topic profile used for corpus exploration and
     * near-dup triage. Terms are normalized words ([[TextFunctions

@@ -232,6 +232,18 @@ object PipelineQueries {
         round(exprs.charEntropy(col("text")), 6).as("char_entropy"))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing plan: next-fit over 16 md5-hash groups with a
+    * 256-token budget (see [[CorpusOps.packSequences]]) — deterministic
+    * bin assignment for every document, layout-independent. */
+  def packPlan(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.packSequences(
+        t(spark, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 256, numGroups = 16)
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("grp").cast("long").as("grp"), col("pack_id"))
+      .orderBy(col("doc_id"))
+
   /** Per-doc top-3 TF-IDF terms (smoothed idf, rank on the ROUNDED score so
     * the ordering is reproducible across engines' last-ulp log differences;
     * ties break on the term string). */

@@ -79,6 +79,35 @@ class CorpusOpsSpec extends SparkSuite {
     assert(math.abs(df(5L) - expect5) < 1e-12)
   }
 
+  test("packSequences: budget respected, oversize isolated, layout-stable") {
+    val docs = (1L to 200L).map(i => (i, (i % 37) + 1)).toDF("id", "toks")
+      .union(Seq((500L, 999L)).toDF("id", "toks"))   // oversize doc
+    val out = CorpusOps.packSequences(docs, "id", "toks", budget = 64,
+        numGroups = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.length === 201, "every doc packed exactly once")
+    // no multi-doc pack exceeds the budget; the oversize doc sits alone
+    val packs = out.groupBy(t => (t._3, t._4)).values
+    packs.foreach { members =>
+      val total = members.map(_._2).sum
+      assert(total <= 64 || members.length == 1,
+        s"over-budget multi-doc pack: $members")
+    }
+    val oversize = out.find(_._1 == 500L).get
+    assert(packs.find(_.exists(_._1 == 500L)).get.length === 1,
+      s"oversize doc must be alone, got pack ${oversize}")
+    // determinism across cluster layouts: different shuffle-partition count
+    // must yield the identical assignment
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val out2 = CorpusOps.packSequences(docs, "id", "toks", budget = 64,
+          numGroups = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      assert(out.sortBy(_._1) === out2.sortBy(_._1))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("tfIdfTopTerms: hand-computed scores on a 2-doc corpus") {
     val df = Seq((1L, "apple apple banana"), (2L, "banana cherry")).toDF("id", "text")
     val out = CorpusOps.tfIdfTopTerms(df, "id", "text", k = 2)
