@@ -48,6 +48,18 @@ object ScaleProbe {
         emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 5,
         nlist = 64, nprobe = 8).count()
     }
+    time("chunk plan over 50k docs") {
+      graft.operators.CorpusOps.chunkPlan(docs, "doc_id", "text", 32).count()
+    }
+    time("sequence packing over 50k docs (256 groups)") {
+      graft.operators.CorpusOps.packSequences(
+        docs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 256, numGroups = 256).count()
+    }
+    time("tf-idf top-3 over 50k docs") {
+      graft.operators.CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", 3).count()
+    }
     // adversarial corpus: 100k IDENTICAL documents — without the bucket
     // guard every band bucket holds all 100k docs and the self-join emits
     // ~10^10 candidate pairs; with it the probe must complete in seconds
