@@ -353,7 +353,11 @@ object HyperplaneBucket {
         }
         i += 1
       }
-      if (dot >= 0) bucket |= 1L << p
+      // NaN sets the bit: Spark SQL comparison semantics treat NaN as
+      // greater than any value, so the HOF formulation's `dot >= 0` is TRUE
+      // for NaN while Java's is false — match Spark to keep the bit-for-bit
+      // parity claim on vectors containing NaN
+      if (dot >= 0 || java.lang.Double.isNaN(dot)) bucket |= 1L << p
       p += 1
     }
     bucket

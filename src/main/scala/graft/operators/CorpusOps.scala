@@ -70,6 +70,19 @@ object CorpusOps {
     require(budget > 0, s"bad budget $budget")
     require(numGroups > 0 && numGroups <= 256,
       s"numGroups must be in [1,256] (md5-bucket granularity), got $numGroups")
+    // the id is cast to long for grouping and in-group ordering — an
+    // integral type is REQUIRED, not coerced: a string id would silently
+    // null out non-numeric values and collapse distinct spellings ("007",
+    // "7") onto one long, breaking the layout-determinism guarantee
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"packSequences requires an integral id column; '$idCol' is $other " +
+          "— map ids to a stable long (e.g. a dense id or xxhash64) first")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -122,15 +135,23 @@ object CorpusOps {
         .as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docCount = df.select(col(idCol)).distinct().count()
     // document frequency falls out of tf for free: tf is already one row
     // per (doc, term), so counting rows per term IS the distinct-doc count —
     // no second corpus explode + distinct shuffle
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // corpus size N = row count of the input (ids are expected unique — the
+    // idf convention counts documents, and duplicated ids would also skew
+    // tf). A one-row aggregate cross-joined in keeps the whole computation
+    // ONE lazy plan: the previous eager `distinct().count()` at
+    // plan-construction time re-scanned an unmaterialized input pipeline
+    // per call (and diverged from the oracle's count(*) on duplicate ids).
+    val nDocs = df.select(count(lit(1)).cast("double").as("n_docs"))
     val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round(col("tf") * (log((lit(docCount.toDouble) + 1) / (col("df") + 1)) + 1),
+        round(col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1),
           6))
+      .drop("n_docs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)

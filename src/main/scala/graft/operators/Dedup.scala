@@ -290,11 +290,19 @@ object Dedup {
 
   /** Driver-side Ordering for id types whose Spark `least`/min semantics we
     * can reproduce exactly on the JVM; other types take the distributed
-    * path. */
+    * path. Strings compare as UTF-8 bytes (code-point order) to match
+    * Spark's UTF8String comparison — `Ordering.String` is UTF-16 code-unit
+    * order, which disagrees for supplementary-plane characters and would
+    * make the chosen component representative depend on which path ran. */
   private def driverOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
     case LongType    => Some(Ordering.Long.on((a: Any) => a.asInstanceOf[Long]))
     case IntegerType => Some(Ordering.Int.on((a: Any) => a.asInstanceOf[Int]))
-    case StringType  => Some(Ordering.String.on((a: Any) => a.asInstanceOf[String]))
+    case StringType  => Some(new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+    })
     case _           => None
   }
 

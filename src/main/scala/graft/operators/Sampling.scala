@@ -77,17 +77,34 @@ object Sampling {
     * unbiased sample of each group, stable under reruns and corpus
     * repartitioning. Ties (identical bucket) break on the id itself.
     *
-    * Scale shape: one hash-partitioned window per group — the shuffle is
-    * keyed on the group column, and skew (one giant domain) is AQE's
-    * skew-join/partition-split territory; no group's rows ever meet on the
-    * driver. Adds `priority` (1-based rank within the group). */
+    * Scale shape: TWO-STAGE top-quota. A window partition cannot be split
+    * by AQE — every row of a group key must reach one task — so a single
+    * global window over an over-crawled domain would sort-and-buffer the
+    * whole group on one executor. Stage 1 therefore pre-reduces per
+    * (group, arrival-partition): a salted window keeps at most `quota` rows
+    * of each group per input partition (any row beaten by `quota` rows of
+    * its own partition slice cannot be in the global top-quota), shrinking
+    * the hot group to ≤ quota × numInputPartitions rows before stage 2's
+    * global window ranks the survivors. The final ranks 1..quota are
+    * IDENTICAL to the single-window formulation — every globally-kept row
+    * survives stage 1, and all rows ordered before it do too — and the
+    * output stays layout-independent even though the salt is the physical
+    * partition id. Adds `priority` (1-based rank within the group). */
   def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
                     quota: Int): DataFrame = {
     require(quota > 0, s"bad quota $quota")
-    val w = org.apache.spark.sql.expressions.Window
+    val ord = Seq(hashBucket(col(idCol)).asc, col(idCol).asc)
+    val partial = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("_graft_salt"))
+      .orderBy(ord: _*)
+    val global = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("priority", row_number().over(w).cast("long"))
+      .orderBy(ord: _*)
+    df.withColumn("_graft_salt", spark_partition_id())
+      .withColumn("_graft_partial", row_number().over(partial))
+      .where(col("_graft_partial") <= quota)
+      .drop("_graft_salt", "_graft_partial")
+      .withColumn("priority", row_number().over(global).cast("long"))
       .where(col("priority") <= quota)
   }
 }

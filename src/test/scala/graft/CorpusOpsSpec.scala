@@ -108,6 +108,37 @@ class CorpusOpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("packSequences: non-integral id type is rejected up front") {
+    // regression (ADVICE r5): the silent long cast nulled non-numeric string
+    // ids deep in the job and collapsed "007"/"7" onto one long
+    val df = Seq(("a", 5L), ("b", 6L)).toDF("id", "toks")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.packSequences(df, "id", "toks", budget = 64)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
+  test("quotaPerGroup: two-stage pre-reduce matches single-window ranks under any layout") {
+    // the salted stage-1 cap uses the physical partition id — the OUTPUT
+    // must still be layout-independent (same kept ids AND same priorities)
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    def run(parts: Int) = Sampling.quotaPerGroup(
+        df.repartition(parts), "id", "grp", quota = 7)
+      .select("id", "grp", "priority")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val single = {
+      // reference: the plain one-window formulation
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp"))
+        .orderBy(Sampling.hashBucket(col("id")).asc, col("id").asc)
+      df.withColumn("priority", row_number().over(w).cast("long"))
+        .where(col("priority") <= 7)
+        .select("id", "grp", "priority")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    for (parts <- Seq(1, 5, 32)) assert(run(parts) === single, s"parts=$parts")
+  }
+
   test("tfIdfTopTerms: hand-computed scores on a 2-doc corpus") {
     val df = Seq((1L, "apple apple banana"), (2L, "banana cherry")).toDF("id", "text")
     val out = CorpusOps.tfIdfTopTerms(df, "id", "text", k = 2)

@@ -157,6 +157,37 @@ class PipelineSpec extends SparkSuite {
     assert(labeled.forall(_._2 === 0L), "every node labeled with component min")
   }
 
+  test("clusters: supplementary-plane string ids pick the same representative on both paths") {
+    // regression (ADVICE r5): Ordering.String is UTF-16 code-unit order, so
+    // "😀" (surrogate pair D83D DE00) sorted BELOW "�" on the driver
+    // while Spark's least() (UTF-8 byte order: F0… > EF…) puts it above —
+    // the component representative depended on which path ran
+    val ids = Seq("�", "😀", "zz").toDF("id")
+    val pairs = Seq(("�", "😀")).toDF("id_a", "id_b")
+    def asMap(limit: Long) = Dedup.clusters(ids, pairs, driverEdgeLimit = limit)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaDriver = asMap(5000000L)
+    val viaLoop = asMap(0L)
+    assert(viaDriver === viaLoop)
+    assert(viaDriver("😀") === "�",
+      "code-point min must label the component")
+  }
+
+  test("hyperplane bucket kernel ≡ HOF on vectors containing NaN") {
+    // regression (ADVICE r5): Spark SQL's `NaN >= 0` is TRUE (NaN sorts
+    // greatest) while Java's is false — a NaN dot product bucketed
+    // differently in the kernel until the NaN branch matched Spark
+    val vecs = Seq(
+      (1L, Array(Float.NaN, 1f, -2f, 3f)),
+      (2L, Array(0.5f, Float.NaN, 0.25f, -1f)),
+      (3L, Array(1f, 2f, 3f, 4f))).toDF("id", "embedding")
+    val cmp = vecs.select(
+      Similarity.lshBucket(col("embedding"), 8, 7L, 4).as("k"),
+      Similarity.lshBucketHof(col("embedding"), 8, 7L, 4).as("h"))
+      .where(col("k") =!= col("h"))
+    assert(cmp.count() === 0L)
+  }
+
   test("clusters: driver union-find ≡ distributed loop on a random graph") {
     val rnd = new scala.util.Random(42)
     val n = 500
