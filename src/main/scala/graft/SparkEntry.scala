@@ -125,6 +125,7 @@ object SparkEntry {
     "jaccard_planted" -> Oracles.jaccardPlanted,
     "embedding_norms" -> Oracles.embeddingNorms,
     "dedup_minhash" -> Oracles.dedupMinhash,
+    "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_keeplist" -> Oracles.dedupKeeplist,
     "dedup_embedding" -> Oracles.dedupEmbedding,
     "knn_lsh" -> Oracles.knnLsh,
@@ -142,18 +143,16 @@ object SparkEntry {
     "char_entropy" -> Oracles.charEntropy,
     "tfidf_topterms" -> Oracles.tfidfTopTerms,
     "pack_plan" -> Oracles.packPlan)
-    // Remaining rows-only entries (their similarity *math* is oracle-covered
-    // via jaccard_planted / embedding_norms / knn_bruteforce / ngram_exact):
-    //  - dedup_simhash: simhash is FREQUENCY-weighted (cosine-like over the
-    //    token multiset) while every DuckDB-computable truth here is a set
-    //    measure — measured on this corpus (demo.SimhashProbe): token-SET
-    //    Jaccard-1.0 pairs occur at Hamming distances up to 28/64, so no
-    //    set-Jaccard threshold yields a truth set that Hamming<=3 blocking
-    //    could equal; the 64-bit weighted hash arithmetic itself has no
-    //    DuckDB counterpart. Kernel parity and planted recall are covered
-    //    in MinHashKernelSpec / DedupSpec.
-    //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 on
-    //    organic pairs near the threshold, so no closed-form expected set
-    //    exists; its exact-Jaccard verification math is ngram_exact's
-    //    oracle, leaving only the banding prefilter rows-only.
+    // Remaining rows-only entry (47/48 oracle-backed since round 6 —
+    // dedup_simhash graduated to a full brute-force value oracle via the
+    // engine-portable md5-hash simhash variant, Dedup.simhashPortable):
+    //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 BY
+    //    MEASURED DESIGN — round-6 probe (demo.SimhashProbe at sf0.01): of
+    //    the 19 planted pairs with trigram J >= 0.6 (plant Jaccards
+    //    0.58-0.85), banding catches 14; narrowing bands to fix recall
+    //    degenerates toward all-pairs verification (measured 180s at sf0.1
+    //    with 16x4, see Dedup.ngramJaccardPairs). So neither the full output
+    //    nor a planted projection has a SQL-computable truth set. Its
+    //    exact-Jaccard verification math is ngram_exact's oracle, leaving
+    //    only the banding prefilter rows-only.
 }

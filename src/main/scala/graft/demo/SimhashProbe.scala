@@ -53,6 +53,56 @@ object SimhashProbe {
       val nT = truth.count()
       println(s"T=$t truth=$nT missedByHamming3=$missed")
     }
+
+    // --- planted-projection graduation measurements (round 6) ---
+    println("== planted pairs: per-plant simhash hamming ==")
+    pairs.where(col("id_b") === col("id_a") + PipelineQueries.PlantShift)
+      .select(col("id_a"), col("hamming"))
+      .orderBy(col("id_a")).show(30, truncate = false)
+
+    println("== full pipeline recall on plants (dedup_simhash maxBits=3) ==")
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxBits = 3)
+      .where(col("id_b") === col("id_a") + PipelineQueries.PlantShift).count()
+    println(s"plantsFoundByPipeline=$found / 20")
+
+    println("== organic (non-plant) pairs at hamming <= 3 ==")
+    pairs.where(col("id_b") =!= col("id_a") + PipelineQueries.PlantShift &&
+        col("hamming") <= 3)
+      .orderBy(col("hamming")).show(30, truncate = false)
+
+    // --- portable simhash: organic landscape + plant recall (round 6) ---
+    println("== PORTABLE simhash: all pairs at hamming <= 3 (plant flag) ==")
+    val psh = Dedup.simhashPortable(docs, "doc_id", "text")
+    val pa = psh.select(col("id").as("id_a"), col("simhash").as("sh_a"))
+    val pb = psh.select(col("id").as("id_b"), col("simhash").as("sh_b"))
+    pa.crossJoin(pb).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"),
+        (col("id_b") === col("id_a") + PipelineQueries.PlantShift).as("is_plant"))
+      .where(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b")).show(100, truncate = false)
+
+    // --- ngram graduation: banding recall on plants (round 6) ---
+    println("== ngram: exact trigram jaccard of each planted pair ==")
+    val tri = docs.select(col("doc_id"),
+      minhashExprs.charShingleSet(col("text"), 3).as("sh3"))
+    val exact = tri.where(col("doc_id") < 20)
+      .select(col("doc_id").as("id_a"), col("sh3").as("sh_a"))
+      .join(tri.where(col("doc_id") >= PipelineQueries.PlantShift)
+        .select((col("doc_id") - PipelineQueries.PlantShift).as("id_a"),
+          col("sh3").as("sh_b")), "id_a")
+      .withColumn("inter", minhashExprs.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("id_a"), round(col("jaccard"), 6).as("jaccard"))
+      .cache()
+    exact.orderBy("id_a").show(30, truncate = false)
+    val nTruth = exact.where(col("jaccard") >= 0.6).count()
+    val viaPipe = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .where(col("id_b") === col("id_a") + PipelineQueries.PlantShift).count()
+    println(s"ngramPlantTruthAtJ0.6=$nTruth pipelineFound=$viaPipe " +
+      s"(banding recall on plants = ${if (nTruth == viaPipe) "1" else "MISS"})")
     spark.stop()
   }
 }

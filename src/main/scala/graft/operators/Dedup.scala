@@ -461,14 +461,52 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance <= maxBits, bucketed by
     * the 4 16-bit chunks (pigeonhole: any pair within 3 bits shares at least
-    * one exact chunk — standard simhash blocking, shuffle on chunk keys).
+    * one exact chunk — standard simhash blocking, shuffle on chunk keys). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxBits: Int = 3, bucketCap: Int = 1000): DataFrame =
+    simhashChunkPairs(simhash(df, idCol, textCol), maxBits, bucketCap)
+
+  /** ENGINE-PORTABLE weighted SimHash: same bit-majority arithmetic as the
+    * fused kernel, but the per-token hash is the first 15 hex chars of
+    * md5(token) — a 60-bit value any SQL engine reproduces exactly (the
+    * [[Sampling.hashBucket]] trick), unlike the kernel's splitmix-mixed
+    * polynomial hash whose 64-bit wrapping arithmetic has no SQL
+    * counterpart. Bit p of the result = 1 iff strictly more tokens (counted
+    * WITH multiplicity) have hash bit p set than clear — ties → 0, matching
+    * [[graft.functions.SimHashLongs]]. Bits 60–63 are always 0.
+    *
+    * Purpose: makes the WHOLE simhash pipeline (hashing → bit majority →
+    * chunk blocking → Hamming threshold) value-checkable against a DuckDB
+    * brute force. Production pipelines use [[simhash]] — one fused codegen
+    * pass instead of this explode + 60-way aggregate. */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(TextFunctions.normalized(col(textCol)))).as("tok"))
+    val withH = toks.select(col("id"),
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 60).map(p =>
+      sum(when(shiftright(col("h"), p).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        .as(s"s$p"))
+    val agg = withH.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 60).map(p =>
+      when(col(s"s$p") > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Portable-simhash near-dup pairs — [[simhashPairs]] with the
+    * [[simhashPortable]] hash; the blocking, cap, and threshold logic is
+    * byte-identical (shared body). */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxBits: Int = 3, bucketCap: Int = 1000): DataFrame =
+    simhashChunkPairs(simhashPortable(df, idCol, textCol), maxBits, bucketCap)
+
+  /** Shared chunk-blocked Hamming join over an (id, simhash) frame.
     *
     * Chunk buckets above `bucketCap` are dropped (observed/logged): chunk
     * value 0 is a classic hot key (every empty/ultra-short doc simhashes to
     * 0), and an uncapped self-join on it goes quadratic. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxBits: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+  private def simhashChunkPairs(sh: DataFrame, maxBits: Int,
+                                bucketCap: Int): DataFrame = {
     val chunked = track(ScaleOps.capBuckets(
       sh.select(col("id"), col("simhash"),
         explode(array((0 until 4).map(c =>

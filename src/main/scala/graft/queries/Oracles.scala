@@ -522,6 +522,46 @@ object Oracles {
       |WHERE unn > 0 AND inter::DOUBLE / unn >= 0.5
       |ORDER BY 1, 2""".stripMargin
 
+  /** BRUTE-FORCE portable-simhash truth set — reproduces every stage of
+    * Dedup.simhashPairsPortable in SQL: per-token 60-bit hash = first 15 hex
+    * chars of md5(token) (hex folded to BIGINT by position arithmetic, the
+    * hashBucket trick), simhash bit p = 1 iff strictly more tokens (WITH
+    * multiplicity) have hash bit p set than clear, pairs = Hamming ≤ 3 over
+    * ALL (520×519/2) pairs. The Spark side's 4×16-bit chunk blocking is
+    * pigeonhole-exact at this radius and its bucket cap cannot trigger at
+    * oracle scale (max possible bucket = 520 docs < 1000 cap), so the
+    * blocked output must equal this brute force row-for-row. */
+  val dedupSimhash: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' graft planted near duplicate suffix'
+      |  FROM documents WHERE doc_id < 20),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0)) AS tok
+      |  FROM docs),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(15), i ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+      |        * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INT)))) AS BIGINT) AS h
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, p, sum(CASE WHEN (h >> CAST(p AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS p) ps
+      |  GROUP BY 1, 2),
+      |sim AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Connected components over the brute-force pair set via a recursive
     * min-label closure; kept = each component's minimum id — the same
     * keep-one-representative semantics as Dedup.keepList. */

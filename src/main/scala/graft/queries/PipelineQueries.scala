@@ -260,12 +260,31 @@ object PipelineQueries {
         numHashes = 64, bands = 16, threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (custom codegen expression + Hamming blocking). */
+  /** SimHash near-dup pairs over the ENGINE-PORTABLE hash
+    * ([[Dedup.simhashPortable]]): every stage — md5-derived 60-bit token
+    * hashes, multiplicity-weighted bit majority, 4×16-bit chunk blocking
+    * (pigeonhole-exact for Hamming ≤ 3), Hamming threshold — is reproduced
+    * by a DuckDB brute force over all pairs, so the output is FULLY
+    * value-oracled (the bucket cap cannot trigger at oracle scale: the
+    * largest possible bucket is the whole 520-doc corpus, under the
+    * 1000-doc cap). The production xxhash-kernel path ([[Dedup
+    * .simhashPairs]]) shares this blocking/threshold body and is
+    * parity-tested in DedupSpec/MinHashKernelSpec. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docsWithPlants(spark, dir), "doc_id", "text", maxBits = 3)
+    Dedup.simhashPairsPortable(docsWithPlants(spark, dir), "doc_id", "text",
+        maxBits = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Character-trigram Jaccard near-dup pairs (LSH-prefiltered). */
+  /** Character-trigram Jaccard near-dup pairs (LSH-prefiltered). Rows-only
+    * by measured design: a planted-projection oracle (the knn_lsh pattern)
+    * was evaluated in round 6 and REJECTED — the deliberately-wide 4×8
+    * banding catches 14 of the 19 planted pairs with trigram J ≥ 0.6 at
+    * sf0.01 (demo.SimhashProbe: plant Jaccards 0.58–0.85; per-band collision
+    * P ≈ J⁸), so no SQL-computable truth set equals the output; narrowing
+    * the bands to fix recall measurably degenerates toward all-pairs
+    * verification (see [[Dedup.ngramJaccardPairs]]'s banding rationale).
+    * The exact verification math is value-oracled by `ngram_exact`. */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docsWithPlants(spark, dir), "doc_id", "text",
         n = 3, threshold = 0.6)

@@ -188,6 +188,31 @@ class PipelineSpec extends SparkSuite {
     assert(cmp.count() === 0L)
   }
 
+  test("simhashPortable: closed-form identities (single token, multiplicity, ties)") {
+    // single-token doc: every hash bit's majority is the bit itself, so the
+    // simhash IS the 60-bit md5-prefix hash; repetition must not change it
+    val df = Seq(
+      (1L, "alpha"),
+      (2L, "alpha alpha alpha"),
+      (3L, "Alpha!"),       // normalization: same token
+      (4L, "   ")           // token-empty: dropped from the frame
+    ).toDF("id", "text")
+    val out = Dedup.simhashPortable(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = spark.sql(
+      "SELECT CAST(conv(substring(md5('alpha'), 1, 15), 16, 10) AS BIGINT)")
+      .first().getLong(0)
+    assert(out === Map(1L -> expected, 2L -> expected, 3L -> expected))
+    assert(expected > 0L && expected < (1L << 60))
+  }
+
+  test("dedup_simhash query: portable pipeline finds the planted near-dups") {
+    val out = PipelineQueries.dedupSimhash(spark, sf()).collect()
+    val plants = out.filter(r => r.getLong(1) == r.getLong(0) + PipelineQueries.PlantShift)
+    assert(plants.nonEmpty, "some plants must sit within 3 bits")
+    assert(out.forall(_.getLong(2) <= 3L))
+  }
+
   test("clusters: driver union-find ≡ distributed loop on a random graph") {
     val rnd = new scala.util.Random(42)
     val n = 500
