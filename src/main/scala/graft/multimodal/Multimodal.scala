@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: JDK `javax.imageio` (PNG/JPEG/BMP/GIF — no extra
   * deps) decodes the payload and the features are actual pixel statistics
-  * ([[decodeImage]]). AUDIO/VIDEO decode remains a clearly marked STUB
-  * (this container ships no audio/video codecs) — a deterministic fake that
-  * derives features from the payload bytes; an image payload ImageIO cannot
-  * parse falls back to the same stub rather than failing the batch.
-  * Swapping in a real A/V decoder (e.g. javacv / a JNI codec) changes only
-  * [[stubDecode]]'s body: same batch iteration, same output schema.
+  * ([[decodeImage]]). AUDIO decode is REAL for PCM WAV/AIFF/AU: JDK
+  * `javax.sound.sampled` (again no extra deps) decodes the samples and the
+  * features are actual waveform statistics ([[decodeAudio]]). VIDEO decode
+  * remains a clearly marked STUB (this container ships no video codecs) — a
+  * deterministic fake that derives features from the payload bytes; image/
+  * audio payloads the JDK decoders cannot parse fall back to the same stub
+  * rather than failing the batch. Swapping in a real video decoder (e.g.
+  * javacv / a JNI codec) changes only [[stubDecode]]'s body: same batch
+  * iteration, same output schema.
   */
 object Multimodal {
 
@@ -129,11 +132,103 @@ object Multimodal {
     }
   }
 
-  /** STUB decode ??? — stands in for the real AUDIO/VIDEO codec call (and
-    * the fallback for undecodable image payloads). Deterministic: features
+  /** REAL audio decode via JDK javax.sound.sampled (PCM WAV/AIFF/AU —
+    * 8/16-bit, any channel count, either endianness): waveform statistics
+    * as the feature vector. Multi-channel frames are averaged to mono;
+    * samples normalize to [-1, 1) (16-bit: /32768, 8-bit: /128). Layout
+    * (FeatureDim = 16):
+    * {{{
+    * 0: sample_rate (Hz)   1: channels   2: duration (seconds)
+    * 3: RMS   4: peak |sample|   5: zero-crossing rate (sign flips/(n-1))
+    * 6: mean (DC offset)   7: sample stddev
+    * 8-15: 8-bin |sample| histogram (fractions, sums to 1)
+    * }}}
+    * Same decompression-bomb stance as images: the frame count is read from
+    * the HEADER and anything over [[MaxDecodeFrames]] (or unknown-length /
+    * non-PCM / >16-bit payloads) returns None before any allocation, and the
+    * caller falls back to [[stubDecode]] — undecodable bytes must not fail
+    * a whole batch. */
+  private[multimodal] val MaxDecodeFrames: Long = 16L * 1024 * 1024
+
+  private[multimodal] def decodeAudio(r: MediaRecord): Option[MediaFeatures] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val decoded =
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        try {
+          val fmt = ais.getFormat
+          val enc = fmt.getEncoding
+          val bits = fmt.getSampleSizeInBits
+          val frames = ais.getFrameLength
+          val pcmOk =
+            (enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+              (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+          if (!pcmOk || fmt.getChannels <= 0 || frames <= 0 ||
+              frames > MaxDecodeFrames) None
+          else Some((fmt, frames.toInt, ais.readAllBytes()))
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    decoded.map { case (fmt, frames, bytes) =>
+      val channels = fmt.getChannels
+      val bits = fmt.getSampleSizeInBits
+      val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+      val big = fmt.isBigEndian
+      val bytesPerSample = bits / 8
+      val n = math.min(frames, bytes.length / (bytesPerSample * channels))
+      var sum = 0.0; var sum2 = 0.0; var peak = 0.0
+      var crossings = 0L; var prevSign = 0
+      val hist = new Array[Long](8)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < channels) {
+          val off = (i * channels + c) * bytesPerSample
+          val v =
+            if (bits == 16) {
+              val (b0, b1) = (bytes(off), bytes(off + 1))
+              val s = if (big) (b0 << 8) | (b1 & 0xFF) else (b1 << 8) | (b0 & 0xFF)
+              s / 32768.0
+            } else if (signed) bytes(off) / 128.0
+            else ((bytes(off) & 0xFF) - 128) / 128.0
+          acc += v
+          c += 1
+        }
+        val s = acc / channels
+        sum += s; sum2 += s * s
+        val as = math.abs(s)
+        if (as > peak) peak = as
+        hist(math.min(7, (as * 8).toInt)) += 1L
+        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+        if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1L
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      val f = new Array[Float](FeatureDim)
+      f(0) = fmt.getSampleRate
+      f(1) = channels.toFloat
+      f(2) = (n / fmt.getSampleRate.toDouble).toFloat
+      f(3) = math.sqrt(sum2 / math.max(1, n)).toFloat
+      f(4) = peak.toFloat
+      f(5) = if (n > 1) (crossings.toDouble / (n - 1)).toFloat else 0f
+      val mean = sum / math.max(1, n)
+      f(6) = mean.toFloat
+      f(7) = math.sqrt(math.max(0.0, sum2 / math.max(1, n) - mean * mean)).toFloat
+      var j = 0
+      while (j < 8) { f(8 + j) = (hist(j).toDouble / math.max(1, n)).toFloat; j += 1 }
+      MediaFeatures(r.media_id, r.kind, r.content.length.toLong, f)
+    }
+  }
+
+  /** STUB decode ??? — stands in for the real VIDEO codec call (and the
+    * fallback for undecodable image/audio payloads). Deterministic: features
     * are rolling-hash projections of the payload, so tests can assert exact
-    * values. A real implementation would decode samples/frames here and
-    * compute the same-shaped output. */
+    * values. A real implementation would decode frames here and compute the
+    * same-shaped output. */
   private[multimodal] def stubDecode(r: MediaRecord): MediaFeatures = {
     val f = new Array[Float](FeatureDim)
     var h = 1125899906842597L
@@ -160,6 +255,7 @@ object Multimodal {
         // per-batch A/V codec setup would go here (ImageIO is stateless)
         batch.iterator.map { r =>
           if (r.kind == "image") decodeImage(r).getOrElse(stubDecode(r))
+          else if (r.kind == "audio") decodeAudio(r).getOrElse(stubDecode(r))
           else stubDecode(r)
         }
       }

@@ -54,6 +54,62 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(Multimodal.decodeFeatures(broken).collect().length === 1)
   }
 
+  test("multimodal: real WAV payload decodes to exact waveform statistics") {
+    // 800 samples @ 8 kHz mono 16-bit LE: +8192 for 400 samples, then -8192
+    // — every statistic has an exact closed form (8192/32768 = 0.25 exactly)
+    val nSamples = 800
+    val data = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val v: Short = if (i < 400) 8192 else -8192
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val media = Seq(Multimodal.MediaRecord(10L, "audio", wav, Map.empty)).toDS()
+    val f = Multimodal.decodeFeatures(media, batchSize = 4).collect().head.feature
+    assert(f(0) === 8000f, "sample rate")
+    assert(f(1) === 1f, "channels")
+    assert(f(2) === 0.1f, "duration: 800/8000 s")
+    assert(f(3) === 0.25f, "RMS of a ±0.25 square wave")
+    assert(f(4) === 0.25f, "peak")
+    assert(f(5) === (1.0 / 799).toFloat, "exactly one sign crossing")
+    assert(f(6) === 0.0f, "zero DC offset")
+    assert(f(7) === 0.25f, "stddev")
+    assert(f(10) === 1.0f, "all |samples| land in histogram bin 2 (0.25*8)")
+    assert((8 to 15).filter(_ != 10).forall(i => f(i) === 0.0f))
+
+    // stereo: L=+8192, R=-8192 average to silence
+    val st = new Array[Byte](nSamples * 4)
+    for (i <- 0 until nSamples; c <- 0 to 1) {
+      val v: Short = if (c == 0) 8192 else -8192
+      st(4 * i + 2 * c) = (v & 0xFF).toByte
+      st(4 * i + 2 * c + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val sfmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val sais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(st), sfmt, nSamples.toLong)
+    val sb = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(sais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sb)
+    val sf2 = Multimodal.decodeFeatures(
+        Seq(Multimodal.MediaRecord(11L, "audio", sb.toByteArray, Map.empty)).toDS())
+      .collect().head.feature
+    assert(sf2(1) === 2f && sf2(3) === 0.0f && sf2(4) === 0.0f,
+      "stereo channels average to mono silence")
+
+    // non-WAV audio payload falls back to the deterministic stub
+    val junk = Seq(Multimodal.MediaRecord(12L, "audio",
+      Array[Byte](1, 2, 3, 4), Map.empty)).toDS()
+    assert(Multimodal.decodeFeatures(junk).collect().length === 1)
+  }
+
   test("multimodal: resize rewrites image meta only; frame plan explodes video") {
     val media = Multimodal.syntheticMedia(spark, 60)
     val resized = Multimodal.resizeMeta(media, maxSide = 32).collect()
