@@ -264,6 +264,44 @@ object DeltaFixtureWriter {
       partitionBy = partitionBy, writeMeta = false)
   }
 
+  /** RESTORE the table to `version`: a metadata-only commit (no data
+    * rewrite) that re-adds the target snapshot's active files which are no
+    * longer active and removes the active files the target doesn't have —
+    * Delta's RESTORE semantics (the reference's operation color map
+    * tolerates the op, visualization/notebook/delta_operations.py:84-93).
+    * If the schema evolved past the target version the commit also
+    * re-emits the TARGET version's metaData, so the restored table reads
+    * with its historical schema. Fails fast (before writing anything) when
+    * a required historical file has been physically removed by VACUUM —
+    * that table state is unrestorable and must not be half-committed. */
+  def restore(spark: SparkSession, table: String, version: Long): Unit = {
+    import spark.implicits._
+    val cur = DeltaLog.snapshot(spark, table)
+    require(version >= 0 && version <= cur.version,
+      s"cannot restore $table to version $version (current ${cur.version})")
+    val target = DeltaLog.snapshotAt(spark, table, version)
+    try {
+      val targetFiles = target.activeFiles.select($"path", $"size")
+        .as[(String, Long)].collect().toMap
+      val curFiles = cur.activeFiles.select($"path").as[String].collect().toSet
+      val adds = (targetFiles.keySet -- curFiles).toSeq.sorted
+      val onDisk = listDataFiles(table)
+      val vacuumed = adds.filterNot(onDisk.contains)
+      require(vacuumed.isEmpty,
+        s"cannot restore $table to version $version: ${vacuumed.size} " +
+          s"historical data file(s) no longer on disk (vacuumed?), e.g. " +
+          vacuumed.take(3).mkString(", "))
+      val removes = (curFiles -- targetFiles.keySet).toSeq.sorted
+      val schemaChanged = cur.tableSchema != target.tableSchema
+      writeCommit(table, cur.version + 1, "RESTORE",
+        Seq("version" -> version.toString),
+        adds = adds.map(p => p -> targetFiles(p)), removes = removes,
+        partitionBy = target.partitionColumns,
+        writeMeta = schemaChanged,
+        schemaJson = target.tableSchema.map(_.json))
+    } finally { cur.unpersist(); target.unpersist() }
+  }
+
   /** Append a data-free commit (e.g. VACUUM marker). */
   def logCommit(table: String, version: Long, operation: String,
                 parameters: Seq[(String, String)]): Unit =

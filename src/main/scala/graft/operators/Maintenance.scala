@@ -21,6 +21,13 @@ object Maintenance {
   def optimize(spark: SparkSession, tablePath: String): Unit =
     DeltaFixtureWriter.compact(spark, tablePath)
 
+  /** RESTORE to an earlier version: metadata-only commit re-activating the
+    * target snapshot's file set (and its schema, if evolved since); see
+    * [[DeltaFixtureWriter.restore]]. The path is de-schemed for the
+    * java.nio-based commit writer, like [[vacuum]]'s logCommit. */
+  def restore(spark: SparkSession, tablePath: String, version: Long): Unit =
+    DeltaFixtureWriter.restore(spark, DeltaLog.stripSchemeStr(tablePath), version)
+
   /** VACUUM: delete on-disk data files that are not in the active manifest
     * and are older than `retainMs` (by filesystem modification time).
     * Returns the deleted-file frame (path, size). `dryRun` lists without

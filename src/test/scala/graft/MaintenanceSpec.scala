@@ -62,6 +62,48 @@ class MaintenanceSpec extends SparkSuite {
     snap.unpersist()
   }
 
+  test("restore: round-trip returns data+schema to the target version, history renders it") {
+    val path = tmpDir("restore")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 20, "Tue" -> 20),
+      Seq("Dinner" -> 20, "Lunch" -> 20))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day"))        // v0: 40 rows
+    DeltaFixtureWriter.write(df.limit(10), path, "append", Seq("day")) // v1: 50 rows
+    // schema evolution after the target version, then a delete
+    DeltaFixtureWriter.write(df.limit(5).withColumn("extra", lit(1)),
+      path, "append", Seq("day"))                                      // v2: 55 rows, +extra
+    DeltaFixtureWriter.delete(spark, path, "total_bill > 40")          // v3
+    val target = DeltaLog.snapshotAt(spark, path, 1)
+    val want = target.data.orderBy("day", "time", "total_bill")
+      .collect().map(_.toSeq)
+    target.unpersist()
+
+    Maintenance.restore(spark, path, 1)
+    val got = DeltaLog.snapshot(spark, path)
+    assert(got.version === 4L, "RESTORE is a new commit, not a rewind")
+    assert(got.data.count() === 50L)
+    assert(!got.data.columns.contains("extra"),
+      "restored table reads with the target version's schema")
+    assert(got.data.orderBy("day", "time", "total_bill")
+      .collect().map(_.toSeq).toSeq === want.toSeq)
+
+    // history + A17 file deltas render the op
+    val hist = got.history
+    val restoreRow = hist.where(col("operation") === "RESTORE")
+      .select("version").as[Long].collect()
+    assert(restoreRow.toSeq === Seq(4L))
+    val deltas = graft.operators.HistoryAnalyzer.perVersionFileDeltas(hist)
+      .where(col("version") === 4L).collect()
+    assert(deltas.length === 1)
+    got.unpersist()
+
+    // restoring to a state whose files were vacuumed must fail fast
+    Maintenance.vacuum(spark, path, retainMs = -1000)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.restore(spark, path, 3)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("vacuum deletes aged orphans, logs VACUUM, and health recovers") {
     val path = tmpDir("vac")
     TestFixtures.buildOrphanTable(spark, path)
