@@ -114,6 +114,46 @@ object DeltaFixtureWriter {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** STREAMING commit writer for scale-path operators (OPTIMIZE): action
+    * lines are written as the iterators drain, so a commit with millions of
+    * removes never materializes as a driver-side Seq — the driver cost is
+    * the JSON bytes themselves, which are inherent to the Delta log format.
+    * commitInfo is appended LAST (after the counts are known); the log
+    * reader is line-order-agnostic (every action line is parsed
+    * independently and commitInfo rows are filtered by field). */
+  private[graft] def writeCommitStream(
+      table: String,
+      version: Long,
+      operation: String,
+      parameters: Seq[(String, String)],
+      adds: Iterator[(String, Long)],
+      removes: Iterator[String],
+      partitionBy: Seq[String]): Unit = {
+    val ts = System.currentTimeMillis()
+    val lp = logPath(table, version)
+    Files.createDirectories(lp.getParent)
+    val w = Files.newBufferedWriter(lp, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      var nRemoves = 0L
+      var nAdds = 0L
+      removes.foreach { p =>
+        w.write(s"""{"remove":{"path":${jStr(p)},"deletionTimestamp":$ts,"dataChange":true}}""")
+        w.newLine(); nRemoves += 1
+      }
+      adds.foreach { case (p, size) =>
+        val pv = jMap(partitionValuesOf(p, partitionBy))
+        w.write(s"""{"add":{"path":${jStr(p)},"size":$size,"partitionValues":$pv,"modificationTime":$ts,"dataChange":true,"stats":""}}""")
+        w.newLine(); nAdds += 1
+      }
+      val metrics = Seq(
+        "num_added_files" -> nAdds.toString,
+        "num_removed_files" -> nRemoves.toString)
+      w.write(s"""{"commitInfo":{"timestamp":$ts,"operation":${jStr(operation)},"operationParameters":${jMap(parameters)},"operationMetrics":${jMap(metrics)}}}""")
+      w.newLine()
+    } finally w.close()
+  }
+
   /** Overwrite or append `df` as a new commit. Overwrite logically removes
     * previous active files (they stay on disk — that is what VACUUM is for,
     * and what the orphan/vacuum metrics detect). */

@@ -32,6 +32,26 @@ object PlanAudit {
         snap.data.explain("formatted")
         snap.unpersist()
         graft.deltalog.DeltaFixtureWriter.drop(path)
+      case "optimize" =>
+        // the distributed OPTIMIZE path: selection = manifest filter + agg +
+        // join; rewrite = one manifest-joined scan of the chosen files. The
+        // plans must contain no long literal file list (driver enumeration)
+        println(s"########## optimize (Maintenance.optimizeSelection + rewrite join)")
+        val path = java.nio.file.Files.createTempDirectory("graft_planaudit_opt").toString
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+        graft.deltalog.DeltaFixtureWriter.write(li, path, "overwrite", Seq("l_returnflag"))
+        graft.deltalog.DeltaFixtureWriter.write(li.limit(500), path, "append", Seq("l_returnflag"))
+        val snap = graft.deltalog.DeltaLog.snapshot(spark, path)
+        val chosen = graft.operators.Maintenance.optimizeSelection(
+          snap, 128L * 1024 * 1024, 64L * 1024 * 1024)
+        chosen.explain("formatted")
+        snap.dataWithFile.foreach(rows =>
+          rows.join(chosen.select(org.apache.spark.sql.functions.col("path").as("__file"),
+              org.apache.spark.sql.functions.col("bin")), "__file")
+            .explain("formatted"))
+        snap.unpersist()
+        graft.deltalog.DeltaFixtureWriter.drop(path)
       case name =>
         println(s"########## $name")
         graft.SparkEntry.queries(name)(spark, dir).explain("formatted")

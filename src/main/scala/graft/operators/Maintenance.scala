@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 import graft.deltalog.{DeltaFixtureWriter, DeltaLog}
 
 /** Maintenance operations the health analysis recommends (H12) — the engine
@@ -17,9 +19,92 @@ import graft.deltalog.{DeltaFixtureWriter, DeltaLog}
   */
 object Maintenance {
 
-  /** OPTIMIZE compact (S10 as an engine capability). */
-  def optimize(spark: SparkSession, tablePath: String): Unit =
-    DeltaFixtureWriter.compact(spark, tablePath)
+  /** OPTIMIZE (S10 as an engine capability) — DISTRIBUTED small-file
+    * compaction, the scale-path replacement for the fixture compactor
+    * ([[graft.deltalog.DeltaFixtureWriter.compact]], which stays
+    * fixture/test-scope: it collects paths and java.io-walks the table dir).
+    *
+    * Semantics: per Hive partition, active files smaller than
+    * `smallFileBytes` (default targetFileBytes/2) are bin-packed into
+    * ~targetFileBytes outputs; partitions with fewer than two small files
+    * are left untouched (nothing to gain), as are files already at target
+    * size — real OPTIMIZE never rewrites the whole table.
+    *
+    * Scale shape — no driver file enumeration anywhere:
+    *  - selection: a filter + aggregation over the DISTRIBUTED active-file
+    *    manifest (never collected; the partition key is the sorted-entry
+    *    JSON of `partitionValues`, so map internal order can't split a
+    *    partition);
+    *  - bin assignment: ceil(partitionSmallBytes / target) bins per
+    *    partition, files hashed to bins — a join of the manifest against
+    *    per-partition bin counts, all distributed. Bins are size CEILINGS,
+    *    approximately honored: two bins that hash-collide into one shuffle
+    *    task (or get AQE-coalesced) merge into one larger output — benign
+    *    over-packing, never a correctness issue;
+    *  - rewrite: ONE scan of the selected files' rows (the snapshot's
+    *    manifest-joined read), shuffled by (partition cols, bin) so each
+    *    task writes whole output files, appended with partitionBy;
+    *  - discovery: distributed before/after listings
+    *    ([[StorageAnalyzer.folderFilesDistributed]]) anti-joined — only the
+    *    NEW file entries (one per output bin) reach the driver;
+    *  - commit: removes stream through `toLocalIterator` into the
+    *    line-streaming commit writer — a million-file remove list never
+    *    exists as a driver collection.
+    *
+    * Single-writer assumption, like every commit writer here (no
+    * concurrent-commit arbitration — that is a transaction-protocol
+    * concern, not a compaction one). */
+  def optimize(spark: SparkSession, tablePath: String,
+               targetFileBytes: Long = 128L * 1024 * 1024,
+               smallFileBytes: Long = 0L): Unit = {
+    import spark.implicits._
+    val smallThr = if (smallFileBytes > 0L) smallFileBytes else targetFileBytes / 2
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val logTable = DeltaLog.stripSchemeStr(tablePath)
+    val partCols = snap.partitionColumns
+    def noop(): Unit =
+      DeltaFixtureWriter.logCommit(logTable, snap.version + 1, "OPTIMIZE",
+        Seq("predicate" -> "[]", "targetFileBytes" -> targetFileBytes.toString))
+    try {
+      snap.dataWithFile match {
+        case None => noop()
+        case Some(rows) =>
+          val chosen = optimizeSelection(snap, targetFileBytes, smallThr).cache()
+          try {
+            if (chosen.isEmpty) noop()
+            else {
+              val qualified = snap.qualifiedTablePath
+              val before = StorageAnalyzer
+                .folderFilesDistributed(spark, qualified).cache()
+              before.count() // pin the pre-write listing before writing
+              val toRewrite = rows
+                .join(chosen.select(col("path").as("__file"), col("bin")), "__file")
+              val shuffleKeys = partCols.map(col) :+ col("bin")
+              val w = toRewrite.repartition(shuffleKeys: _*)
+                .drop("__file", "bin")
+                .write.mode("append")
+              (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+                .parquet(qualified)
+              val added = StorageAnalyzer.folderFilesDistributed(spark, qualified)
+                .join(before.select(col("path")), Seq("path"), "left_anti")
+                .select(DeltaLog.relativize(col("path"), qualified).as("path"),
+                  col("size"))
+                .as[(String, Long)]
+                .collect() // one entry per output bin — small by construction
+              before.unpersist()
+              DeltaFixtureWriter.writeCommitStream(logTable, snap.version + 1,
+                "OPTIMIZE",
+                Seq("predicate" -> "[]",
+                    "targetFileBytes" -> targetFileBytes.toString),
+                adds = added.sortBy(_._1).iterator,
+                removes = chosen.select(col("path")).orderBy(col("path"))
+                  .as[String].toLocalIterator().asScala,
+                partitionBy = partCols)
+            }
+          } finally { chosen.unpersist(); () }
+      }
+    } finally snap.unpersist()
+  }
 
   /** RESTORE to an earlier version: metadata-only commit re-activating the
     * target snapshot's file set (and its schema, if evolved since); see
@@ -27,6 +112,28 @@ object Maintenance {
     * java.nio-based commit writer, like [[vacuum]]'s logCommit. */
   def restore(spark: SparkSession, tablePath: String, version: Long): Unit =
     DeltaFixtureWriter.restore(spark, DeltaLog.stripSchemeStr(tablePath), version)
+
+  /** The DISTRIBUTED file-selection + bin-assignment frame of [[optimize]]:
+    * (path, bin) for every small file in a ≥2-small-file partition. Exposed
+    * separately so PlanAudit can verify the plan contains no driver file
+    * enumeration (it is manifest aggregations + a join, end to end). */
+  private[graft] def optimizeSelection(snap: graft.deltalog.DeltaSnapshot,
+                                       targetFileBytes: Long,
+                                       smallThr: Long): DataFrame = {
+    val pkey = to_json(array_sort(map_entries(col("partitionValues"))))
+    val small = snap.activeFiles
+      .where(col("size") < smallThr)
+      .select(col("path"), col("size"), pkey.as("pkey"))
+    val bins = small.groupBy(col("pkey"))
+      .agg(count(lit(1)).as("n"), sum(col("size")).as("bytes"))
+      .where(col("n") >= 2)
+      .select(col("pkey"),
+        greatest(lit(1L), ceil(col("bytes").cast("double") / targetFileBytes))
+          .cast("int").as("n_bins"))
+    small.join(bins, "pkey")
+      .select(col("path"),
+        pmod(xxhash64(col("path")), col("n_bins")).cast("int").as("bin"))
+  }
 
   /** VACUUM: delete on-disk data files that are not in the active manifest
     * and are older than `retainMs` (by filesystem modification time).

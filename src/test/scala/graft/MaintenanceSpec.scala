@@ -273,6 +273,56 @@ class MaintenanceSpec extends SparkSuite {
       (2L, 11L, 1), (2L, 10L, 2)).sorted)
   }
 
+  test("optimize: compacts only multi-small-file partitions, streams the commit, preserves data") {
+    val path = tmpDir("opt_dist")
+    val mk = (ids: Seq[Long], day: String) =>
+      // one task per write → exactly one file per touched partition dir
+      ids.map(i => (i, i * 1.5, day)).toDF("id", "v", "day").coalesce(1)
+    // day=Mon gets 3 small files; day=Tue exactly one — must stay untouched
+    DeltaFixtureWriter.write(mk(Seq(1L, 2L), "Mon"), path, "overwrite", Seq("day"))
+    DeltaFixtureWriter.write(mk(Seq(3L, 4L), "Mon"), path, "append", Seq("day"))
+    DeltaFixtureWriter.write(mk(Seq(5L), "Mon"), path, "append", Seq("day"))
+    DeltaFixtureWriter.write(mk(Seq(6L, 7L), "Tue"), path, "append", Seq("day"))
+    val beforeSnap = DeltaLog.snapshot(spark, path)
+    val tueFile = beforeSnap.activeFiles
+      .where(element_at(col("partitionValues"), "day") === "Tue")
+      .select("path").as[String].collect().toSeq
+    assert(tueFile.size === 1)
+    beforeSnap.unpersist()
+
+    Maintenance.optimize(spark, path)
+
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.data.select("id").as[Long].collect().sorted.toSeq ===
+      (1L to 7L), "every row survives compaction")
+    val byDay = snap.activeFiles
+      .groupBy(element_at(col("partitionValues"), "day").as("day")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDay === Map("Mon" -> 1L, "Tue" -> 1L),
+      "Mon bin-packed to one file, Tue left alone")
+    assert(snap.activeFiles.where(col("path").isin(tueFile: _*)).count() === 1L,
+      "the single Tue file was NOT rewritten")
+    val metrics = snap.history.where(col("operation") === "OPTIMIZE")
+      .select("operationMetrics").collect().head.getMap[String, String](0)
+    assert(metrics("num_added_files") === "1" && metrics("num_removed_files") === "3")
+    snap.unpersist()
+
+    // a tiny target forces one bin per input file; bins may still merge
+    // when (pkey, bin) hash-collide into one shuffle task or AQE coalesces
+    // tiny partitions (over-packing, never data loss) — so assert the
+    // rewrite happened and data survived, not an exact fan-out
+    DeltaFixtureWriter.write(mk(Seq(8L, 9L), "Wed"), path, "append", Seq("day"))
+    DeltaFixtureWriter.write(mk(Seq(10L), "Wed"), path, "append", Seq("day"))
+    Maintenance.optimize(spark, path, targetFileBytes = 1L, smallFileBytes = 1L << 20)
+    val snap2 = DeltaLog.snapshot(spark, path)
+    val wedMetrics = snap2.history.where(col("operation") === "OPTIMIZE")
+      .orderBy(col("version").desc).limit(1)
+      .select("operationMetrics").collect().head.getMap[String, String](0)
+    assert(wedMetrics("num_removed_files") === "2", "both Wed files rewritten")
+    assert(snap2.data.count() === 10L)
+    snap2.unpersist()
+  }
+
   test("optimize then vacuum: full maintenance cycle on a churned table") {
     val path = tmpDir("cycle")
     TestFixtures.buildOrphanTable(spark, path)
