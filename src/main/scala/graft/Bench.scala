@@ -2,9 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Headline benchmark: runs every contract query `SPARK_GRAFT_BENCH_ROUNDS`
-  * times (default 3) and reports the per-query MEDIAN (plus min/max spread),
-  * so one JIT hiccup or page-cache miss can't masquerade as a regression —
-  * compare medians across rounds and only chase deltas that persist.
+  * times (default 5 — n=3 medians proved too noisy to adjudicate sub-second
+  * regressions under host load) and reports the per-query MEDIAN (plus
+  * min/max spread), so one JIT hiccup or page-cache miss can't masquerade as
+  * a regression — compare medians across rounds and only chase deltas that
+  * persist. Any query whose max exceeds 3x its median additionally dumps its
+  * full per-run sample vector, so an outlier ships with the evidence needed
+  * to tell first-run codegen from a mid-run stall.
   * Signature caches are released between rounds so every round measures the
   * same (cold-cache) work. Emits ONE JSON line; `value` is the sum of
   * per-query medians. */
@@ -12,7 +16,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     val spark = GraftSession.localBuilder(cpus.toInt, "graft-bench")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -57,6 +61,15 @@ object Bench {
     // spread on its own line: with ~40 queries the combined line overflows
     // the harness's 2 KB output-tail window and the headline never parses
     println(s"""{"detail":"spread_min_max","runs":$rounds,"spread":$spread}""")
+    // outliers get their full sample vector: run order tells first-run
+    // codegen/JIT (slow run is sample 1) from a mid-run stall (it isn't)
+    val outliers = ok.filter(n => samples(n).max > 3 * med(n))
+    if (outliers.nonEmpty) {
+      val runsJson = outliers.map { n =>
+        "\"" + n + "\":[" + samples(n).map(r3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      println(s"""{"detail":"outlier_runs_in_order","queries":$runsJson}""")
+    }
     val qs = ok.map(n => "\"" + n + "\":" + r3(med(n))).mkString("{", ",", "}")
     val errJson = errors.map { case (n, m) => "\"" + n + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")

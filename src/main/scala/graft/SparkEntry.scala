@@ -91,6 +91,7 @@ object SparkEntry {
     "chunk_plan" -> (PipelineQueries.chunkPlan _),
     "char_entropy" -> (PipelineQueries.charEntropy _),
     "tfidf_topterms" -> (PipelineQueries.tfidfTopTerms _),
+    "line_dedup" -> (PipelineQueries.lineDedup _),
     "pack_plan" -> (PipelineQueries.packPlan _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,6 +143,7 @@ object SparkEntry {
     "chunk_plan" -> Oracles.chunkPlan,
     "char_entropy" -> Oracles.charEntropy,
     "tfidf_topterms" -> Oracles.tfidfTopTerms,
+    "line_dedup" -> Oracles.lineDedup,
     "pack_plan" -> Oracles.packPlan)
     // Remaining rows-only entry (47/48 oracle-backed since round 6 —
     // dedup_simhash graduated to a full brute-force value oracle via the

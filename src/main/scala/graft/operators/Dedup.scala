@@ -57,6 +57,50 @@ object Dedup {
     df.join(keep, keyCols :+ idCol, "left_semi")
   }
 
+  /** Corpus-wide line-level dedup (CCNet-style paragraph dedup,
+    * github.com/facebookresearch/cc_net's `dedup` stage semantics): every
+    * non-empty line keeps only its FIRST corpus occurrence (ordered by
+    * (id, line_no)); later occurrences — boilerplate headers, footers,
+    * repeated paragraphs — are removed and the documents reassembled.
+    * Returns one row per input document: (id, clean_text, n_lines_kept),
+    * with clean_text = '' when every line was a duplicate.
+    *
+    * Scale shape: lines are keyed by their 64-bit xxhash64 (8-byte shuffle
+    * keys instead of full line bodies; distinct-line identity is exact
+    * barring a 64-bit collision — the standing kernel premise). The
+    * first-occurrence choice is a partial-aggregable `min(struct(id,
+    * line_no))` groupBy, NOT a row_number window: a boilerplate line
+    * present in every document is the hot key by construction, and the
+    * map-side combine collapses it to one row per task where a window
+    * would buffer the entire corpus's copies in a single reducer.
+    * Reassembly is one more hash agg keyed on the doc id. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("line_no", "line")))
+      .where(length(trim(col("line"))) > 0)
+      .withColumn("line_h", xxhash64(col("line")))
+    val firsts = lines.groupBy(col("line_h"))
+      .agg(min(struct(col(idCol).as("fid"), col("line_no").as("fno")))
+        .as("first_occ"))
+    // the join shuffles on line_h — the exact partitioning the aggregate
+    // just produced, so the firsts side reuses its exchange
+    val kept = lines.join(firsts, "line_h")
+      .where(col("first_occ.fid") === col(idCol) &&
+        col("first_occ.fno") === col("line_no"))
+    val assembled = kept.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("line_no"), col("line"))))
+        .as("ls"))
+      .select(col(idCol), array_join(col("ls.line"), "\n").as("clean_text"),
+        size(col("ls")).cast("long").as("n_lines_kept"))
+    // documents whose every line was a duplicate fall out of the aggregate;
+    // reattach them with empty text so output stays one row per input doc
+    df.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word w-shingles (default w=3) of normalized text. */

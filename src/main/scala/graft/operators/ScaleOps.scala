@@ -125,4 +125,65 @@ object ScaleOps {
   def hotKeys(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc).limit(topN)
+
+  // ----------------------------------------------------- bloom prefilter
+
+  /** A Bloom filter whose membership test is a pure Catalyst column —
+    * `mightContain` compiles into whole-stage codegen (murmur3 `hash` +
+    * array-literal bit test), so a prefilter sits INSIDE the scan stage
+    * instead of breaking it with a UDF. Builder and probe derive bit
+    * positions from the identical `hash(key, seed_i) mod numBits` formula
+    * over the identical column type, which is what guarantees ZERO false
+    * negatives: any prefilter built here may only pass extra rows, never
+    * drop a true match, so `prefilter → exact join` ≡ `exact join`.
+    *
+    * The bit words travel inside the plan as an array literal — sized by
+    * the *filter*, not the keys (numBits/64 longs; the default sizing is
+    * ~1.2 MB per million keys at 1% fpp), the same payload a broadcast
+    * variable would carry, minus the closure/UDF machinery. */
+  final case class BloomColumn(bits: Array[Long], numBits: Int,
+                               numHashes: Int) {
+    private def pos(key: Column, i: Int): Column =
+      pmod(hash(key, lit(i)), lit(numBits))
+    def mightContain(key: Column): Column = {
+      val bitsLit = lit(bits)
+      (0 until numHashes).map { i =>
+        val p = pos(key, i)
+        call_function("shiftright",
+          element_at(bitsLit, (p / 64).cast("int") + 1),
+          pmod(p, lit(64)).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    }
+  }
+
+  /** Build a [[BloomColumn]] from a key column, fully distributed: each key
+    * explodes to its `numHashes` bit positions, positions fold into 64-bit
+    * words via a `bit_or` hash aggregate (map-side combine collapses
+    * duplicates), and only the ≤ numBits/64 (wordIdx, word) rows reach the
+    * driver — the collect is bounded by the FILTER size, never the key
+    * count. Standard sizing: numBits = −n·ln(fpp)/ln²2, numHashes =
+    * (m/n)·ln2 (Bloom '70). `keyCol` must have the same data type the
+    * probe side will pass to `mightContain` — `hash` is type-sensitive. */
+  def bloomFor(keys: DataFrame, keyCol: String, expectedItems: Long,
+               fpp: Double = 0.01): BloomColumn = {
+    require(expectedItems > 0, s"bad expectedItems $expectedItems")
+    require(fpp > 0 && fpp < 1, s"bad fpp $fpp")
+    val ln2 = math.log(2)
+    val m0 = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
+    val numBits = math.min(m0.max(64), Int.MaxValue.toLong / 2).toInt
+    val numHashes = math.max(1,
+      math.round(numBits.toDouble / expectedItems * ln2).toInt)
+    val posCols = (0 until numHashes)
+      .map(i => pmod(hash(col(keyCol), lit(i)), lit(numBits)))
+    val words = keys
+      .select(explode(array(posCols: _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64))
+          .cast("int")).as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("word"))
+      .collect()
+    val arr = new Array[Long]((numBits + 63) / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    BloomColumn(arr, numBits, numHashes)
+  }
 }

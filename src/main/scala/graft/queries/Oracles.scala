@@ -384,6 +384,35 @@ object Oracles {
       |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Line-level (paragraph) dedup over docs with injected boilerplate:
+    * first corpus occurrence of each non-empty line wins (ordered by
+    * (doc_id, line_no)), documents reassembled; docs left with no lines
+    * come back as empty strings. Mirrors Dedup.dedupLines exactly. */
+  val lineDedup: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text || chr(10) || 'subscribe to our newsletter for updates'
+      |         || chr(10) || 'copyright 2026 ' || source AS text
+      |  FROM documents),
+      |split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+      |lined AS (
+      |  SELECT doc_id, unnest(range(0, len(ls))) AS line_no, ls FROM split),
+      |lines AS (
+      |  SELECT doc_id, CAST(line_no AS BIGINT) AS line_no,
+      |    ls[line_no + 1] AS line
+      |  FROM lined WHERE length(trim(ls[line_no + 1])) > 0),
+      |kept AS (
+      |  SELECT doc_id, line_no, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      |  FROM lines),
+      |agg AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+      |    CAST(count(*) AS BIGINT) AS n_lines_kept
+      |  FROM kept WHERE rn = 1 GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |  coalesce(a.n_lines_kept, CAST(0 AS BIGINT)) AS n_lines_kept
+      |FROM docs d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Shared CTE chain: planted corpus -> normalized word tokens -> distinct
     * word-3-shingle sets (w = min(3, ntok), exactly MinHashKernel's rule) ->
     * all pairs with exact set Jaccard >= 0.7. This is the BRUTE-FORCE ground

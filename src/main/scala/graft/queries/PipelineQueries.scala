@@ -252,6 +252,21 @@ object PipelineQueries {
         k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
+  /** Corpus-wide line dedup over documents with deterministically injected
+    * boilerplate (a newsletter line shared by ALL docs and a per-source
+    * copyright footer) — the classic CCNet paragraph-dedup scenario: the
+    * operator must keep each boilerplate line only at its first corpus
+    * occurrence and leave first-occurrence body text byte-intact. Fully
+    * value-checked: DuckDB reproduces the same first-occurrence choice and
+    * string reassembly. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"),
+      concat_ws("\n", col("text"),
+        lit("subscribe to our newsletter for updates"),
+        concat(lit("copyright 2026 "), col("source"))).as("text"))
+    Dedup.dedupLines(docs, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------- rows-only (no SQL)
 
   /** MinHash+LSH near-dup pairs (finds the planted dups). */

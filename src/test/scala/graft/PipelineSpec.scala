@@ -319,6 +319,35 @@ class PipelineSpec extends SparkSuite {
     assert(out.toSeq === Seq(1L, 3L))
   }
 
+  test("dedupLines: first corpus occurrence wins, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma\n\n  \nalpha"),
+      (3L, "shared line"),
+      (4L, "delta\ndelta")).toDF("id", "text")
+    val out = Dedup.dedupLines(docs, "id", "text")
+      .orderBy("id").as[(Long, String, Long)].collect()
+    assert(out(0) === ((1L, "alpha\nshared line\nbeta", 3L)),
+      "doc 1 holds every first occurrence byte-intact")
+    assert(out(1) === ((2L, "gamma", 1L)),
+      "repeats of doc-1 lines and blank lines drop, order preserved")
+    assert(out(2) === ((3L, "", 0L)),
+      "a fully-deduplicated doc stays present with empty text")
+    assert(out(3) === ((4L, "delta", 1L)),
+      "a within-document repeat is a duplicate too")
+  }
+
+  test("line_dedup query: boilerplate survives once, copyright once per source") {
+    val out = PipelineQueries.lineDedup(spark, sf())
+    assert(out.where(
+      col("clean_text").contains("subscribe to our newsletter")).count() === 1L,
+      "the all-docs boilerplate line survives exactly once")
+    val nSources = table("documents").select(countDistinct("source"))
+      .as[Long].first()
+    assert(out.where(col("clean_text").contains("copyright 2026")).count()
+      === nSources, "the per-source footer survives once per source")
+  }
+
   test("redactPii: email/ip/phone replaced, clean text untouched") {
     import graft.functions.TextFunctions
     val df = Seq(
