@@ -81,6 +81,7 @@ object SparkEntry {
     "knn_lsh" -> (PipelineQueries.knnLsh _),
     "hash_split" -> (PipelineQueries.hashSplit _),
     "decontamination" -> (PipelineQueries.decontamination _),
+    "decontamination_bloom" -> (PipelineQueries.decontaminationBloom _),
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
     "ngram_exact" -> (PipelineQueries.ngramExact _),
     "repetition_stats" -> (PipelineQueries.repetitionStats _),
@@ -132,6 +133,10 @@ object SparkEntry {
     "knn_lsh" -> Oracles.knnLsh,
     "hash_split" -> Oracles.hashSplit,
     "decontamination" -> Oracles.decontamination,
+    // the bloom prefilter is provably lossless, so the exact-join oracle
+    // applies unchanged — the value check proves the prefilter dropped
+    // nothing (same pattern as knn_ivf's full-probe ≡ brute-force)
+    "decontamination_bloom" -> Oracles.decontamination,
     "vocab_topk" -> Oracles.vocabTopK,
     "knn_ivf" -> Oracles.knnBruteforce,  // full probe ≡ exact brute force
     "ngram_exact" -> Oracles.ngramExact,

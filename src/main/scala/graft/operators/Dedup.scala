@@ -246,6 +246,39 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** [[crossNgramOverlap]] with a Bloom prefilter on the corpus side — the
+    * shape to reach for when the corpus is 100 TB and the benchmark is not:
+    * the plain equi-join shuffles EVERY corpus shingle, but almost none of
+    * them exist on the benchmark side, so a benchmark-keyed Bloom filter
+    * ([[ScaleOps.bloomFor]] — built distributed, probed inside whole-stage
+    * codegen) drops the non-candidates before the exchange. Result is
+    * PROVABLY identical to the exact operator: the filter has zero false
+    * negatives by construction, and its false positives (rate `fpp`) are
+    * eliminated by the exact join that still follows. Shuffle volume falls
+    * from |corpus shingles| to |true matches| + fpp·|corpus shingles|.
+    *
+    * The benchmark side is traversed twice (filter build + join); it is
+    * cached via [[track]] for the session like the LSH signature frames. */
+  def crossNgramOverlapBloom(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String,
+                             w: Int = 3, minShared: Int = 5,
+                             fpp: Double = 0.01): DataFrame = {
+    def side(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(minhashExprs.wordShingleSet(col(textCol), w)).as("sh"))
+    val bench = track(side(benchmark, "bench_id").persist())
+    val benchSh = bench.select(col("sh")).distinct()
+    // eager count on the SMALL side only — it sizes the filter
+    val nBench = benchSh.count()
+    val bloom = ScaleOps.bloomFor(benchSh, "sh", math.max(nBench, 1L), fpp)
+    side(corpus, "doc_id")
+      .where(bloom.mightContain(col("sh")))
+      .join(bench, "sh")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Exact Jaccard over two string arrays (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

@@ -142,6 +142,19 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** Bloom-prefiltered decontamination — MUST produce byte-identical output
+    * to [[decontamination]] (zero false negatives by construction, false
+    * positives removed by the exact join), so it shares that query's DuckDB
+    * oracle: the value check proves the prefilter dropped nothing. */
+  def decontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlants(spark, dir)
+    Dedup.crossNgramOverlapBloom(
+        corpus = docs.where(col("doc_id") < PlantShift),
+        benchmark = docs.where(col("doc_id") >= PlantShift),
+        "doc_id", "text", w = 3, minShared = 5)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   /** Brute-force char-trigram Jaccard over a bounded slice — the exact-math
     * twin of dedup_ngram: value-checks the charShingleSet kernel (ASCII
     * normalization, min(n, len) whole-string window, distinct trigram set)

@@ -312,6 +312,13 @@ class PipelineSpec extends SparkSuite {
     assert(selfHits.forall(_.getLong(2) >= 5L))
   }
 
+  test("decontamination with bloom prefilter ≡ exact decontamination") {
+    val exact = PipelineQueries.decontamination(spark, sf())
+    val bloomed = PipelineQueries.decontaminationBloom(spark, sf())
+    assert(bloomed.exceptAll(exact).isEmpty && exact.exceptAll(bloomed).isEmpty,
+      "prefilter must be lossless: exact join output byte-identical")
+  }
+
   test("dedupKeepMin removes exact duplicates keeping min id") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     val out = Dedup.dedupKeepMin(df, "id", Seq("k"))

@@ -65,6 +65,33 @@ class ScaleOpsSpec extends SparkSuite {
     assert(again.collect().map(_.toSeq).toSet === res.collect().map(_.toSeq).toSet)
   }
 
+  test("bloom prefilter: zero false negatives, fpp in the right ballpark") {
+    val members = spark.range(0, 5000).select((col("id") * 7919L).as("k"))
+    val bloom = ScaleOps.bloomFor(members, "k", expectedItems = 5000,
+      fpp = 0.01)
+    assert(members.where(!bloom.mightContain(col("k"))).count() === 0L,
+      "a member must never be rejected")
+    // disjoint probe domain (odd offsets of the 7919-multiples)
+    val probes = spark.range(0, 20000).select((col("id") * 7919L + 1L).as("k"))
+    val fp = probes.where(bloom.mightContain(col("k"))).count()
+    assert(fp < 20000 * 0.05, s"false-positive count $fp far above 1% target")
+  }
+
+  test("bloom prefilter: membership test stays inside whole-stage codegen") {
+    val members = spark.range(0, 100).select(col("id").as("k"))
+    val bloom = ScaleOps.bloomFor(members, "k", expectedItems = 100)
+    val probe = spark.range(0, 1000).select(col("id").as("k"))
+      .where(bloom.mightContain(col("k")))
+    // `*(n)` is executedPlan.toString's marker for a WholeStageCodegen span;
+    // the Filter carrying the bloom test must sit inside one
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Filter")),
+      s"bloom probe fell out of codegen:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), "probe must be a native expression")
+  }
+
   test("salted counts == plain counts (skew-safe two-phase form)") {
     val li = table("lineitem")
     val plain = li.groupBy("l_returnflag").count()
