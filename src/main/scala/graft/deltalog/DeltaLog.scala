@@ -128,6 +128,89 @@ object DeltaLog {
     }
   }
 
+  /** Change Data Feed between two versions — row-level changes with
+    * `_change_type` ('insert' / 'delete') and `_commit_version`, computed
+    * from the log's add/remove actions (Delta's `table_changes` semantics
+    * for copy-on-write tables without materialized CDC files: an update
+    * surfaces as delete + insert). `(fromVersion, toVersion]`, exclusive
+    * start like Delta's readChangeFeed startingVersion semantics are
+    * inclusive — here the FROM snapshot is the baseline, so changes start
+    * at fromVersion+1.
+    *
+    * How: one distributed scan of the table directory (same listing
+    * discipline as [[DeltaSnapshot.dataWithFile]]) joined against the
+    * per-version (path, action) manifest of the requested window. A
+    * rewriting commit (DELETE, OPTIMIZE, MERGE) both removes and re-adds
+    * the surviving rows, so the net change per row is the ADD multiplicity
+    * minus the REMOVE multiplicity within the commit: one hash aggregate
+    * over (row, version) computes it, and `sequence`-explode re-emits
+    * |net| copies — no per-version driver loop, no exceptAll cascade, one
+    * shuffle keyed by the changed rows themselves. Compaction commits net
+    * to zero everywhere and correctly vanish from the feed.
+    *
+    * Requires the window's removed files to still exist on disk (VACUUM
+    * destroys pre-vacuum change history — the same constraint real Delta
+    * CDF has when CDC files were never materialized). Partition values
+    * reattach from the union of every version's add actions, which
+    * necessarily covers every file the window can reference. */
+  def changes(spark: SparkSession, tablePath: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    import spark.implicits._
+    require(fromVersion <= toVersion,
+      s"bad change window ($fromVersion, $toVersion]")
+    val snap = snapshot(spark, tablePath)
+    try {
+      val qualified = snap.qualifiedTablePath
+      val acts = snap.actions
+      val win = acts.where($"version" > fromVersion && $"version" <= toVersion)
+      val addM = win.where($"add".isNotNull)
+        .select($"add.path".as("__file"), $"version", lit(1L).as("__sign"))
+      val remM = win.where($"remove".isNotNull)
+        .select($"remove.path".as("__file"), $"version", lit(-1L).as("__sign"))
+      val manifest = addM.union(remM)
+      // partition values from ALL adds (any version) — a removed file was
+      // added in some earlier commit, so this lookup always covers it
+      val partVals = acts.where($"add".isNotNull)
+        .select($"add.path".as("__file"), $"add.partitionValues".as("__pv"))
+        .groupBy($"__file").agg(min_by($"__pv", $"__file").as("__pv"))
+      val activeSchema: StructType = snap.tableSchema match {
+        case Some(full) => StructType(
+          full.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+        case None => throw new IllegalStateException(
+          s"$tablePath: no schemaString in log; CDF needs a schema authority")
+      }
+      val root = new org.apache.hadoop.fs.Path(qualified)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(root).toSeq
+        .filterNot(_.getPath.getName == "_delta_log")
+        .map(_.getPath.toString)
+      if (entries.isEmpty) return spark.emptyDataFrame
+      val raw = spark.read
+        .schema(activeSchema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(entries: _*)
+        .withColumn("__file", relativize(col("_metadata.file_path"), qualified))
+      val dataCols = raw.columns.filterNot(_ == "__file").map(col).toSeq
+      val partCols = snap.partitionColumns.map(c =>
+        element_at($"__pv", c).as(c))
+      val changed = raw
+        .join(manifest, Seq("__file"))
+        .join(partVals, Seq("__file"))
+        .select((dataCols ++ partCols) :+ $"version" :+ $"__sign": _*)
+      val keyCols = changed.columns.filterNot(_ == "__sign").map(col).toSeq
+      changed
+        .groupBy(keyCols: _*)
+        .agg(sum($"__sign").as("__net"))
+        .where($"__net" =!= 0L)
+        .withColumn("_change_type",
+          when($"__net" > 0L, "insert").otherwise("delete"))
+        .withColumn("__dup", explode(sequence(lit(1L), abs($"__net"))))
+        .drop("__net", "__dup")
+        .withColumnRenamed("version", "_commit_version")
+    } finally snap.unpersist()
+  }
+
   /** True if `path` looks like a Delta table (has a `_delta_log` dir). */
   def isDeltaTable(spark: SparkSession, tablePath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(logDir(tablePath))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -104,6 +104,109 @@ object Maintenance {
           } finally { chosen.unpersist(); () }
       }
     } finally snap.unpersist()
+  }
+
+  /** OPTIMIZE ZORDER BY — multi-dimensional clustering rewrite (the Delta
+    * paper's Z-order compaction, Armbrust et al. VLDB'20 §4.3; the
+    * reference's health report recommends OPTIMIZE, this executes the
+    * clustered flavor). All active rows are rewritten ordered by a Z-value
+    * interleaving the bits of up to three cluster columns, so a file's
+    * min/max range is narrow in EVERY clustered dimension and a predicate
+    * on ANY of them prunes ~N^((d−1)/d) of the files — a linear sort gives
+    * that for the leading column only.
+    *
+    * Mapping to bits: each column is scaled to a 16-bit cell index by
+    * equal-width `width_bucket` over its global min/max (one aggregate job;
+    * the same fixed-width-representation approach Iceberg's z-order
+    * transform takes). Equal-width is skew-sensitive — a column with a few
+    * giant outliers collapses most rows into few cells; rank-based
+    * boundaries (range-partitioner sampling per column) are the upgrade
+    * path if that bites. Numeric/date/timestamp cluster columns only.
+    *
+    * Scale shape: one aggregate for min/max, one scan of the active rows,
+    * `repartitionByRange` on (hive partition cols, z) — distributed
+    * boundary sampling, no global sort on a single reducer — with
+    * `sortWithinPartitions` so every output file covers a contiguous
+    * Z-range. Bit interleave is a constant-shift expression tree inside
+    * whole-stage codegen. Commit flow mirrors [[optimize]]: distributed
+    * before/after listings diffed for the adds, removes streamed, never a
+    * driver file enumeration. Single-writer assumption as everywhere. */
+  def zorder(spark: SparkSession, tablePath: String, zorderCols: Seq[String],
+             targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import spark.implicits._
+    require(zorderCols.nonEmpty && zorderCols.size <= 3,
+      s"zorder takes 1-3 columns, got $zorderCols")
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val logTable = DeltaLog.stripSchemeStr(tablePath)
+    val partCols = snap.partitionColumns
+    require(zorderCols.forall(c => !partCols.contains(c)),
+      s"zorder columns must be data columns, not hive partition columns")
+    val zParams = Seq(
+      "zOrderBy" -> zorderCols.mkString("[\"", "\",\"", "\"]"),
+      "targetFileBytes" -> targetFileBytes.toString)
+    try {
+      snap.dataWithFile match {
+        case None =>
+          DeltaFixtureWriter.logCommit(logTable, snap.version + 1, "OPTIMIZE",
+            zParams)
+        case Some(rows) =>
+          val qualified = snap.qualifiedTablePath
+          // one job: global min/max per cluster column + total active bytes
+          val mmCols = zorderCols.flatMap(c => Seq(
+            min(col(c).cast("double")).as(s"mn_$c"),
+            max(col(c).cast("double")).as(s"mx_$c")))
+          val mm = rows.agg(mmCols.head, mmCols.tail: _*).first()
+          val nOut = math.max(1L, math.ceil(
+            snap.activeFiles.agg(coalesce(sum($"size"), lit(0L)))
+              .as[Long].first().toDouble / targetFileBytes).toLong).toInt
+          val z = zValue(zorderCols.zipWithIndex.map { case (c, i) =>
+            bucket16(col(c), mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+          })
+          val before = StorageAnalyzer
+            .folderFilesDistributed(spark, qualified).cache()
+          before.count() // pin the pre-write listing before writing
+          val shuffleKeys = partCols.map(col) :+ col("__z")
+          val w = rows.drop("__file").withColumn("__z", z)
+            .repartitionByRange(nOut, shuffleKeys: _*)
+            .sortWithinPartitions(shuffleKeys: _*)
+            .drop("__z")
+            .write.mode("append")
+          (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+            .parquet(qualified)
+          val added = StorageAnalyzer.folderFilesDistributed(spark, qualified)
+            .join(before.select(col("path")), Seq("path"), "left_anti")
+            .select(DeltaLog.relativize(col("path"), qualified).as("path"),
+              col("size"))
+            .as[(String, Long)]
+            .collect() // one entry per output file — nOut, small
+          before.unpersist()
+          DeltaFixtureWriter.writeCommitStream(logTable, snap.version + 1,
+            "OPTIMIZE", zParams,
+            adds = added.sortBy(_._1).iterator,
+            removes = snap.activeFiles.select(col("path"))
+              .orderBy(col("path")).as[String].toLocalIterator().asScala,
+            partitionBy = partCols)
+      }
+    } finally snap.unpersist()
+  }
+
+  /** Equal-width 16-bit cell index of `c` over [mn, mx]; constant columns
+    * (or all-null) land in cell 0. width_bucket maps v<mn→0, v≥mx→n+1, so
+    * the result is clamped back into [0, 65535]. */
+  private[graft] def bucket16(c: Column, mn: Double, mx: Double): Column =
+    if (!(mx > mn)) lit(0L)  // also covers NaN min/max (all-null column)
+    else least(greatest(
+      width_bucket(c.cast("double"), lit(mn), lit(mx), lit(65536)) - 1,
+      lit(0L)), lit(65535L))
+
+  /** Interleave the low 16 bits of up to four cell indices: bit j of
+    * column i lands at position j·k + i — the Morton / Z-order curve.
+    * Constant shifts only, so the whole tree stays codegen-friendly. */
+  private[graft] def zValue(cells: Seq[Column], bits: Int = 16): Column = {
+    val k = cells.size
+    val terms = for (j <- 0 until bits; i <- 0 until k) yield
+      shiftleft(shiftright(cells(i), j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_ bitwiseOR _)
   }
 
   /** RESTORE to an earlier version: metadata-only commit re-activating the

@@ -323,6 +323,110 @@ class MaintenanceSpec extends SparkSuite {
     snap2.unpersist()
   }
 
+  test("changes: CDF shows appends as inserts, deletes as deletes, compaction as nothing") {
+    val path = tmpDir("cdf")
+    val mk = (ids: Seq[Int], day: String) =>
+      ids.map(i => (i.toLong, day)).toDF("id", "day").coalesce(1)
+    DeltaFixtureWriter.write(mk(1 to 4, "Mon"), path, "overwrite", Seq("day")) // v0
+    DeltaFixtureWriter.write(mk(5 to 6, "Mon"), path, "append", Seq("day"))   // v1
+    DeltaFixtureWriter.delete(spark, path, "id >= 3 AND id <= 5")             // v2
+    Maintenance.optimize(spark, path, targetFileBytes = 1L << 20)             // v3
+
+    val ch = DeltaLog.changes(spark, path, 0, 3)
+      .select("id", "day", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(ch === Set(
+      (5L, "Mon", "insert", 1L), (6L, "Mon", "insert", 1L),
+      (3L, "Mon", "delete", 2L), (4L, "Mon", "delete", 2L),
+      (5L, "Mon", "delete", 2L)),
+      "survivor rewrites and the compaction commit must net to zero")
+
+    // window start is exclusive: (1, 2] sees only the delete commit
+    val win = DeltaLog.changes(spark, path, 1, 2)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(win === Set((3L, "delete"), (4L, "delete"), (5L, "delete")))
+
+    // empty window on a metadata-only span
+    assert(DeltaLog.changes(spark, path, 2, 3).isEmpty,
+      "pure compaction produces no row-level changes")
+  }
+
+  test("zValue: Morton interleave puts bit j of column i at position j*k+i") {
+    // a=3 (bits 0,1) → positions 0,2 = 5; b=5 (bits 0,2) → positions 1,5 = 34
+    val z = Seq((3L, 5L)).toDF("a", "b")
+      .select(Maintenance.zValue(Seq(col("a"), col("b"))).as("z"))
+      .as[Long].first()
+    assert(z === 39L)
+    // one column degenerates to the identity (k=1, positions j*1+0 = j)
+    val ident = Seq(12345L).toDF("a")
+      .select(Maintenance.zValue(Seq(col("a"))).as("z")).as[Long].first()
+    assert(ident === 12345L)
+  }
+
+  test("bucket16: monotone, clamped to [0, 65535], constant column → 0") {
+    val df = Seq(-5.0, 0.0, 50.0, 100.0, 999.0).toDF("v")
+      .select(Maintenance.bucket16(col("v"), 0.0, 100.0).as("b"))
+    val bs = df.as[Long].collect().toSeq
+    assert(bs === bs.sorted, "bucketing must preserve order")
+    assert(bs.head === 0L && bs.last === 65535L,
+      "out-of-range values clamp to the edge cells")
+    assert(bs(2) === 32768L, "midpoint lands mid-range")
+    val const = Seq(7.0).toDF("v")
+      .select(Maintenance.bucket16(col("v"), 7.0, 7.0).as("b"))
+      .as[Long].first()
+    assert(const === 0L)
+  }
+
+  test("zorder: clustered rewrite narrows per-file ranges on every dimension") {
+    val path = tmpDir("zorder")
+    val n = 64
+    // 64×64 grid written range-partitioned by x: a y-predicate prunes nothing
+    val grid = spark.range(0, n.toLong * n).select(
+      (col("id") / n).cast("long").as("x"),
+      (col("id") % n).cast("long").as("y"))
+    DeltaFixtureWriter.write(grid.repartitionByRange(16, col("x")), path,
+      "overwrite", Seq())
+
+    def filesOverlapping(c: String, lo: Long, hi: Long): (Long, Long) = {
+      val snap = DeltaLog.snapshot(spark, path)
+      val total = snap.activeFiles.count()
+      val hit = snap.dataWithFile.get
+        .groupBy(col("__file"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .where(col("mn") <= hi && col("mx") >= lo)
+        .count()
+      snap.unpersist()
+      (hit, total)
+    }
+    val (hitY0, total0) = filesOverlapping("y", 0, 7)
+    assert(total0 === 16L)
+    assert(hitY0 === total0, "linear-by-x layout cannot prune on y")
+
+    val snap0 = DeltaLog.snapshot(spark, path)
+    val bytes = snap0.detail.select("sizeInBytes").as[Long].first()
+    snap0.unpersist()
+    Maintenance.zorder(spark, path, Seq("x", "y"),
+      targetFileBytes = math.max(1L, bytes / 16))
+
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.data.count() === n.toLong * n, "every row survives")
+    assert(snap.data.agg(sum(col("x") * 64 + col("y"))).as[Long].first()
+      === (0L until n.toLong * n).sum, "cell multiset intact")
+    val params = snap.history.where(col("operation") === "OPTIMIZE")
+      .orderBy(col("version").desc).limit(1)
+      .select("operationParameters").collect().head.getMap[String, String](0)
+    assert(params("zOrderBy") === """["x","y"]""")
+    snap.unpersist()
+
+    val (hitY, totalZ) = filesOverlapping("y", 0, 7)
+    val (hitX, _) = filesOverlapping("x", 0, 7)
+    assert(totalZ >= 8L, s"clustered rewrite kept multiple files ($totalZ)")
+    assert(hitY <= totalZ * 2 / 3,
+      s"y-predicate must now prune files ($hitY of $totalZ overlap)")
+    assert(hitX <= totalZ * 2 / 3,
+      s"x-predicate must still prune files ($hitX of $totalZ overlap)")
+  }
+
   test("optimize then vacuum: full maintenance cycle on a churned table") {
     val path = tmpDir("cycle")
     TestFixtures.buildOrphanTable(spark, path)
