@@ -52,6 +52,35 @@ object PlanAudit {
             .explain("formatted"))
         snap.unpersist()
         graft.deltalog.DeltaFixtureWriter.drop(path)
+      case "changes" =>
+        // the CDF plan: one distributed dir scan + manifest join + ONE hash
+        // aggregate over signed multiplicities — no per-version driver loop,
+        // no exceptAll cascade, no literal file list
+        println(s"########## changes (DeltaLog.changes row-level CDF)")
+        val path = java.nio.file.Files.createTempDirectory("graft_planaudit_cdf").toString
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+        graft.deltalog.DeltaFixtureWriter.write(li, path, "overwrite", Seq("l_returnflag"))
+        graft.deltalog.DeltaFixtureWriter.write(li.limit(500), path, "append", Seq("l_returnflag"))
+        graft.deltalog.DeltaFixtureWriter.delete(spark, path, "l_quantity > 45")
+        graft.deltalog.DeltaLog.changes(spark, path, 0, 2).explain("formatted")
+        graft.deltalog.DeltaFixtureWriter.drop(path)
+      case "zorder" =>
+        // the clustered-rewrite shuffle: RangePartitioning on the z column
+        // (distributed boundary sampling), Morton interleave as a constant-
+        // shift expression inside the project — no global single-task sort
+        println(s"########## zorder (Maintenance z-value + range shuffle)")
+        import org.apache.spark.sql.functions.col
+        val grid = spark.range(0, 4096).select(
+          (col("id") / 64).cast("long").as("x"),
+          (col("id") % 64).cast("long").as("y"))
+        val z = graft.operators.Maintenance.zValue(Seq(
+          graft.operators.Maintenance.bucket16(col("x"), 0, 63),
+          graft.operators.Maintenance.bucket16(col("y"), 0, 63)))
+        grid.withColumn("__z", z)
+          .repartitionByRange(16, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .explain("formatted")
       case name =>
         println(s"########## $name")
         graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
