@@ -73,16 +73,25 @@ object DeltaLog {
     * replay is per-path last-add-wins, so pre-checkpoint JSONs coexist
     * harmlessly while they keep history/time-travel working, and replay
     * stays correct after expired JSON commits are cleaned. */
-  def readActions(spark: SparkSession, tablePath: String): DataFrame = {
-    // _metadata.file_name (not input_file_name(), which Spark's PreReadCheck
-    // forbids in multi-source plans — and snapshot replay joins this frame
-    // against the parquet scan)
-    val jsonActions = spark.read
+  /** The surviving JSON commits ONLY — per-commit action rows, version
+    * tagged from the file name. Unlike [[readActions]] this is NOT
+    * checkpoint-aware: a checkpoint's rows aggregate the table STATE at its
+    * version, not the commit's changes, so consumers that need per-commit
+    * deltas (CDF) must read from here and fail when the window's JSONs have
+    * been cleaned. */
+  def readJsonActions(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read
       .schema(actionSchema)
       .json(s"${logDir(tablePath)}/*.json")
       .withColumn(
         "version",
         regexp_extract(col("_metadata.file_name"), "(\\d+)\\.json$", 1).cast(LongType))
+
+  def readActions(spark: SparkSession, tablePath: String): DataFrame = {
+    // _metadata.file_name (not input_file_name(), which Spark's PreReadCheck
+    // forbids in multi-source plans — and snapshot replay joins this frame
+    // against the parquet scan)
+    val jsonActions = readJsonActions(spark, tablePath)
     lastCheckpointVersion(spark, tablePath) match {
       case None => jsonActions
       case Some(ckptV) =>
@@ -150,8 +159,13 @@ object DeltaLog {
     *
     * Requires the window's removed files to still exist on disk (VACUUM
     * destroys pre-vacuum change history — the same constraint real Delta
-    * CDF has when CDC files were never materialized). Partition values
-    * reattach from the union of every version's add actions, which
+    * CDF has when CDC files were never materialized), and the window's
+    * JSON commits to still be retained: per-commit deltas come from
+    * [[readJsonActions]], NEVER the checkpoint (whose rows aggregate table
+    * STATE at its version — treating them as changes would replay the whole
+    * active set as inserts). A window reaching below the retained log fails
+    * fast rather than returning a silently incomplete feed. Partition
+    * values reattach from the union of every version's add actions, which
     * necessarily covers every file the window can reference. */
   def changes(spark: SparkSession, tablePath: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
@@ -160,17 +174,32 @@ object DeltaLog {
       s"bad change window ($fromVersion, $toVersion]")
     val snap = snapshot(spark, tablePath)
     try {
+      require(toVersion <= snap.version,
+        s"change window ($fromVersion, $toVersion] exceeds current " +
+          s"version ${snap.version}")
       val qualified = snap.qualifiedTablePath
-      val acts = snap.actions
+      val acts = readJsonActions(spark, tablePath)
       val win = acts.where($"version" > fromVersion && $"version" <= toVersion)
+      // every commit writes a commitInfo line, so missing versions mean the
+      // window predates the retained JSON log (cleaned after a checkpoint)
+      val present = win.where($"commitInfo".isNotNull)
+        .select($"version").distinct().as[Long].collect().toSet
+      val missing = ((fromVersion + 1) to toVersion).filterNot(present)
+      require(missing.isEmpty,
+        s"change window ($fromVersion, $toVersion] reaches below the " +
+          s"retained JSON log: commit(s) ${missing.mkString(", ")} expired " +
+          "(cleaned after a checkpoint) — per-commit changes are " +
+          "unrecoverable from a state checkpoint")
       val addM = win.where($"add".isNotNull)
         .select($"add.path".as("__file"), $"version", lit(1L).as("__sign"))
       val remM = win.where($"remove".isNotNull)
         .select($"remove.path".as("__file"), $"version", lit(-1L).as("__sign"))
       val manifest = addM.union(remM)
-      // partition values from ALL adds (any version) — a removed file was
-      // added in some earlier commit, so this lookup always covers it
-      val partVals = acts.where($"add".isNotNull)
+      // partition values from ALL adds (any version), CHECKPOINT-AWARE
+      // (snap.actions, not the JSON window): a file removed inside the
+      // window may have been added in a commit whose JSON has expired —
+      // its add action survives only as a checkpoint row
+      val partVals = snap.actions.where($"add".isNotNull)
         .select($"add.path".as("__file"), $"add.partitionValues".as("__pv"))
         .groupBy($"__file").agg(min_by($"__pv", $"__file").as("__pv"))
       val activeSchema: StructType = snap.tableSchema match {
@@ -185,6 +214,18 @@ object DeltaLog {
         .filterNot(_.getPath.getName == "_delta_log")
         .map(_.getPath.toString)
       if (entries.isEmpty) return spark.emptyDataFrame
+      // fail fast if VACUUM already reclaimed a window file: the manifest
+      // join would otherwise silently drop its rows and emit an incomplete
+      // feed. One distributed LISTING job (no data scan).
+      val missingFiles = manifest.select($"__file").distinct()
+        .join(
+          graft.operators.StorageAnalyzer.folderFilesDistributed(spark, qualified)
+            .select(relativize($"path", qualified).as("__file")),
+          Seq("__file"), "left_anti")
+        .limit(3).as[String].collect()
+      require(missingFiles.isEmpty,
+        s"change window ($fromVersion, $toVersion] references data file(s) " +
+          s"no longer on disk (vacuumed?), e.g. ${missingFiles.mkString(", ")}")
       val raw = spark.read
         .schema(activeSchema)
         .option("recursiveFileLookup", "true")

@@ -40,14 +40,34 @@ class LogReplayModelSpec extends SparkSuite {
       var model: Vector[R] = mkRows(30).toVector
       DeltaFixtureWriter.write(toDF(model), path, "overwrite", Seq("day"))
 
+      // CDF invariant state: the last verified (version, model) pair
+      var cdfBase: (Long, Vector[R]) = (0L, model)
+
       def assertMatches(opName: String): Unit = {
         val snap = DeltaLog.snapshot(spark, path)
+        val version = snap.version
         val got =
           if (snap.dataWithFile.isEmpty) Seq.empty
           else snap.data.select("id", "value", "day").as[R].collect().toSeq
         snap.unpersist()
         assert(got.sortBy(_.id) === model.sortBy(_.id),
           s"seed=$seed after $opName")
+        // change-data-feed invariant: the feed between the last verified
+        // version and now, applied to the old model, reproduces the new one
+        // (rows are unique per (id, value) here, so set arithmetic is the
+        // multiset arithmetic)
+        if (version > cdfBase._1) {
+          val ch = DeltaLog.changes(spark, path, cdfBase._1, version)
+            .select($"id", $"value", $"day", $"_change_type")
+            .as[(Long, Double, String, String)].collect()
+          val ins = ch.collect { case (i, v, d, "insert") => R(i, v, d) }.toSet
+          val del = ch.collect { case (i, v, d, "delete") => R(i, v, d) }.toSet
+          val applied = (cdfBase._2.toSet -- del) ++ ins
+          assert(applied === model.toSet,
+            s"seed=$seed after $opName: CDF(${cdfBase._1}, $version] does " +
+              "not transform the old snapshot into the new one")
+        }
+        cdfBase = (version, model)
       }
       assertMatches("initial overwrite")
 

@@ -349,6 +349,26 @@ class MaintenanceSpec extends SparkSuite {
     // empty window on a metadata-only span
     assert(DeltaLog.changes(spark, path, 2, 3).isEmpty,
       "pure compaction produces no row-level changes")
+
+    // vacuum reclaims the window's dead files → the feed must fail fast,
+    // never silently return an incomplete change set
+    Maintenance.vacuum(spark, path, retainMs = 0L)
+    val gone = intercept[IllegalArgumentException] {
+      DeltaLog.changes(spark, path, 0, 2)
+    }
+    assert(gone.getMessage.contains("no longer on disk"))
+
+    // a window reaching below the retained JSON log (cleaned after a
+    // checkpoint) is unrecoverable from state rows → fail fast too
+    val ckptV = Maintenance.checkpoint(spark, path)
+    (0L to 1L).foreach { i =>
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(path, "_delta_log", f"$i%020d.json"))
+    }
+    val expired = intercept[IllegalArgumentException] {
+      DeltaLog.changes(spark, path, 0, ckptV)
+    }
+    assert(expired.getMessage.contains("retained JSON log"))
   }
 
   test("zValue: Morton interleave puts bit j of column i at position j*k+i") {
