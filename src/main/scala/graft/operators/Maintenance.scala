@@ -119,9 +119,11 @@ object Maintenance {
     * equal-width `width_bucket` over its global min/max (one aggregate job;
     * the same fixed-width-representation approach Iceberg's z-order
     * transform takes). Equal-width is skew-sensitive — a column with a few
-    * giant outliers collapses most rows into few cells; rank-based
-    * boundaries (range-partitioner sampling per column) are the upgrade
-    * path if that bites. Numeric/date/timestamp cluster columns only.
+    * giant outliers collapses most rows into few cells; pass
+    * `rankBased = true` to switch to equi-depth cells (256 approx-quantile
+    * buckets per column via [[rankCell]]'s codegen comparison tree), which
+    * spread rows evenly whatever the value distribution at the cost of one
+    * extra sketch pass. Numeric/date/timestamp cluster columns only.
     *
     * Scale shape: one aggregate for min/max, one scan of the active rows,
     * `repartitionByRange` on (hive partition cols, z) — distributed
@@ -132,7 +134,8 @@ object Maintenance {
     * before/after listings diffed for the adds, removes streamed, never a
     * driver file enumeration. Single-writer assumption as everywhere. */
   def zorder(spark: SparkSession, tablePath: String, zorderCols: Seq[String],
-             targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+             targetFileBytes: Long = 128L * 1024 * 1024,
+             rankBased: Boolean = false): Unit = {
     import spark.implicits._
     require(zorderCols.nonEmpty && zorderCols.size <= 3,
       s"zorder takes 1-3 columns, got $zorderCols")
@@ -152,16 +155,31 @@ object Maintenance {
         case Some(rows) =>
           val qualified = snap.qualifiedTablePath
           // one job: global min/max per cluster column + total active bytes
-          val mmCols = zorderCols.flatMap(c => Seq(
-            min(col(c).cast("double")).as(s"mn_$c"),
-            max(col(c).cast("double")).as(s"mx_$c")))
-          val mm = rows.agg(mmCols.head, mmCols.tail: _*).first()
           val nOut = math.max(1L, math.ceil(
             snap.activeFiles.agg(coalesce(sum($"size"), lit(0L)))
               .as[Long].first().toDouble / targetFileBytes).toLong).toInt
-          val z = zValue(zorderCols.zipWithIndex.map { case (c, i) =>
-            bucket16(col(c), mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
-          })
+          val z =
+            if (rankBased) {
+              // equi-depth cells: 255 approx-quantile boundaries per column
+              // (one GK-sketch pass over the active rows, driver payload =
+              // 255 doubles/col) — immune to outlier-stretched ranges
+              val probs = (1 until 256).map(_ / 256.0).toArray
+              val doubled = rows.select(zorderCols.map(c =>
+                col(c).cast("double").as(c)): _*)
+              val bounds = doubled.stat.approxQuantile(
+                zorderCols.toArray, probs, 0.001)
+              zValue(zorderCols.zipWithIndex.map { case (c, i) =>
+                rankCell(col(c).cast("double"), bounds(i))
+              }, bits = 8)
+            } else {
+              val mmCols = zorderCols.flatMap(c => Seq(
+                min(col(c).cast("double")).as(s"mn_$c"),
+                max(col(c).cast("double")).as(s"mx_$c")))
+              val mm = rows.agg(mmCols.head, mmCols.tail: _*).first()
+              zValue(zorderCols.zipWithIndex.map { case (c, i) =>
+                bucket16(col(c), mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+              })
+            }
           val before = StorageAnalyzer
             .folderFilesDistributed(spark, qualified).cache()
           before.count() // pin the pre-write listing before writing
@@ -198,6 +216,22 @@ object Maintenance {
     else least(greatest(
       width_bucket(c.cast("double"), lit(mn), lit(mx), lit(65536)) - 1,
       lit(0L)), lit(65535L))
+
+  /** Equi-depth cell of `c` given ASCENDING quantile boundaries: the cell
+    * is the count of boundaries ≤ c, computed by a BALANCED comparison tree
+    * (depth ⌈log₂ cells⌉ — 8 comparisons for 256 cells) generated as nested
+    * `when`s, so the mapping stays inside whole-stage codegen instead of an
+    * interpreted 255-element higher-order-function scan. Nulls land in the
+    * top cell (they sort last in the rewrite either way). */
+  private[graft] def rankCell(c: Column, bounds: Array[Double]): Column = {
+    def tree(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(c <= bounds(mid), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+      }
+    tree(0, bounds.length)
+  }
 
   /** Interleave the low 16 bits of up to four cell indices: bit j of
     * column i lands at position j·k + i — the Morton / Z-order curve.

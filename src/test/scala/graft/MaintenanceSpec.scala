@@ -447,6 +447,50 @@ class MaintenanceSpec extends SparkSuite {
       s"x-predicate must still prune files ($hitX of $totalZ overlap)")
   }
 
+  test("rankCell: balanced tree equals linear boundary count, nulls to top") {
+    val bounds = Array(10.0, 20.0, 30.0)
+    val df = Seq(Some(5.0), Some(10.0), Some(15.0), Some(20.0), Some(25.0),
+      Some(30.0), Some(99.0), None).toDF("v")
+      .select(Maintenance.rankCell(col("v"), bounds).as("cell"))
+    assert(df.as[Long].collect().toSeq ===
+      Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L),
+      "cell = count of boundaries < v (boundaries inclusive on the left)")
+  }
+
+  test("zorder rankBased: equi-depth cells stay balanced under heavy skew") {
+    val path = tmpDir("zorder_skew")
+    // 90% of x packed into [0, 64), 10% outliers at ~1e9: equal-width
+    // 16-bit cells collapse the dense region into cell 0
+    val n = 4096L
+    val data = spark.range(0, n).select(
+      when(col("id") % 10 =!= 0, col("id") % 64)
+        .otherwise(lit(1000000000L) + col("id")).as("x"),
+      (col("id") % 64).as("y"))
+    DeltaFixtureWriter.write(data.repartitionByRange(16, col("y")), path,
+      "overwrite", Seq())
+    val snap0 = DeltaLog.snapshot(spark, path)
+    val bytes = snap0.detail.select("sizeInBytes").as[Long].first()
+    snap0.unpersist()
+
+    Maintenance.zorder(spark, path, Seq("x", "y"),
+      targetFileBytes = math.max(1L, bytes / 16), rankBased = true)
+
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.data.count() === n, "every row survives")
+    // a predicate on the DENSE x region must prune files: with equal-width
+    // cells all dense x shares cell 0 and x carries no file-level signal
+    val perFile = snap.dataWithFile.get
+      .groupBy(col("__file"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val total = perFile.count()
+    val hit = perFile.where(col("mn") <= 7L && col("mx") >= 0L).count()
+    snap.unpersist()
+    assert(total >= 8L, s"clustered rewrite kept multiple files ($total)")
+    assert(hit <= total * 2 / 3,
+      s"dense-region x-predicate must prune under rank-based cells " +
+        s"($hit of $total overlap)")
+  }
+
   test("optimize then vacuum: full maintenance cycle on a churned table") {
     val path = tmpDir("cycle")
     TestFixtures.buildOrphanTable(spark, path)
