@@ -93,6 +93,7 @@ object SparkEntry {
     "char_entropy" -> (PipelineQueries.charEntropy _),
     "tfidf_topterms" -> (PipelineQueries.tfidfTopTerms _),
     "line_dedup" -> (PipelineQueries.lineDedup _),
+    "token_budget_sample" -> (PipelineQueries.tokenBudgetSample _),
     "pack_plan" -> (PipelineQueries.packPlan _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,6 +150,7 @@ object SparkEntry {
     "char_entropy" -> Oracles.charEntropy,
     "tfidf_topterms" -> Oracles.tfidfTopTerms,
     "line_dedup" -> Oracles.lineDedup,
+    "token_budget_sample" -> Oracles.tokenBudgetSample,
     "pack_plan" -> Oracles.packPlan)
     // Remaining rows-only entry (47/48 oracle-backed since round 6 —
     // dedup_simhash graduated to a full brute-force value oracle via the

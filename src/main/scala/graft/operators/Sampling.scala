@@ -70,6 +70,50 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < cut)
   }
 
+  /** Deterministic token-budget sample: keep documents in md5(id) hash
+    * order until the cumulative token count reaches `budget` — "give me
+    * exactly ~1B tokens of this source, reproducibly" — the token-weighted
+    * sibling of [[hashSample]]. The kept set is a pure function of the ids
+    * and token counts (never layout or RNG), grows monotonically with the
+    * budget, and any engine can audit it: the order is the md5 hex string
+    * (tie-broken on id), so the same window sum is recomputable in plain
+    * SQL. The first document that would cross the budget is dropped whole —
+    * documents are never split.
+    *
+    * Scale shape: a naive `sum() OVER (ORDER BY priority)` is a GLOBAL
+    * window — every row through ONE task. This is TWO-PHASE instead:
+    * per-bucket token totals (the 256 md5 buckets of [[hashBucket]], one
+    * hash aggregate, 256-row collect) become broadcast running offsets, and
+    * the in-bucket window partitions by bucket — no task sees more than
+    * ~1/256 of the corpus. The bucket is the priority's own 2-hex-char
+    * prefix, so (bucket, priority) order IS priority order and the result
+    * equals the single-window formulation exactly. Adds `cum_tokens`. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long): DataFrame = {
+    require(budget >= 0, s"bad budget $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
+    val bucketed = df
+      .withColumn("__pr", md5(col(idCol).cast("string")))
+      .withColumn("__b", hashBucket(col(idCol)))
+    val totals = bucketed.groupBy(col("__b")).agg(sum(toks).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until 256)
+      .scanLeft(0L)((acc, b) => acc + totals.getOrElse(b, 0L))
+    val offDf = broadcast(
+      (0 until 256).map(b => (b, offsets(b))).toDF("__b", "__off"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b"))
+      .orderBy(col("__pr").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed.join(offDf, "__b")
+      .withColumn("cum_tokens", sum(toks).over(win) + col("__off"))
+      .where(col("cum_tokens") <= budget)
+      .drop("__b", "__pr", "__off")
+  }
+
   /** Per-group quota cap ("at most n docs per source/domain") with a
     * deterministic, id-hash-ordered priority — the standard anti-domination
     * guard of web-corpus curation (an over-crawled domain must not flood

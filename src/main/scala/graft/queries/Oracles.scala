@@ -384,6 +384,25 @@ object Oracles {
       |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Token-budget prefix in md5(id) order — the same two-phase cumulative
+    * sum the engine computes, as ONE global window here (fine at oracle
+    * scale). Inclusive running total, budget-crossing doc dropped whole. */
+  val tokenBudgetSample: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                              x -> length(x) > 0)) END AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS pr
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY pr, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin
+
   /** Line-level (paragraph) dedup over docs with injected boilerplate:
     * first corpus occurrence of each non-empty line wins (ordered by
     * (doc_id, line_no)), documents reassembled; docs left with no lines

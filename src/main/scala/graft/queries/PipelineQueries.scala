@@ -265,6 +265,18 @@ object PipelineQueries {
         k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
+  /** Deterministic token-budget sample: the md5-hash-ordered prefix of the
+    * corpus holding the first 10k whitespace tokens — kept set, per-doc
+    * token counts, and the running total all value-checked (DuckDB recomputes
+    * the identical window sum over the identical md5 order). */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetSample(
+        t(spark, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 10000L)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Corpus-wide line dedup over documents with deterministically injected
     * boilerplate (a newsletter line shared by ALL docs and a per-source
     * copyright footer) — the classic CCNet paragraph-dedup scenario: the

@@ -312,6 +312,28 @@ class PipelineSpec extends SparkSuite {
     assert(selfHits.forall(_.getLong(2) >= 5L))
   }
 
+  test("tokenBudgetSample: hash-order prefix, whole docs, layout-independent") {
+    val docs = spark.range(0, 200).select(col("id"),
+      (col("id") % 7 + 1).as("n"))
+    val kept = graft.operators.Sampling
+      .tokenBudgetSample(docs, "id", "n", budget = 100L)
+    val total = kept.agg(sum("n")).as[Long].first()
+    assert(total <= 100L, "inclusive budget never exceeded")
+    // the next doc in hash order would cross the budget (prefix is maximal)
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    val nextTotal = docs
+      .withColumn("pr", md5(col("id").cast("string")))
+      .where(!col("id").isin(keptIds.toSeq: _*))
+      .orderBy("pr", "id").limit(1)
+      .select("n").as[Long].first()
+    assert(total + nextTotal > 100L, "no further whole doc fits")
+    // monotone in the budget; layout-independent
+    val kept2 = graft.operators.Sampling
+      .tokenBudgetSample(docs.repartition(13), "id", "n", budget = 50L)
+      .select("id").as[Long].collect().toSet
+    assert(kept2.subsetOf(keptIds), "smaller budget keeps a prefix subset")
+  }
+
   test("decontamination with bloom prefilter ≡ exact decontamination") {
     val exact = PipelineQueries.decontamination(spark, sf())
     val bloomed = PipelineQueries.decontaminationBloom(spark, sf())
