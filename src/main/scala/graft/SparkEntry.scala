@@ -93,6 +93,7 @@ object SparkEntry {
     "char_entropy" -> (PipelineQueries.charEntropy _),
     "tfidf_topterms" -> (PipelineQueries.tfidfTopTerms _),
     "line_dedup" -> (PipelineQueries.lineDedup _),
+    "temperature_mix" -> (PipelineQueries.temperatureMix _),
     "token_budget_sample" -> (PipelineQueries.tokenBudgetSample _),
     "pack_plan" -> (PipelineQueries.packPlan _))
 
@@ -150,6 +151,7 @@ object SparkEntry {
     "char_entropy" -> Oracles.charEntropy,
     "tfidf_topterms" -> Oracles.tfidfTopTerms,
     "line_dedup" -> Oracles.lineDedup,
+    "temperature_mix" -> Oracles.temperatureMix,
     "token_budget_sample" -> Oracles.tokenBudgetSample,
     "pack_plan" -> Oracles.packPlan)
     // Remaining rows-only entry (47/48 oracle-backed since round 6 —

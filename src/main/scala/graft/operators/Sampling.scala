@@ -70,6 +70,32 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < cut)
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual-pretraining
+    * recipe of Conneau & Lample's XLM / mT5: resample strata toward
+    * p_s^α so dominant languages stop drowning rare ones). Downsampling
+    * only — the rarest stratum keeps rate 1 and every other stratum keeps
+    * rate `(c_min / c_s)^(1-α)` (α = 1 reproduces the corpus as-is; α = 0
+    * equalizes expected stratum sizes). Rates derive from one per-stratum
+    * count aggregate (a #strata-row collect), then the id-pure
+    * [[stratifiedHashSample]] applies them — so the kept set stays a pure
+    * function of (ids, stratum counts), reproducible and auditable in plain
+    * SQL. α = 0.5 routes through `sqrt`, which IEEE 754 rounds exactly —
+    * the derived rates are bit-identical in every engine (`pow` carries no
+    * such guarantee for other exponents). */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"bad temperature alpha $alpha")
+    val counts = df.groupBy(col(strataCol)).count()
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+    if (counts.isEmpty) return df
+    val cMin = counts.map(_._2).min.toDouble
+    val rates = counts.map { case (s, c) =>
+      val ratio = cMin / c
+      s -> (if (alpha == 0.5) math.sqrt(ratio) else math.pow(ratio, 1 - alpha))
+    }.toMap
+    stratifiedHashSample(df, idCol, strataCol, rates)
+  }
+
   /** Deterministic token-budget sample: keep documents in md5(id) hash
     * order until the cumulative token count reaches `budget` — "give me
     * exactly ~1B tokens of this source, reproducibly" — the token-weighted

@@ -384,6 +384,24 @@ object Oracles {
       |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Temperature mix α = 0.5: per-language keep rate sqrt(c_min/c_s),
+    * cut = floor(256·rate) (Scala `(256*rate).toInt` truncation), kept iff
+    * md5 bucket < cut — identical arithmetic end-to-end. */
+  val temperatureMix: String =
+    """WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+      |mn AS (SELECT min(c) AS cmin FROM cnt),
+      |cut AS (
+      |  SELECT lang,
+      |    CAST(floor(256 * sqrt(CAST(cmin AS DOUBLE) / c)) AS INT) AS cut
+      |  FROM cnt, mn),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang FROM b JOIN cut USING (lang)
+      |WHERE bucket < cut ORDER BY doc_id""".stripMargin
+
   /** Token-budget prefix in md5(id) order — the same two-phase cumulative
     * sum the engine computes, as ONE global window here (fine at oracle
     * scale). Inclusive running total, budget-crossing doc dropped whole. */

@@ -277,6 +277,16 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-scaled language mix at α = 0.5: rates derive from the
+    * per-language counts as sqrt(c_min/c_s) — every arithmetic step is
+    * correctly-rounded IEEE, so DuckDB reproduces the identical rates,
+    * cuts, and kept set. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(
+        t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", alpha = 0.5)
+      .orderBy(col("doc_id"))
+
   /** Corpus-wide line dedup over documents with deterministically injected
     * boilerplate (a newsletter line shared by ALL docs and a per-source
     * copyright footer) — the classic CCNet paragraph-dedup scenario: the

@@ -312,6 +312,27 @@ class PipelineSpec extends SparkSuite {
     assert(selfHits.forall(_.getLong(2) >= 5L))
   }
 
+  test("temperatureMix: rarest stratum kept whole, α=1 identity, α=0 equalizes") {
+    val docs = spark.range(0, 1100).select(col("id"),
+      when(col("id") < 1000, "en").otherwise("sw").as("lang"))
+    val mixed = graft.operators.Sampling
+      .temperatureMix(docs, "id", "lang", alpha = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(mixed("sw") === 100L, "rate-1 stratum keeps every row")
+    // expected en rate = sqrt(100/1000) ≈ 0.316 → cut floor(256·r) = 80
+    assert(mixed("en") > 200L && mixed("en") < 450L,
+      s"en downsampled toward sqrt share, got ${mixed("en")}")
+    val identity = graft.operators.Sampling
+      .temperatureMix(docs, "id", "lang", alpha = 1.0).count()
+    assert(identity === 1100L, "α=1 keeps the corpus as-is")
+    val equalized = graft.operators.Sampling
+      .temperatureMix(docs, "id", "lang", alpha = 0.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(equalized("sw") === 100L &&
+      math.abs(equalized("en") - 100L) < 40L,
+      s"α=0 equalizes expected stratum sizes, got $equalized")
+  }
+
   test("tokenBudgetSample: hash-order prefix, whole docs, layout-independent") {
     val docs = spark.range(0, 200).select(col("id"),
       (col("id") % 7 + 1).as("n"))
