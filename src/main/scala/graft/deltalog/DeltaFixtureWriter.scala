@@ -110,8 +110,20 @@ object DeltaFixtureWriter {
     }
     val lp = logPath(table, version)
     Files.createDirectories(lp.getParent)
-    Files.write(lp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // CREATE_NEW = the Delta protocol's put-if-absent commit claim: a
+    // concurrent writer racing to the same version FAILS loudly
+    // (FileAlreadyExistsException) instead of silently clobbering its
+    // rival's committed actions. Retry-with-reconciliation is the caller's
+    // policy decision; single-writer flows never see this.
+    try Files.write(lp,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalStateException(
+        s"concurrent commit: version $version of $table already exists " +
+          "(another writer won the race) — re-read the snapshot and retry " +
+          "at the next version", e)
+    }
   }
 
   /** STREAMING commit writer for scale-path operators (OPTIMIZE): action
@@ -132,8 +144,13 @@ object DeltaFixtureWriter {
     val ts = System.currentTimeMillis()
     val lp = logPath(table, version)
     Files.createDirectories(lp.getParent)
-    val w = Files.newBufferedWriter(lp, StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // stream into a writer-private temp file, then claim the version with
+    // an atomic no-replace move — same put-if-absent contract as
+    // writeCommit, without buffering millions of action lines to get it
+    val tmp = lp.resolveSibling(
+      s".${lp.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE_NEW)
     try {
       var nRemoves = 0L
       var nAdds = 0L
@@ -152,6 +169,17 @@ object DeltaFixtureWriter {
       w.write(s"""{"commitInfo":{"timestamp":$ts,"operation":${jStr(operation)},"operationParameters":${jMap(parameters)},"operationMetrics":${jMap(metrics)}}}""")
       w.newLine()
     } finally w.close()
+    // hard-link, not ATOMIC_MOVE: POSIX rename() silently REPLACES an
+    // existing target, but link() is atomic put-if-absent — exactly the
+    // Delta commit-claim contract
+    try { Files.createLink(lp, tmp); Files.delete(tmp) }
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(
+        s"concurrent commit: version $version of $table already exists " +
+          "(another writer won the race) — re-read the snapshot and retry " +
+          "at the next version", e)
+    }
   }
 
   /** Overwrite or append `df` as a new commit. Overwrite logically removes

@@ -323,6 +323,30 @@ class MaintenanceSpec extends SparkSuite {
     snap2.unpersist()
   }
 
+  test("commit claim is put-if-absent: a racing writer to one version fails loudly") {
+    val path = tmpDir("race")
+    DeltaFixtureWriter.write(Seq((1L, "a")).toDF("id", "v"), path,
+      "overwrite", Seq())
+    val e = intercept[IllegalStateException] {
+      DeltaFixtureWriter.logCommit(path, 0L, "VACUUM", Seq())
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    val e2 = intercept[IllegalStateException] {
+      DeltaFixtureWriter.writeCommitStream(path, 0L, "OPTIMIZE", Seq(),
+        adds = Iterator.empty, removes = Iterator.empty,
+        partitionBy = Seq.empty)
+    }
+    assert(e2.getMessage.contains("concurrent commit"))
+    // the loser never corrupted the winner's commit
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.data.count() === 1L && snap.version === 0L)
+    snap.unpersist()
+    // and no temp litter survives in the log dir
+    val leftovers = new java.io.File(path, "_delta_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"temp files leaked: ${leftovers.toSeq}")
+  }
+
   test("changes: CDF shows appends as inserts, deletes as deletes, compaction as nothing") {
     val path = tmpDir("cdf")
     val mk = (ids: Seq[Int], day: String) =>
