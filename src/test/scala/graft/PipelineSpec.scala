@@ -387,6 +387,23 @@ class PipelineSpec extends SparkSuite {
       "a within-document repeat is a duplicate too")
   }
 
+  test("dedupLines: 2k-doc identical-line corpus collapses to one survivor set") {
+    // every line of every doc is the same 3-line boilerplate — the maximal
+    // hot key for the first-occurrence aggregate; the partial-agg design
+    // must both stay correct and keep each reducer's input collapsed
+    val n = 2000
+    val blob = spark.range(n).select(col("id"),
+      lit("header line\nsame body in every document\nfooter line").as("text"))
+    val out = Dedup.dedupLines(blob, "id", "text")
+    assert(out.count() === n.toLong, "one row per input doc")
+    val kept = out.where(col("n_lines_kept") > 0)
+      .select("id", "clean_text", "n_lines_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(kept === Seq(
+      (0L, "header line\nsame body in every document\nfooter line", 3L)),
+      "doc 0 keeps the whole boilerplate, every other doc is emptied")
+  }
+
   test("line_dedup query: boilerplate survives once, copyright once per source") {
     val out = PipelineQueries.lineDedup(spark, sf())
     assert(out.where(
