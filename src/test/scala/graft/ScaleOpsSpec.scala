@@ -92,6 +92,39 @@ class ScaleOpsSpec extends SparkSuite {
       !plan.contains("ScalaUDF"), "probe must be a native expression")
   }
 
+  test("bloom prefilter: shuffle-bound evidence — tiny benchmark passes few corpus shingles") {
+    import graft.functions.minhashExprs
+    // 2000 distinct corpus docs vs a 5-doc benchmark: the join exchange
+    // after the prefilter must carry a small fraction of the corpus's
+    // shingle volume (true matches + ~fpp of the rest)
+    // every shingle carries an id-derived token, so docs share (almost)
+    // nothing with the 5-doc benchmark — the realistic asymmetric case
+    val corpus = spark.range(0, 2000).select(col("id"),
+      concat(lit("doc"), col("id").cast("string"),
+        lit(" alpha"), (col("id") * 7).cast("string"),
+        lit(" beta"), (col("id") * 13).cast("string"),
+        lit(" gamma"), (col("id") * 31).cast("string"),
+        lit(" delta"), (col("id") * 57).cast("string")).as("text"))
+    val bench = corpus.where(col("id") < 5)
+    val shingles = corpus.select(
+      explode(minhashExprs.wordShingleSet(col("text"), 3)).as("sh"))
+    val benchSh = bench.select(
+      explode(minhashExprs.wordShingleSet(col("text"), 3)).as("sh")).distinct()
+    val bloom = ScaleOps.bloomFor(benchSh, "sh",
+      expectedItems = benchSh.count(), fpp = 0.01)
+    val total = shingles.count()
+    val passed = shingles.where(bloom.mightContain(col("sh"))).count()
+    assert(passed < total / 5,
+      s"prefilter must drop the bulk of the corpus volume " +
+        s"($passed of $total shingles passed)")
+    // and it passes every true match (join results identical either way)
+    val exact = graft.operators.Dedup.crossNgramOverlap(
+      corpus, bench, "id", "text", w = 3, minShared = 5)
+    val bloomed = graft.operators.Dedup.crossNgramOverlapBloom(
+      corpus, bench, "id", "text", w = 3, minShared = 5)
+    assert(bloomed.exceptAll(exact).isEmpty && exact.exceptAll(bloomed).isEmpty)
+  }
+
   test("salted counts == plain counts (skew-safe two-phase form)") {
     val li = table("lineitem")
     val plain = li.groupBy("l_returnflag").count()
