@@ -64,6 +64,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
         .orderBy("query_id", "rank")
     }),
+    // same full-probe trick, PQ flavor: codebook fit, sub-vector encoding,
+    // and ADC candidate ranking all execute, and with nprobe = nlist +
+    // unbounded re-rank the output provably equals exact brute force
+    // (selective probe/re-rank recall is covered in MaintenanceSpec)
+    "knn_ivfpq" -> ((s: SparkSession, d: String) => {
+      val e = Queries.t(s, d, "embeddings")
+      graft.operators.Similarity.ivfpqTopK(
+        e.where(org.apache.spark.sql.functions.col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16,
+        m = 8, ksub = 16, rerankDepth = 1 << 20)
+        .orderBy("query_id", "rank")
+    }),
     // training-data pipeline extensions
     "token_stats" -> (PipelineQueries.tokenStats _),
     "quality_scores" -> (PipelineQueries.qualityScores _),
@@ -141,6 +153,7 @@ object SparkEntry {
     "decontamination_bloom" -> Oracles.decontamination,
     "vocab_topk" -> Oracles.vocabTopK,
     "knn_ivf" -> Oracles.knnBruteforce,  // full probe ≡ exact brute force
+    "knn_ivfpq" -> Oracles.knnBruteforce,  // full probe + full re-rank ≡ exact
     "ngram_exact" -> Oracles.ngramExact,
     "repetition_stats" -> Oracles.repetitionStats,
     "pii_redaction" -> Oracles.piiRedaction,

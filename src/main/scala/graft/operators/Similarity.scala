@@ -150,18 +150,33 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nlist: Int = 16,
               nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val (assigned, probed) =
+      coarseAssign(queries, corpus, idCol, vecCol, nlist, nprobe, seed)
+    val scored = probed.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
+  }
+
+  /** The IVF coarse-quantizer stage shared by [[ivfTopK]] and
+    * [[ivfpqTopK]]: fit KMeans(nlist) on the deterministic corpus prefix,
+    * assign every corpus row a cell, rank cells per query and keep nprobe.
+    * Returns (assigned: neighbor_id/nvec/cell, probed: query_id/qvec/cell).
+    *
+    * The training sample is the id-ordered prefix, NOT a bare limit(n):
+    * limit takes whichever rows arrive first, which depends on partition
+    * layout, so the trained centroids (and thus probe results) would differ
+    * across spark.sql.shuffle.partitions settings / cluster layouts. At
+    * 100 TB fitting on everything would dominate; assignment still covers
+    * every row. */
+  private def coarseAssign(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, nlist: Int,
+                           nprobe: Int, seed: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
       .withColumn("features", array_to_vector(col("nvec")))
-    // train the quantizer on a bounded sample — centroid quality needs a
-    // representative sample, not the full corpus (at 100 TB fitting on
-    // everything would dominate; assignment below still covers every row).
-    // The sample is the id-ordered prefix, NOT a bare limit(n): limit takes
-    // whichever rows arrive first, which depends on partition layout, so the
-    // trained centroids (and thus probe results) would differ across
-    // spark.sql.shuffle.partitions settings / cluster layouts.
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(5).setFeaturesCol("features")
       .fit(c.orderBy(col("neighbor_id"))
@@ -184,9 +199,97 @@ object Similarity {
       .withColumn("crank", row_number().over(wCell))
       .where(col("crank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
+    (assigned, probed)
+  }
 
-    val scored = probed.join(assigned, Seq("cell"))
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization codebook (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the vector splits into `m`
+    * subspaces of `dsub` dims, each sub-vector quantized to its nearest of
+    * `ksub` per-subspace centroids — m·log₂(ksub) bits per vector instead
+    * of 32·dim, the standard memory-compressed ANN representation. */
+  final case class PqCodebook(ksub: Int, dsub: Int,
+                              centroids: Seq[Seq[Seq[Float]]]) {
+    def m: Int = centroids.size
+    private def centLit(i: Int): Column = typedLit(centroids(i))
+
+    /** PQ codes (array<int>, one sub-centroid id per subspace): argmin
+      * squared-L2 over the literal sub-codebook. First-min tie-break via
+      * array_position — deterministic. */
+    def encode(vec: Column): Column =
+      array((0 until m).map { i =>
+        val sub = slice(vec, i * dsub + 1, dsub)
+        val dists = transform(centLit(i), c =>
+          aggregate(zip_with(sub, c, (x, y) => {
+            val d = x.cast("double") - y.cast("double"); d * d
+          }), lit(0.0), (a, v) => a + v))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }: _*)
+
+    /** Reconstructed vector: per-subspace centroid lookup, concatenated —
+      * what asymmetric-distance scoring compares the query against. */
+    def decode(codes: Column): Column =
+      concat((0 until m).map(i =>
+        element_at(centLit(i), codes(i) + 1)): _*)
+  }
+
+  /** Train a [[PqCodebook]]: one seeded KMeans per subspace over the
+    * id-ordered corpus prefix (the [[coarseAssign]] determinism rule). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+              ksub: Int = 16, dim: Int = 64, seed: Long = 42L): PqCodebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val sample = corpus.orderBy(col(idCol))
+      .limit(math.max(ksub * 64, 2048))
+      .select(col(vecCol).as("v")).cache()
+    try {
+      val cents = (0 until m).map { i =>
+        val sub = sample.select(
+          array_to_vector(slice(col("v"), i * dsub + 1, dsub)).as("features"))
+        new KMeans().setK(ksub).setSeed(seed + i).setMaxIter(5).fit(sub)
+          .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+      }
+      PqCodebook(ksub, dsub, cents)
+    } finally { sample.unpersist(); () }
+  }
+
+  /** IVF-PQ approximate top-k: coarse cells bound the search (like
+    * [[ivfTopK]]), but candidates are first ranked by the ASYMMETRIC
+    * distance — exact query vs PQ-reconstructed candidate, the existing
+    * codegen cosine kernel over [[PqCodebook.decode]] — and only the top
+    * `rerankDepth` per query are re-scored against their true vectors.
+    * At cluster scale the candidate pass reads m·log₂(ksub) BITS per
+    * vector instead of the full embedding: the shuffle and memory win is
+    * the whole point of PQ (here the true vector column rides along for
+    * the re-rank; a deployment would fetch it by id for the shortlist
+    * only). With nprobe = nlist and rerankDepth ≥ |corpus| the result is
+    * provably identical to [[bruteForceTopK]] — the DuckDB-value-checkable
+    * contract configuration; selective probe/re-rank recall is covered in
+    * MaintenanceSpec. */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int = 10, nlist: Int = 16,
+                nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                rerankDepth: Int = 64, dim: Int = 64,
+                seed: Long = 42L): DataFrame = {
+    require(rerankDepth >= k, s"rerankDepth=$rerankDepth must cover k=$k")
+    val (assigned, probed) =
+      coarseAssign(queries, corpus, idCol, vecCol, nlist, nprobe, seed)
+    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, dim, seed)
+    val encoded = assigned.withColumn("codes", cb.encode(col("nvec")))
+    val cands = probed.join(encoded, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        exprs.cosineSimilarity(col("qvec"), cb.decode(col("codes"))))
+    // per-query ADC shortlist (query set is broadcast-small, so the window
+    // partitions are bounded by the probed candidate count)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = cands.withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= rerankDepth)
+    val scored = shortlist
       .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
   }

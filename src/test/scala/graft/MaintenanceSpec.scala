@@ -257,6 +257,53 @@ class MaintenanceSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("pq codebook: codes bounded, reconstruction sane, layout-deterministic") {
+    val e = table("embeddings")
+    val cb = graft.operators.Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val enc = e.select(col("vec_id"), cb.encode(col("embedding")).as("codes"))
+    val codes = enc.select(explode(col("codes"))).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 16), "codes within [0, ksub)")
+    // reconstruction keeps the vector's rough direction: cosine(v, decode)
+    // must beat cosine against an unrelated vector by a wide margin
+    val rec = enc.join(e, "vec_id")
+      .select(graft.functions.exprs.cosineSimilarity(
+        col("embedding"), cb.decode(col("codes"))).as("c"))
+      .agg(min(col("c"))).as[Double].first()
+    assert(rec > 0.3, s"reconstruction cosine too weak: $rec")
+    // same codes whatever the corpus layout (id-ordered training prefix)
+    val cb2 = graft.operators.Similarity.pqTrain(e.repartition(13),
+      "vec_id", "embedding", m = 8, ksub = 16)
+    assert(cb2 === cb, "codebook must not depend on partition layout")
+  }
+
+  test("ivfpq: full probe + full re-rank ≡ brute force; selective finds the plant") {
+    val e = table("embeddings")
+    val full = graft.operators.Similarity.ivfpqTopK(
+      e.where(col("vec_id") < 5), e, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 8, rerankDepth = 1 << 20)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val brute = graft.operators.Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 5), e, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(full === brute,
+      "unbounded re-rank over every cell must equal exact search")
+    // selective probe + modest ADC shortlist still surfaces the planted
+    // jitter copy (cosine ≈ 0.999) at rank 1 for every query
+    val planted = graft.queries.PipelineQueries.embeddingsWithPlants(
+      spark, sf())
+    val sel = graft.operators.Similarity.ivfpqTopK(
+      planted.where(col("vec_id") < 10), planted, "vec_id", "embedding",
+      k = 1, nlist = 16, nprobe = 8, rerankDepth = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach { q =>
+      assert(sel(q) === q + graft.queries.PipelineQueries.PlantShift,
+        s"query $q: plant not at rank 1 (got ${sel(q)})")
+    }
+  }
+
   test("bounded top-k aggregation matches the window ranking on ties") {
     import spark.implicits._
     // two queries; query 1 has a cosine tie that must break by id asc
