@@ -235,23 +235,33 @@ object Similarity {
   }
 
   /** Train a [[PqCodebook]]: one seeded KMeans per subspace over the
-    * id-ordered corpus prefix (the [[coarseAssign]] determinism rule). */
+    * id-ordered corpus prefix (the [[coarseAssign]] determinism rule).
+    * The m sub-fits are INDEPENDENT (disjoint dims, per-subspace seeds),
+    * so they submit as concurrent Spark jobs — per-fit scheduling overhead
+    * dominates these small sketch fits, and serializing them would leave
+    * the cluster idle m−1 fits out of m. The sample is cached and pinned
+    * once before the fan-out so the fits share one materialization. */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 8,
               ksub: Int = 16, dim: Int = 64, seed: Long = 42L): PqCodebook = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val sample = corpus.orderBy(col(idCol))
       .limit(math.max(ksub * 64, 2048))
       .select(col(vecCol).as("v")).cache()
     try {
-      val cents = (0 until m).map { i =>
-        val sub = sample.select(
-          array_to_vector(slice(col("v"), i * dsub + 1, dsub)).as("features"))
-        new KMeans().setK(ksub).setSeed(seed + i).setMaxIter(5).fit(sub)
-          .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
-      }
+      sample.count() // materialize the shared cache once, outside the races
+      val cents = Await.result(
+        Future.sequence((0 until m).map { i => Future {
+          val sub = sample.select(
+            array_to_vector(slice(col("v"), i * dsub + 1, dsub)).as("features"))
+          new KMeans().setK(ksub).setSeed(seed + i).setMaxIter(5).fit(sub)
+            .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+        }}), Duration.Inf)
       PqCodebook(ksub, dsub, cents)
     } finally { sample.unpersist(); () }
   }
