@@ -167,7 +167,7 @@ object SparkEntry {
     "temperature_mix" -> Oracles.temperatureMix,
     "token_budget_sample" -> Oracles.tokenBudgetSample,
     "pack_plan" -> Oracles.packPlan)
-    // Remaining rows-only entry (47/48 oracle-backed since round 6 —
+    // Remaining rows-only entry (52/53 oracle-backed as of round 6 —
     // dedup_simhash graduated to a full brute-force value oracle via the
     // engine-portable md5-hash simhash variant, Dedup.simhashPortable):
     //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 BY
