@@ -149,37 +149,54 @@ object DeltaFixtureWriter {
     // writeCommit, without buffering millions of action lines to get it
     val tmp = lp.resolveSibling(
       s".${lp.getFileName}.${java.util.UUID.randomUUID()}.tmp")
-    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE_NEW)
-    try {
-      var nRemoves = 0L
-      var nAdds = 0L
-      removes.foreach { p =>
-        w.write(s"""{"remove":{"path":${jStr(p)},"deletionTimestamp":$ts,"dataChange":true}}""")
-        w.newLine(); nRemoves += 1
-      }
-      adds.foreach { case (p, size) =>
-        val pv = jMap(partitionValuesOf(p, partitionBy))
-        w.write(s"""{"add":{"path":${jStr(p)},"size":$size,"partitionValues":$pv,"modificationTime":$ts,"dataChange":true,"stats":""}}""")
-        w.newLine(); nAdds += 1
-      }
-      val metrics = Seq(
-        "num_added_files" -> nAdds.toString,
-        "num_removed_files" -> nRemoves.toString)
-      w.write(s"""{"commitInfo":{"timestamp":$ts,"operation":${jStr(operation)},"operationParameters":${jMap(parameters)},"operationMetrics":${jMap(metrics)}}}""")
-      w.newLine()
-    } finally w.close()
-    // hard-link, not ATOMIC_MOVE: POSIX rename() silently REPLACES an
-    // existing target, but link() is atomic put-if-absent — exactly the
-    // Delta commit-claim contract
-    try { Files.createLink(lp, tmp); Files.delete(tmp) }
-    catch { case e: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
+    def lostRace(cause: Throwable): Nothing =
       throw new IllegalStateException(
         s"concurrent commit: version $version of $table already exists " +
           "(another writer won the race) — re-read the snapshot and retry " +
-          "at the next version", e)
-    }
+          "at the next version", cause)
+    // the writer-private tmp must never outlive this call: whatever fails
+    // (a mid-stream write error, a lost claim race, a filesystem without
+    // hard links), the finally reclaims it so _delta_log never accumulates
+    // orphaned .tmp files
+    try {
+      val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8,
+        StandardOpenOption.CREATE_NEW)
+      try {
+        var nRemoves = 0L
+        var nAdds = 0L
+        removes.foreach { p =>
+          w.write(s"""{"remove":{"path":${jStr(p)},"deletionTimestamp":$ts,"dataChange":true}}""")
+          w.newLine(); nRemoves += 1
+        }
+        adds.foreach { case (p, size) =>
+          val pv = jMap(partitionValuesOf(p, partitionBy))
+          w.write(s"""{"add":{"path":${jStr(p)},"size":$size,"partitionValues":$pv,"modificationTime":$ts,"dataChange":true,"stats":""}}""")
+          w.newLine(); nAdds += 1
+        }
+        val metrics = Seq(
+          "num_added_files" -> nAdds.toString,
+          "num_removed_files" -> nRemoves.toString)
+        w.write(s"""{"commitInfo":{"timestamp":$ts,"operation":${jStr(operation)},"operationParameters":${jMap(parameters)},"operationMetrics":${jMap(metrics)}}}""")
+        w.newLine()
+      } finally w.close()
+      // hard-link, not ATOMIC_MOVE: POSIX rename() silently REPLACES an
+      // existing target, but link() is atomic put-if-absent — exactly the
+      // Delta commit-claim contract
+      try Files.createLink(lp, tmp)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException => lostRace(e)
+        case _: UnsupportedOperationException =>
+          // filesystem without hard links (some network / object-store
+          // mounts): fall back to a put-if-absent COPY — Files.copy with
+          // no REPLACE_EXISTING fails when the target exists, keeping the
+          // claim contract (the copy is not atomic mid-write like link();
+          // acceptable for the degraded-filesystem path, and strictly
+          // better than an unwrapped UnsupportedOperationException)
+          try Files.copy(tmp, lp)
+          catch { case e: java.nio.file.FileAlreadyExistsException =>
+            lostRace(e) }
+      }
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Overwrite or append `df` as a new commit. Overwrite logically removes

@@ -213,10 +213,13 @@ object DeltaLog {
       val entries = fs.listStatus(root).toSeq
         .filterNot(_.getPath.getName == "_delta_log")
         .map(_.getPath.toString)
-      if (entries.isEmpty) return spark.emptyDataFrame
       // fail fast if VACUUM already reclaimed a window file: the manifest
       // join would otherwise silently drop its rows and emit an incomplete
-      // feed. One distributed LISTING job (no data scan).
+      // feed. MUST run before the empty-dir early return — a non-partitioned
+      // table whose every data file was vacuumed lists zero entries but has
+      // a non-empty window manifest, and that is exactly the
+      // "changes no longer on disk" case, not an empty feed. One
+      // distributed LISTING job (no data scan).
       val missingFiles = manifest.select($"__file").distinct()
         .join(
           graft.operators.StorageAnalyzer.folderFilesDistributed(spark, qualified)
@@ -226,6 +229,18 @@ object DeltaLog {
       require(missingFiles.isEmpty,
         s"change window ($fromVersion, $toVersion] references data file(s) " +
           s"no longer on disk (vacuumed?), e.g. ${missingFiles.mkString(", ")}")
+      // empty dir + empty manifest (the check above passed, so the manifest
+      // referenced nothing): a genuinely empty feed, but with the normal CDF
+      // schema so downstream unions/selects keep working
+      if (entries.isEmpty) {
+        val feedSchema = StructType(
+          activeSchema.fields.toSeq ++
+            snap.partitionColumns.map(StructField(_, StringType)) :+
+            StructField("_commit_version", LongType) :+
+            StructField("_change_type", StringType))
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema)
+      }
       val raw = spark.read
         .schema(activeSchema)
         .option("recursiveFileLookup", "true")

@@ -177,7 +177,11 @@ object Maintenance {
                 max(col(c).cast("double")).as(s"mx_$c")))
               val mm = rows.agg(mmCols.head, mmCols.tail: _*).first()
               zValue(zorderCols.zipWithIndex.map { case (c, i) =>
-                bucket16(col(c), mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+                // an all-null cluster column aggregates to NULL min/max —
+                // Row.getDouble would NPE, so land the column in cell 0
+                // directly (same cell bucket16 gives constant columns)
+                if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) lit(0L)
+                else bucket16(col(c), mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
               })
             }
           val before = StorageAnalyzer
@@ -212,13 +216,16 @@ object Maintenance {
     * (or all-null) land in cell 0. width_bucket maps v<mn→0, v≥mx→n+1, so
     * the result is clamped back into [0, 65535]. */
   private[graft] def bucket16(c: Column, mn: Double, mx: Double): Column =
-    if (!(mx > mn)) lit(0L)  // also covers NaN min/max (all-null column)
+    if (!(mx > mn)) lit(0L)  // also covers NaN min/max (NaN-valued column;
+                             // all-null min/max is NULL, guarded by caller)
     else least(greatest(
       width_bucket(c.cast("double"), lit(mn), lit(mx), lit(65536)) - 1,
       lit(0L)), lit(65535L))
 
   /** Equi-depth cell of `c` given ASCENDING quantile boundaries: the cell
-    * is the count of boundaries ≤ c, computed by a BALANCED comparison tree
+    * is the count of boundaries strictly below c (a value equal to a
+    * boundary belongs to the cell on its LEFT), computed by a BALANCED
+    * comparison tree
     * (depth ⌈log₂ cells⌉ — 8 comparisons for 256 cells) generated as nested
     * `when`s, so the mapping stays inside whole-stage codegen instead of an
     * interpreted 255-element higher-order-function scan. Nulls land in the

@@ -63,9 +63,14 @@ object Sampling {
                            defaultRate: Double = 1.0): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0 && r <= 1.0, s"bad fraction $r"))
+    // compare on the STRING form of the stratum (rates keys are strings):
+    // a non-string strata column matches its `String.valueOf` spelling
+    // instead of being implicitly cast, and a NULL stratum matches no key
+    // at all — null-stratum rows always keep `defaultRate`
     val cut = rates.foldLeft(lit((256 * defaultRate).toInt)) {
       case (acc, (stratum, rate)) =>
-        when(col(strataCol) === stratum, lit((256 * rate).toInt)).otherwise(acc)
+        when(col(strataCol).cast("string") === lit(stratum),
+          lit((256 * rate).toInt)).otherwise(acc)
     }
     df.where(hashBucket(col(idCol)) < cut)
   }
@@ -85,7 +90,11 @@ object Sampling {
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
                      alpha: Double = 0.5): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"bad temperature alpha $alpha")
-    val counts = df.groupBy(col(strataCol)).count()
+    // NULL strata are excluded from the rate derivation: they cannot be
+    // keyed in `rates` (and must not set c_min, deflating every real
+    // stratum); null-stratum rows keep stratifiedHashSample's defaultRate 1
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).count()
       .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
     if (counts.isEmpty) return df
     val cMin = counts.map(_._2).min.toDouble

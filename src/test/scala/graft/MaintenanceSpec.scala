@@ -442,6 +442,45 @@ class MaintenanceSpec extends SparkSuite {
     assert(expired.getMessage.contains("retained JSON log"))
   }
 
+  test("changes: fully-vacuumed table fails fast; empty feed keeps the CDF schema") {
+    val path = tmpDir("cdfempty")
+    DeltaFixtureWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1), path, "overwrite", Seq())                    // v0
+    DeltaFixtureWriter.delete(spark, path, "id >= 0")            // v1: all rows
+    Maintenance.vacuum(spark, path, retainMs = 0L)               // v2 + reclaim
+    // drop the _SUCCESS markers too, so the table dir holds ONLY
+    // _delta_log — the vacuumed-window fail-fast must still fire (an
+    // entries.isEmpty early return before the manifest-vs-disk check used
+    // to silently yield an empty, schema-less frame)
+    new java.io.File(path).listFiles()
+      .filter(_.getName.contains("_SUCCESS")).foreach(_.delete())
+    assert(new java.io.File(path).listFiles().map(_.getName).toSet
+      === Set("_delta_log"))
+    val gone = intercept[IllegalArgumentException] {
+      DeltaLog.changes(spark, path, 0, 1)
+    }
+    assert(gone.getMessage.contains("no longer on disk"))
+    // a metadata-only window over the empty dir IS a real empty feed —
+    // and it must carry the normal CDF columns, not be schema-less
+    val feed = DeltaLog.changes(spark, path, 1, 2)
+    assert(feed.isEmpty)
+    assert(feed.columns.toSeq ===
+      Seq("id", "v", "_commit_version", "_change_type"))
+  }
+
+  test("zorder: all-null cluster column lands in cell 0 instead of NPE") {
+    val path = tmpDir("zordernull")
+    val df = Seq((1L, Option.empty[Double]), (2L, None), (3L, None))
+      .toDF("id", "score")
+    DeltaFixtureWriter.write(df.coalesce(1), path, "overwrite", Seq())
+    Maintenance.zorder(spark, path, Seq("score", "id"),
+      targetFileBytes = 1L << 20)
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.data.count() === 3L, "rewrite must preserve every row")
+    assert(snap.version === 1L)
+    snap.unpersist()
+  }
+
   test("zValue: Morton interleave puts bit j of column i at position j*k+i") {
     // a=3 (bits 0,1) → positions 0,2 = 5; b=5 (bits 0,2) → positions 1,5 = 34
     val z = Seq((3L, 5L)).toDF("a", "b")

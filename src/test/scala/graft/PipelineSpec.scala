@@ -333,6 +333,34 @@ class PipelineSpec extends SparkSuite {
       s"α=0 equalizes expected stratum sizes, got $equalized")
   }
 
+  test("temperatureMix: NULL strata neither set c_min nor downsample; kept whole") {
+    // 1000 en, 100 sw, 10 null-stratum rows: if nulls were counted they
+    // would become c_min=10 and deflate sw's rate below 1
+    val docs = spark.range(0, 1110).select(col("id"),
+      when(col("id") < 1000, "en")
+        .when(col("id") < 1100, "sw")
+        .otherwise(lit(null).cast("string")).as("lang"))
+    val mixed = graft.operators.Sampling
+      .temperatureMix(docs, "id", "lang", alpha = 0.5)
+      .groupBy("lang").count()
+      .as[(Option[String], Long)].collect()
+      .map { case (k, n) => k.getOrElse("<null>") -> n }.toMap
+    assert(mixed("sw") === 100L,
+      "sw stays the rarest REAL stratum and keeps every row")
+    assert(mixed("<null>") === 10L,
+      "null-stratum rows keep defaultRate 1 (excluded from rate keys)")
+    assert(mixed("en") > 200L && mixed("en") < 450L,
+      s"en still downsamples toward sqrt(100/1000), got ${mixed("en")}")
+  }
+
+  test("stratifiedHashSample: non-string strata match their string-keyed rates") {
+    val df = spark.range(0, 200).select(col("id"), (col("id") % 2).as("grp"))
+    val out = graft.operators.Sampling
+      .stratifiedHashSample(df, "id", "grp", Map("1" -> 0.0))
+      .select("grp").distinct().as[Long].collect().toSet
+    assert(out === Set(0L), "integer stratum 1 must match rate key \"1\"")
+  }
+
   test("tokenBudgetSample: hash-order prefix, whole docs, layout-independent") {
     val docs = spark.range(0, 200).select(col("id"),
       (col("id") % 7 + 1).as("n"))
