@@ -157,15 +157,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Marker for [[BoundedTopK]]'s per-id-type heap states (long / string). */
+sealed trait TopKState extends Serializable
+
 /** Mutable bounded top-k state: a size-k min-heap ordered by
   * (score asc, id desc), so the root is always the WEAKEST kept element and
   * a stronger incoming (score, id) evicts it in O(log k). The kept set is
   * order-independent (strict total order on (score, id) — ids are distinct),
-  * so partial aggregation merges deterministically. */
-final class TopKHeap(val k: Int) extends Serializable {
-  val scores = new Array[Double](k)
-  val ids = new Array[Long](k)
+  * so partial aggregation merges deterministically.
+  *
+  * Storage grows geometrically to min(k, elements seen): callers pass k as
+  * an upper BOUND (an unbounded-re-rank contract config uses k = 2²⁰), and
+  * a group with 500 candidates must cost 500 slots, not k — with eager
+  * allocation every map-side partial buffer would pin 16·k bytes. */
+final class TopKHeap(val k: Int) extends TopKState {
+  private var cap = math.min(k, 16)
+  var scores = new Array[Double](cap)
+  var ids = new Array[Long](cap)
   var n = 0
+
+  @inline private def ensureSlot(): Unit =
+    if (n == cap && cap < k) {
+      cap = math.min(k, cap << 1)
+      scores = java.util.Arrays.copyOf(scores, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+    }
 
   // is (s1,i1) weaker than (s2,i2) under (score desc, id asc) ranking?
   @inline private def weaker(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
@@ -188,6 +204,7 @@ final class TopKHeap(val k: Int) extends Serializable {
 
   def add(s: Double, id: Long): Unit =
     if (n < k) {
+      ensureSlot()
       scores(n) = s; ids(n) = id; n += 1
       // sift up
       var i = n - 1
@@ -209,23 +226,88 @@ final class TopKHeap(val k: Int) extends Serializable {
   }
 }
 
+/** [[TopKHeap]]'s string-id twin: same size-k min-heap, ids ordered by
+  * UTF8String's binary comparison (Spark's own string sort order, so the
+  * kept set and ranking equal the window formulation's ORDER BY id ASC).
+  * Stored ids are defensive clones — eval() hands out UTF8Strings backed
+  * by reused row buffers. */
+final class TopKHeapStr(val k: Int) extends TopKState {
+  private var cap = math.min(k, 16)
+  var scores = new Array[Double](cap)
+  var ids = new Array[UTF8String](cap)
+  var n = 0
+
+  @inline private def ensureSlot(): Unit =
+    if (n == cap && cap < k) {
+      cap = math.min(k, cap << 1)
+      scores = java.util.Arrays.copyOf(scores, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+    }
+
+  @inline private def weaker(s1: Double, i1: UTF8String,
+                             s2: Double, i2: UTF8String): Boolean =
+    s1 < s2 || (s1 == s2 && i1.compareTo(i2) > 0)
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    while (true) {
+      val l = 2 * i + 1
+      val r = 2 * i + 2
+      var m = i
+      if (l < n && weaker(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < n && weaker(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) return
+      val ts = scores(i); scores(i) = scores(m); scores(m) = ts
+      val ti = ids(i); ids(i) = ids(m); ids(m) = ti
+      i = m
+    }
+  }
+
+  /** `id` must already be safe to retain (cloned by the caller). */
+  def add(s: Double, id: UTF8String): Unit =
+    if (n < k) {
+      ensureSlot()
+      scores(n) = s; ids(n) = id; n += 1
+      var i = n - 1
+      while (i > 0 && weaker(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        val ts = scores(i); scores(i) = scores(p); scores(p) = ts
+        val ti = ids(i); ids(i) = ids(p); ids(p) = ti
+        i = p
+      }
+    } else if (weaker(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      siftDown(0)
+    }
+
+  def sortedDesc: Array[(Double, UTF8String)] = {
+    val out = Array.tabulate(n)(i => (scores(i), ids(i)))
+    out.sortWith { case ((s1, i1), (s2, i2)) => weaker(s2, i2, s1, i1) }
+  }
+}
+
 /** Bounded top-k aggregate: keeps the k strongest (score, id) pairs per
   * group in O(k) memory with map-side partial aggregation — the scale-safe
   * replacement for `row_number().over(Window.partitionBy(group))` + filter,
   * which buffers and sorts EVERY candidate row of a group. Emits
-  * array<struct<score double, id bigint>> ranked by (score desc, id asc). */
+  * array<struct<score double, id bigint|string>> ranked by
+  * (score desc, id asc); the id leg takes BIGINT or STRING (string order =
+  * UTF8 binary, identical to Spark's ORDER BY on strings). */
 case class BoundedTopK(
     scoreExpr: Expression, idExpr: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] {
+  extends TypedImperativeAggregate[TopKState] {
 
   require(k > 0, s"k must be positive, got $k")
+
+  private def stringIds: Boolean = idExpr.dataType == StringType
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean = false
   override def prettyName: String = "bounded_top_k"
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("score", DoubleType), StructField("id", LongType))))
+    StructField("score", DoubleType),
+    StructField("id", idExpr.dataType))))
 
   // fail at analysis time, not with a per-row ClassCastException mid-job
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -233,48 +315,92 @@ case class BoundedTopK(
     if (scoreExpr.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a DOUBLE score, got ${scoreExpr.dataType.sql}")
-    else if (idExpr.dataType != LongType)
+    else if (idExpr.dataType != LongType && idExpr.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a BIGINT id, got ${idExpr.dataType.sql}")
+        s"$prettyName requires a BIGINT or STRING id, got ${idExpr.dataType.sql}")
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+  override def createAggregationBuffer(): TopKState =
+    if (stringIds) new TopKHeapStr(k) else new TopKHeap(k)
 
-  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+  override def update(buf: TopKState, input: InternalRow): TopKState = {
     val s = scoreExpr.eval(input)
     val id = idExpr.eval(input)
-    if (s != null && id != null)
-      buf.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    if (s != null && id != null) buf match {
+      case h: TopKHeap => h.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
+      case h: TopKHeapStr =>
+        // clone: the UTF8String points into a reused unsafe-row buffer
+        h.add(s.asInstanceOf[Double], id.asInstanceOf[UTF8String].clone())
+    }
     buf
   }
 
-  override def merge(a: TopKHeap, b: TopKHeap): TopKHeap = {
-    var i = 0
-    while (i < b.n) { a.add(b.scores(i), b.ids(i)); i += 1 }
+  override def merge(a: TopKState, b: TopKState): TopKState = {
+    (a, b) match {
+      case (x: TopKHeap, y: TopKHeap) =>
+        var i = 0
+        while (i < y.n) { x.add(y.scores(i), y.ids(i)); i += 1 }
+      case (x: TopKHeapStr, y: TopKHeapStr) =>
+        var i = 0
+        while (i < y.n) { x.add(y.scores(i), y.ids(i)); i += 1 }
+      case _ => throw new IllegalStateException("mixed top-k heap states")
+    }
     a
   }
 
-  override def eval(buf: TopKHeap): Any =
-    new GenericArrayData(buf.sortedDesc.map { case (s, id) =>
-      InternalRow(s, id)
-    }.toIndexedSeq)
-
-  override def serialize(buf: TopKHeap): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + 16 * buf.n)
-    bb.putInt(buf.k).putInt(buf.n)
-    var i = 0
-    while (i < buf.n) { bb.putDouble(buf.scores(i)).putLong(buf.ids(i)); i += 1 }
-    bb.array()
+  override def eval(buf: TopKState): Any = buf match {
+    case h: TopKHeap =>
+      new GenericArrayData(h.sortedDesc.map { case (s, id) =>
+        InternalRow(s, id)
+      }.toIndexedSeq)
+    case h: TopKHeapStr =>
+      new GenericArrayData(h.sortedDesc.map { case (s, id) =>
+        InternalRow(s, id)
+      }.toIndexedSeq)
   }
 
-  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+  override def serialize(buf: TopKState): Array[Byte] = buf match {
+    case h: TopKHeap =>
+      val bb = java.nio.ByteBuffer.allocate(8 + 16 * h.n)
+      bb.putInt(h.k).putInt(h.n)
+      var i = 0
+      while (i < h.n) { bb.putDouble(h.scores(i)).putLong(h.ids(i)); i += 1 }
+      bb.array()
+    case h: TopKHeapStr =>
+      val payload = (0 until h.n).map(i => h.ids(i).getBytes)
+      val bb = java.nio.ByteBuffer.allocate(
+        8 + 12 * h.n + payload.map(_.length).sum)
+      bb.putInt(h.k).putInt(h.n)
+      var i = 0
+      while (i < h.n) {
+        bb.putDouble(h.scores(i)).putInt(payload(i).length).put(payload(i))
+        i += 1
+      }
+      bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKState = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val heap = new TopKHeap(bb.getInt)
-    val n = bb.getInt
-    var i = 0
-    while (i < n) { heap.add(bb.getDouble, bb.getLong); i += 1 }
-    heap
+    if (stringIds) {
+      val heap = new TopKHeapStr(bb.getInt)
+      val n = bb.getInt
+      var i = 0
+      while (i < n) {
+        val s = bb.getDouble
+        val idBytes = new Array[Byte](bb.getInt)
+        bb.get(idBytes)
+        heap.add(s, UTF8String.fromBytes(idBytes))
+        i += 1
+      }
+      heap
+    } else {
+      val heap = new TopKHeap(bb.getInt)
+      val n = bb.getInt
+      var i = 0
+      while (i < n) { heap.add(bb.getDouble, bb.getLong); i += 1 }
+      heap
+    }
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =

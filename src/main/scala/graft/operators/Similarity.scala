@@ -69,32 +69,41 @@ object Similarity {
     array((bucket +: one) ++ two: _*)
   }
 
+  /** Lossless (ranking key, restore) pair for a neighbor-id column:
+    * [[graft.functions.BoundedTopK]] takes BIGINT or STRING ids natively
+    * (string tie-break = UTF8 binary order, Spark's own ORDER BY order);
+    * narrower integral ids round-trip through long — same ordering, exact
+    * restore. Anything else (decimal, binary, …) fails loudly here rather
+    * than falling back to an unbounded per-query window. */
+  private def idKey(idType: org.apache.spark.sql.types.DataType)
+      : (Column, Column => Column) = {
+    import org.apache.spark.sql.types._
+    idType match {
+      case LongType | StringType => (col("neighbor_id"), (c: Column) => c)
+      case ByteType | ShortType | IntegerType =>
+        (col("neighbor_id").cast("long"), (c: Column) => c.cast(idType))
+      case t => throw new IllegalArgumentException(
+        s"top-k ranking needs an integral or string neighbor id, got ${t.sql}")
+    }
+  }
+
   /** Rank per-query candidates to (query_id, neighbor_id, cosine, rank),
     * rank 1..k by (cosine desc, neighbor_id asc).
     *
-    * For long neighbor ids this is a [[graft.functions.BoundedTopK]] hash
-    * aggregation: O(k) state per query with map-side partial merge, so
-    * memory stays flat as the candidate set grows 10× — unlike
+    * Always a [[graft.functions.BoundedTopK]] hash aggregation: O(k) state
+    * per query with map-side partial merge, so memory stays flat as the
+    * candidate set grows 10× — unlike
     * `row_number().over(partitionBy(query_id))`, which shuffles, buffers
-    * and SORTS every candidate row of a query. Non-long ids fall back to
-    * the window form (same semantics, unbounded per-query buffering). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    if (scored.schema("neighbor_id").dataType == org.apache.spark.sql.types.LongType) {
-      scored.groupBy(col("query_id"))
-        .agg(exprs.boundedTopK(col("cosine"), col("neighbor_id"), k).as("nn"))
-        .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
-        .select(col("query_id"), col("nn.id").as("neighbor_id"),
-          round(col("nn.score"), 6).as("cosine"),
-          (col("pos") + 1).cast("long").as("rank"))
-    } else {
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      scored
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
-    }
+    * and SORTS every candidate row of a query. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val (key, back) = idKey(scored.schema("neighbor_id").dataType)
+    scored.groupBy(col("query_id"))
+      .agg(exprs.boundedTopK(col("cosine"), key, k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("query_id"), back(col("nn.id")).as("neighbor_id"),
+        round(col("nn.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 
   /** Exact brute-force cosine top-k.
     * @param queries frame with (idCol, vecCol) — must be broadcast-small
@@ -149,19 +158,14 @@ object Similarity {
     * Deterministic (fixed seed). Requires corpus >= nlist vectors. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nlist: Int = 16,
-              nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val (assigned, probed) =
-      coarseAssign(queries, corpus, idCol, vecCol, nlist, nprobe, seed)
-    val scored = probed.join(assigned, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
-    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
-  }
+              nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfIndex(corpus, idCol, vecCol, nlist, seed, cache = false)
+      .topK(queries, k, nprobe)
 
-  /** The IVF coarse-quantizer stage shared by [[ivfTopK]] and
-    * [[ivfpqTopK]]: fit KMeans(nlist) on the deterministic corpus prefix,
-    * assign every corpus row a cell, rank cells per query and keep nprobe.
-    * Returns (assigned: neighbor_id/nvec/cell, probed: query_id/qvec/cell).
+  /** The IVF coarse-quantizer TRAINING stage shared by [[ivfIndex]] and
+    * [[ivfpqIndex]]: fit KMeans(nlist) on the deterministic corpus prefix
+    * and assign every corpus row a cell. Returns (assigned:
+    * neighbor_id/nvec/cell, centroids as driver-side literals).
     *
     * The training sample is the id-ordered prefix, NOT a bare limit(n):
     * limit takes whichever rows arrive first, which depends on partition
@@ -169,9 +173,9 @@ object Similarity {
     * across spark.sql.shuffle.partitions settings / cluster layouts. At
     * 100 TB fitting on everything would dominate; assignment still covers
     * every row. */
-  private def coarseAssign(queries: DataFrame, corpus: DataFrame,
-                           idCol: String, vecCol: String, nlist: Int,
-                           nprobe: Int, seed: Long): (DataFrame, DataFrame) = {
+  private def coarseTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                          nlist: Int, seed: Long)
+      : (DataFrame, Seq[(Int, Seq[Float])]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -183,23 +187,62 @@ object Similarity {
         .limit(math.max(nlist * 256, 4096)))
     val assigned = model.transform(c)
       .select(col("neighbor_id"), col("nvec"), col("prediction").as("cell"))
-
-    // centroids as a literal frame; each query ranks cells and keeps nprobe
     val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.map(_.toFloat))
+      (i, v.toArray.map(_.toFloat).toSeq)
     }.toSeq
+    (assigned, centroids)
+  }
+
+  /** Query-side coarse probe: each query ranks the broadcast centroid
+    * literals and keeps its `nprobe` nearest cells. The window partition is
+    * bounded by the nlist centroids per query — never data-sized. */
+  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[(Int, Seq[Float])],
+                         nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centDF = centroids.toDF("cell", "cvec")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
-    val probed = q.crossJoin(broadcast(centDF))
+    q.crossJoin(broadcast(centDF))
       .withColumn("cdist", -exprs.cosineSimilarity(col("qvec"), col("cvec")))
       .withColumn("crank", row_number().over(wCell))
       .where(col("crank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
-    (assigned, probed)
+  }
+
+  /** Build a reusable IVF index: the KMeans coarse quantizer fits ONCE
+    * here (training is eager — Spark ML `fit` is an action), and with
+    * `cache = true` the cell-assigned corpus persists so every subsequent
+    * [[IvfIndex.topK]] call is probe + join only — the FAISS usage shape
+    * (train once, query many). [[ivfTopK]] is the one-shot convenience
+    * form (`cache = false`, identical results). */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, seed: Long = 42L,
+               cache: Boolean = true): IvfIndex = {
+    val (assigned, centroids) = coarseTrain(corpus, idCol, vecCol, nlist, seed)
+    new IvfIndex(if (cache) assigned.cache() else assigned,
+      centroids, idCol, vecCol)
+  }
+
+  /** Trained IVF index handle: driver-side centroid literals + the
+    * (optionally persisted) cell-assigned corpus. */
+  final class IvfIndex private[Similarity](
+      assigned: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      idCol: String, vecCol: String) {
+    /** Approximate top-k for a broadcast-small query frame carrying
+      * (idCol, vecCol) — same contract as [[ivfTopK]]. */
+    def topK(queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame = {
+      val probed = probeCells(queries, idCol, vecCol, centroids, nprobe)
+      val scored = probed.join(assigned, Seq("cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
+      rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
+    }
+    /** Release the persisted corpus assignment (results already computed
+      * stay valid — Spark caches are plan-transparent). */
+    def unpersist(): Unit = { assigned.unpersist(); () }
   }
 
   // ------------------------------------------------ product quantization
@@ -235,7 +278,7 @@ object Similarity {
   }
 
   /** Train a [[PqCodebook]]: one seeded KMeans per subspace over the
-    * id-ordered corpus prefix (the [[coarseAssign]] determinism rule).
+    * id-ordered corpus prefix (the [[coarseTrain]] determinism rule).
     * The m sub-fits are INDEPENDENT (disjoint dims, per-subspace seeds),
     * so they submit as concurrent Spark jobs — per-fit scheduling overhead
     * dominates these small sketch fits, and serializing them would leave
@@ -273,9 +316,10 @@ object Similarity {
     * `rerankDepth` per query are re-scored against their true vectors.
     * At cluster scale the candidate pass reads m·log₂(ksub) BITS per
     * vector instead of the full embedding: the shuffle and memory win is
-    * the whole point of PQ (here the true vector column rides along for
-    * the re-rank; a deployment would fetch it by id for the shortlist
-    * only). With nprobe = nlist and rerankDepth ≥ |corpus| the result is
+    * the whole point of PQ. The re-rank fetches true vectors by id for the
+    * shortlist only (a broadcast semi-join into the corpus scan), and the
+    * shortlist itself is a bounded O(rerankDepth)-state aggregation, never
+    * a per-query window sort. With nprobe = nlist and rerankDepth ≥ |corpus| the result is
     * provably identical to [[bruteForceTopK]] — the DuckDB-value-checkable
     * contract configuration; selective probe/re-rank recall is covered in
     * MaintenanceSpec. */
@@ -283,25 +327,67 @@ object Similarity {
                 vecCol: String, k: Int = 10, nlist: Int = 16,
                 nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
                 rerankDepth: Int = 64, dim: Int = 64,
-                seed: Long = 42L): DataFrame = {
-    require(rerankDepth >= k, s"rerankDepth=$rerankDepth must cover k=$k")
-    val (assigned, probed) =
-      coarseAssign(queries, corpus, idCol, vecCol, nlist, nprobe, seed)
+                seed: Long = 42L): DataFrame =
+    ivfpqIndex(corpus, idCol, vecCol, nlist, m, ksub, dim, seed,
+      cache = false).topK(queries, k, nprobe, rerankDepth)
+
+  /** Build a reusable IVF-PQ index: the coarse quantizer AND the m
+    * per-subspace PQ codebooks fit ONCE here; with `cache = true` the
+    * encoded corpus (cell + PQ codes + true vector for the shortlist
+    * fetch) persists, so every subsequent [[IvfPqIndex.topK]] is probe +
+    * ADC + bounded re-rank with zero training work — the FAISS shape.
+    * [[ivfpqTopK]] is the one-shot convenience form (`cache = false`,
+    * identical results). */
+  def ivfpqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                 dim: Int = 64, seed: Long = 42L,
+                 cache: Boolean = true): IvfPqIndex = {
+    val (assigned, centroids) = coarseTrain(corpus, idCol, vecCol, nlist, seed)
     val cb = pqTrain(corpus, idCol, vecCol, m, ksub, dim, seed)
     val encoded = assigned.withColumn("codes", cb.encode(col("nvec")))
-    val cands = probed.join(encoded, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc",
-        exprs.cosineSimilarity(col("qvec"), cb.decode(col("codes"))))
-    // per-query ADC shortlist (query set is broadcast-small, so the window
-    // partitions are bounded by the probed candidate count)
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val shortlist = cands.withColumn("arank", row_number().over(wAdc))
-      .where(col("arank") <= rerankDepth)
-    val scored = shortlist
-      .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
-    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
+    new IvfPqIndex(if (cache) encoded.cache() else encoded,
+      centroids, cb, idCol, vecCol)
+  }
+
+  /** Trained IVF-PQ index handle: centroid literals + PQ codebook +
+    * (optionally persisted) encoded corpus. */
+  final class IvfPqIndex private[Similarity](
+      encoded: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      val codebook: PqCodebook, idCol: String, vecCol: String) {
+    /** Approximate top-k, asymmetric-distance shortlist + exact re-rank —
+      * same contract as [[ivfpqTopK]]. */
+    def topK(queries: DataFrame, k: Int = 10, nprobe: Int = 4,
+             rerankDepth: Int = 64): DataFrame = {
+      require(rerankDepth >= k, s"rerankDepth=$rerankDepth must cover k=$k")
+      val probed = probeCells(queries, idCol, vecCol, centroids, nprobe)
+      val cands = probed.join(encoded, Seq("cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adc",
+          exprs.cosineSimilarity(col("qvec"), codebook.decode(col("codes"))))
+      // per-query ADC shortlist as a BoundedTopK hash aggregation — O(
+      // rerankDepth) state per query with map-side partial merge. The
+      // window alternative (row_number over partitionBy(query_id)) cannot
+      // split a partition: with full probe ONE task would buffer and sort
+      // every probed corpus candidate of a query. Ranking by raw
+      // (adc desc, id asc) exactly as the window ordered.
+      val (key, back) = idKey(cands.schema("neighbor_id").dataType)
+      val shortIds = cands.groupBy(col("query_id"))
+        .agg(exprs.boundedTopK(col("adc"), key, rerankDepth).as("nn"))
+        .select(col("query_id"), explode(col("nn.id")).as("nnid"))
+        .select(col("query_id"), back(col("nnid")).as("neighbor_id"))
+      // re-rank fetches true vectors BY ID for the shortlist only (the
+      // deployment shape): the |Q|·rerankDepth id list broadcasts into the
+      // encoded-corpus scan, queries broadcast as everywhere — no corpus
+      // shuffle
+      val scored = encoded.select(col("neighbor_id"), col("nvec"))
+        .join(broadcast(shortIds), Seq("neighbor_id"))
+        .join(broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("qvec"))), Seq("query_id"))
+        .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
+      rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
+    }
+    /** Release the persisted encoded corpus. */
+    def unpersist(): Unit = { encoded.unpersist(); () }
   }
 
   /** L2 norm of a float vector (double accumulation, deterministic

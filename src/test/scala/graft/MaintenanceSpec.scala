@@ -304,6 +304,32 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("ivfpq index: train once, query many — repeat calls equal the one-shot form") {
+    import spark.implicits._
+    val emb = graft.queries.PipelineQueries.embeddingsWithPlants(spark, sf())
+    val idx = graft.operators.Similarity.ivfpqIndex(
+      emb, "vec_id", "embedding", nlist = 16, m = 8, ksub = 16)
+    try {
+      val qs1 = emb.where(col("vec_id") < 5)
+      val qs2 = emb.where(col("vec_id") >= 5 && col("vec_id") < 10)
+      val oneShot = graft.operators.Similarity.ivfpqTopK(
+        qs1, emb, "vec_id", "embedding", k = 3, nlist = 16, nprobe = 8,
+        rerankDepth = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+      val viaIndex = idx.topK(qs1, k = 3, nprobe = 8, rerankDepth = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+      assert(viaIndex === oneShot,
+        "cached index must return exactly the one-shot results")
+      // a second query set against the SAME trained index (no refit): the
+      // planted jitter copy still surfaces at rank 1 for every query
+      val second = idx.topK(qs2, k = 1, nprobe = 8, rerankDepth = 16)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      (5L until 10L).foreach { q =>
+        assert(second(q) === q + graft.queries.PipelineQueries.PlantShift)
+      }
+    } finally idx.unpersist()
+  }
+
   test("bounded top-k aggregation matches the window ranking on ties") {
     import spark.implicits._
     // two queries; query 1 has a cosine tie that must break by id asc
@@ -318,6 +344,61 @@ class MaintenanceSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(got === Seq((1L, 10L, 1), (1L, 12L, 2), (1L, 11L, 3),
       (2L, 11L, 1), (2L, 10L, 2)).sorted)
+  }
+
+  test("bounded top-k takes string ids: UTF8-binary tie-break, no window fallback") {
+    import spark.implicits._
+    // ties must break by binary string order ("B10" < "b02" in UTF8);
+    // repartition(8) forces partial heaps through serialize/merge
+    val scored = Seq(
+      ("q1", "B10", 0.9), ("q1", "b02", 0.9), ("q1", "a99", 0.8),
+      ("q1", "zzz", 0.1), ("q2", "x", 0.5), ("q2", "w", 0.7))
+      .toDF("query_id", "neighbor_id", "cosine").repartition(8)
+    val got = scored.groupBy($"query_id")
+      .agg(graft.functions.exprs.boundedTopK($"cosine", $"neighbor_id", 3).as("nn"))
+      .select($"query_id", posexplode($"nn").as(Seq("pos", "nn")))
+      .select($"query_id", $"nn.id", ($"pos" + 1).as("rank"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    assert(got === Seq(("q1", "B10", 1), ("q1", "b02", 2), ("q1", "a99", 3),
+      ("q2", "w", 1), ("q2", "x", 2)).sorted)
+    // end-to-end: brute-force top-k over STRING ids routes through the
+    // same bounded aggregation (the former unbounded-window fallback is gone)
+    val emb = graft.queries.PipelineQueries.embeddingsWithPlants(spark, sf())
+      .select(concat(lit("v"), col("vec_id")).as("vec_id"), col("embedding"))
+    val bf = graft.operators.Similarity.bruteForceTopK(
+      emb.where(col("vec_id").isin("v0", "v1")), emb, "vec_id", "embedding", k = 1)
+    val winNodes = bf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(winNodes.isEmpty, "string-id ranking must not use a window")
+    val top = bf.select("query_id", "neighbor_id")
+      .as[(String, String)].collect().toMap
+    assert(top("v0") === s"v${graft.queries.PipelineQueries.PlantShift}")
+  }
+
+  test("ivfpq ADC shortlist is a bounded aggregation, not a per-query window sort") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val emb = graft.queries.PipelineQueries.embeddingsWithPlants(spark, sf())
+    val df = graft.operators.Similarity.ivfpqTopK(
+      emb.where(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 8, rerankDepth = 16)
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // the only window left is the coarse cell ranking — bounded by the
+    // nlist broadcast centroids per query, never the candidate set
+    assert(windows.size === 1, s"unexpected windows: $windows")
+    assert(!windows.exists(_.orderSpec.exists(
+        _.references.exists(_.name == "adc"))),
+      "the ADC shortlist must not be ranked by a window sort")
+    val topkAggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.aggregateExpressions.exists(_.exists {
+          case ae: AggregateExpression =>
+            ae.aggregateFunction.isInstanceOf[graft.functions.BoundedTopK]
+          case _ => false
+        }) => a }
+    assert(topkAggs.size === 2,
+      "both the ADC shortlist and the final rank must be BoundedTopK aggregations")
   }
 
   test("optimize: compacts only multi-small-file partitions, streams the commit, preserves data") {
