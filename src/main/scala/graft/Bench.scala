@@ -25,7 +25,10 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
     catch { case _: Throwable => () }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // contract queries + bench-only twins (production-kernel variants of
+    // entries whose oracle form is deliberately engine-portable)
+    val allQueries = SparkEntry.queries ++ SparkEntry.benchQueries
+    val names = allQueries.keys.toSeq.sorted
     val samples = names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     // a query that throws records NO sample and a failure marker — timing the
     // exception path as a valid sample would let a breaking regression
@@ -33,7 +36,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (_ <- 1 to rounds) {
       names.foreach { name =>
-        val fn = SparkEntry.queries(name)
+        val fn = allQueries(name)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

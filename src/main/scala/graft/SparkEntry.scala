@@ -99,6 +99,22 @@ object SparkEntry {
     "token_budget_sample" -> (PipelineQueries.tokenBudgetSample _),
     "pack_plan" -> (PipelineQueries.packPlan _))
 
+  /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
+    * but NOT part of the Verify/oracle contract (no parquet dump, no
+    * oracle row). Used where the oracle must run an engine-portable
+    * variant while the headline bench should reflect the production
+    * kernel path. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `dedup_simhash` (the oracle entry) runs the portable 60-bit md5
+    // variant because that is what a DuckDB brute force can reproduce;
+    // this twin runs the PRODUCTION fused-codegen path (xxhash token
+    // hashes + SimHash64 bit-majority kernel, same blocking/threshold
+    // body, kernel==HOF parity-tested) so the bench records what a real
+    // pipeline pays for simhash dedup
+    "dedup_simhash_kernel" -> ((s: SparkSession, d: String) =>
+      graft.operators.Dedup.simhashPairs(
+        PipelineQueries.docsWithPlants(s, d), "doc_id", "text", maxBits = 3)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

@@ -279,6 +279,46 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Size-adaptive decontamination facade over [[crossNgramOverlap]] /
+    * [[crossNgramOverlapBloom]]. The bloom prefilter only pays off when the
+    * corpus dwarfs the benchmark — its build is a fixed full pass over the
+    * benchmark shingles, and at corpus ≈ benchmark scale the exact join is
+    * measured 2.2× faster (sf0.1, BASELINE.md r6) — so a pipeline author
+    * picking blind can pick wrong in either direction. This branches on
+    * MEASURED side sizes: bloom iff corpus ≥ `bloomRatio` × benchmark, with
+    * sizes read from optimizer plan statistics (free — no job — for file
+    * sources) and falling back to one count per side when either plan
+    * carries only the default sentinel estimate. Both branches return
+    * provably identical results (the filter is lossless; oracle-shared in
+    * the contract), so the branch is purely a cost decision. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, w: Int = 3,
+                    minShared: Int = 5, bloomRatio: Double = 8.0): DataFrame =
+    if (preferBloom(corpus, benchmark, bloomRatio))
+      crossNgramOverlapBloom(corpus, benchmark, idCol, textCol, w, minShared)
+    else crossNgramOverlap(corpus, benchmark, idCol, textCol, w, minShared)
+
+  /** [[decontaminate]]'s measured-size branch, exposed for tests: true iff
+    * the corpus side is at least `ratio` × the benchmark side. Plan
+    * `stats.sizeInBytes` decides for free when it is DECISIVE in the bloom
+    * direction (the raw-big-table vs small-benchmark case); otherwise the
+    * sides are counted. Stats are only trusted positively: without column
+    * statistics Catalyst gives a Filter its child's size, so two slices of
+    * one source look equal-sized even when their row counts differ by
+    * orders of magnitude — an inconclusive estimate must not silently pick
+    * the exact join for a 100 TB corpus. The count pass is one narrow scan
+    * per side, amortized against the shingle-explode join both branches
+    * pay afterwards. */
+  private[graft] def preferBloom(corpus: DataFrame, benchmark: DataFrame,
+                                 ratio: Double): Boolean = {
+    val sentinel = BigInt(
+      corpus.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val cs = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bs = benchmark.queryExecution.optimizedPlan.stats.sizeInBytes
+    (cs < sentinel && bs < sentinel && BigDecimal(cs) >= BigDecimal(bs) * ratio) ||
+      corpus.count() >= ratio * benchmark.count()
+  }
+
   /** Exact Jaccard over two string arrays (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

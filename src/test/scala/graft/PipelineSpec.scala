@@ -312,6 +312,27 @@ class PipelineSpec extends SparkSuite {
     assert(selfHits.forall(_.getLong(2) >= 5L))
   }
 
+  test("decontaminate facade: measured sizes pick exact vs bloom, same output") {
+    val docs = PipelineQueries.docsWithPlants(spark, sf())
+    val corpus = docs.where(col("doc_id") < PipelineQueries.PlantShift)
+    val bench = docs.where(col("doc_id") >= PipelineQueries.PlantShift) // 20
+    // corpus (hundreds of docs) ≥ 8× the 20-doc benchmark → bloom branch
+    assert(Dedup.preferBloom(corpus, bench, 8.0),
+      "corpus ≫ benchmark must choose the bloom prefilter")
+    // corpus ≈ benchmark → the bloom build would dominate: exact branch
+    assert(!Dedup.preferBloom(corpus, corpus, 8.0),
+      "corpus ≈ benchmark must choose the plain exact join")
+    // branch choice is a pure cost decision — facade output ≡ exact
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val viaFacade = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+      w = 3, minShared = 5).collect().map(key).sorted.toSeq
+    val exact = Dedup.crossNgramOverlap(corpus, bench, "doc_id", "text",
+      w = 3, minShared = 5).collect().map(key).sorted.toSeq
+    assert(viaFacade === exact)
+    assert(viaFacade.nonEmpty)
+  }
+
   test("temperatureMix: rarest stratum kept whole, α=1 identity, α=0 equalizes") {
     val docs = spark.range(0, 1100).select(col("id"),
       when(col("id") < 1000, "en").otherwise("sw").as("lang"))
