@@ -312,6 +312,35 @@ class PipelineSpec extends SparkSuite {
     assert(selfHits.forall(_.getLong(2) >= 5L))
   }
 
+  test("dedup_ngram banding recall on planted J>=0.6 pairs stays pinned (sf0.01)") {
+    // dedup_ngram is the one rows-only contract entry: its 4×8 banding has
+    // recall < 1 BY MEASURED DESIGN (see the SparkEntry trailing comment).
+    // This pins the round-6 measurement — 19 planted pairs with trigram
+    // J >= 0.6, banding catches 14 — so a silent recall regression (or a
+    // fixture drift changing the truth set) fails loudly instead of
+    // shipping unnoticed behind the rows-only check.
+    val docs = PipelineQueries.docsWithPlants(spark, sf("sf0.01"))
+    val sh = docs.select(col("doc_id"),
+      graft.functions.minhashExprs.charShingleSet(col("text"), 3).as("sh"))
+    val truth = sh.where(col("doc_id") < 20)
+      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(sh.where(col("doc_id") >= PipelineQueries.PlantShift)
+        .select((col("doc_id") - PipelineQueries.PlantShift).as("id_a"),
+          col("sh").as("sh_b")), "id_a")
+      .select(col("id_a"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .where(col("j") >= 0.6)
+      .select("id_a").as[Long].collect().toSet
+    assert(truth.size === 19,
+      s"fixture drift: planted J>=0.6 truth set changed (${truth.size})")
+    val found = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .where(col("id_b") === col("id_a") + PipelineQueries.PlantShift)
+      .select("id_a").as[Long].collect().toSet
+    val caught = truth.intersect(found)
+    assert(caught.size >= 14,
+      s"banding recall regressed: caught ${caught.size}/19 planted pairs")
+  }
+
   test("decontaminate facade: measured sizes pick exact vs bloom, same output") {
     val docs = PipelineQueries.docsWithPlants(spark, sf())
     val corpus = docs.where(col("doc_id") < PipelineQueries.PlantShift)
