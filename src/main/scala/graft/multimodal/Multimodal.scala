@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * ([[decodeImage]]). AUDIO decode is REAL for PCM WAV/AIFF/AU: JDK
   * `javax.sound.sampled` (again no extra deps) decodes the samples and the
   * features are actual waveform statistics ([[decodeAudio]]). VIDEO decode
-  * remains a clearly marked STUB (this container ships no video codecs) — a
-  * deterministic fake that derives features from the payload bytes; image/
-  * audio payloads the JDK decoders cannot parse fall back to the same stub
-  * rather than failing the batch. Swapping in a real video decoder (e.g.
-  * javacv / a JNI codec) changes only [[stubDecode]]'s body: same batch
-  * iteration, same output schema.
+  * is REAL for MJPEG (concatenated JPEG frames — per-frame ImageIO +
+  * temporal luma aggregation, [[decodeVideoMjpeg]]); codec-bearing
+  * containers (MP4/H.264, VP9, AV1, …) are a DOCUMENTED LIMITATION of this
+  * pure-JDK build and fall back — like any payload a real decoder cannot
+  * parse — to the deterministic [[stubDecode]] rather than failing the
+  * batch. Swapping in a full codec stack (javacv / JNI) changes only
+  * [[stubDecode]]'s body: same batch iteration, same output schema.
   */
 object Multimodal {
 
@@ -224,11 +225,83 @@ object Multimodal {
     }
   }
 
-  /** STUB decode ??? — stands in for the real VIDEO codec call (and the
-    * fallback for undecodable image/audio payloads). Deterministic: features
-    * are rolling-hash projections of the payload, so tests can assert exact
-    * values. A real implementation would decode frames here and compute the
-    * same-shaped output. */
+  /** REAL video decode for MJPEG — concatenated JPEG frames, the rawest
+    * motion-JPEG form (multipart camera streams, many .mjpeg files): split
+    * the payload on JPEG SOI markers (FF D8 FF), decode up to
+    * [[MaxVideoFrames]] frames on a deterministic stride through
+    * [[decodeImage]]'s ImageIO path (inheriting its per-frame
+    * decompression-bomb guard), and aggregate per-frame luma statistics
+    * into temporal features. Container formats that need real codecs
+    * (MP4/H.264, VP9, AV1, …) are OUT OF SCOPE for this pure-JDK build —
+    * they return None here and fall back to [[stubDecode]]; that is the
+    * documented limitation of this container, not a pending promise.
+    * Layout (FeatureDim = 16):
+    * {{{
+    * 0: frames detected   1: width   2: height   3: aspect
+    * 4: mean frame luma   5: temporal luma stddev (across frames)
+    * 6: mean spatial luma stddev (within frames)
+    * 7: mean |Δ mean-luma| between consecutive sampled frames (motion proxy)
+    * 8-15: 8-bin luma histogram averaged over sampled frames
+    * }}} */
+  private[multimodal] val MaxVideoFrames = 32
+
+  private[multimodal] def decodeVideoMjpeg(r: MediaRecord): Option[MediaFeatures] = {
+    val bytes = r.content
+    // SOI scan: FF D8 FF opens a JFIF frame. Inside valid entropy-coded
+    // data FF is always escaped (00) or a restart marker (D0-D7), so D8
+    // only appears at frame starts. (An EXIF-embedded thumbnail could
+    // false-split; its fragment then simply fails ImageIO and is skipped.)
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 2 < bytes.length) {
+      if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
+          bytes(i + 2) == 0xFF.toByte) starts += i
+      i += 1
+    }
+    if (starts.isEmpty) None
+    else {
+      val total = starts.length
+      // deterministic stride so a long clip costs <= MaxVideoFrames decodes
+      val stride = math.max(1, (total + MaxVideoFrames - 1) / MaxVideoFrames)
+      val frames = starts.indices.by(stride).take(MaxVideoFrames).flatMap { si =>
+        val from = starts(si)
+        val until = if (si + 1 < total) starts(si + 1) else bytes.length
+        decodeImage(r.copy(content =
+          java.util.Arrays.copyOfRange(bytes, from, until))).map(_.feature)
+      }
+      if (frames.isEmpty) None
+      else {
+        val nf = frames.length
+        val lumas = frames.map(_(6).toDouble)
+        val meanL = lumas.sum / nf
+        val f = new Array[Float](FeatureDim)
+        f(0) = total.toFloat
+        f(1) = frames.head(0); f(2) = frames.head(1); f(3) = frames.head(2)
+        f(4) = meanL.toFloat
+        f(5) = math.sqrt(
+          lumas.map(l => (l - meanL) * (l - meanL)).sum / nf).toFloat
+        f(6) = (frames.map(_(7).toDouble).sum / nf).toFloat
+        f(7) =
+          if (nf < 2) 0f
+          else (lumas.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum
+            / (nf - 1)).toFloat
+        var b = 0
+        while (b < 8) {
+          f(8 + b) = (frames.map(_(8 + b).toDouble).sum / nf).toFloat
+          b += 1
+        }
+        Some(MediaFeatures(r.media_id, r.kind, bytes.length.toLong, f))
+      }
+    }
+  }
+
+  /** STUB decode ??? — the fallback for payloads none of the REAL decoders
+    * ([[decodeImage]], [[decodeAudio]], [[decodeVideoMjpeg]]) can parse —
+    * for video that means every codec-bearing container format, which this
+    * pure-JDK build cannot decode by documented limitation. Deterministic:
+    * features are rolling-hash projections of the payload, so tests can
+    * assert exact values. A real codec integration (javacv/JNI) would
+    * replace only this body: same batch iteration, same output schema. */
   private[multimodal] def stubDecode(r: MediaRecord): MediaFeatures = {
     val f = new Array[Float](FeatureDim)
     var h = 1125899906842597L
@@ -256,6 +329,7 @@ object Multimodal {
         batch.iterator.map { r =>
           if (r.kind == "image") decodeImage(r).getOrElse(stubDecode(r))
           else if (r.kind == "audio") decodeAudio(r).getOrElse(stubDecode(r))
+          else if (r.kind == "video") decodeVideoMjpeg(r).getOrElse(stubDecode(r))
           else stubDecode(r)
         }
       }

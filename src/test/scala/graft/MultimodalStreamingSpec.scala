@@ -110,6 +110,42 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(Multimodal.decodeFeatures(junk).collect().length === 1)
   }
 
+  test("multimodal: real MJPEG payload decodes per-frame, aggregates temporal stats") {
+    // 3 solid 24x12 frames — black, mid-gray, white — encoded as JPEG and
+    // concatenated: the rawest motion-JPEG container. Solid frames survive
+    // JPEG's lossy round-trip almost exactly (small tolerances below).
+    def jpegFrame(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(24, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 24) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val mjpeg = Array(0x000000, 0x808080, 0xFFFFFF).flatMap(jpegFrame)
+    val media = Seq(
+      Multimodal.MediaRecord(20L, "video", mjpeg, Map.empty),
+      // a non-MJPEG video payload (no JPEG SOI) keeps the documented
+      // stub fallback — codec containers are out of scope for pure JDK
+      Multimodal.MediaRecord(21L, "video", Array[Byte](4, 5, 6, 7), Map.empty))
+      .toDS()
+    val feats = Multimodal.decodeFeatures(media, batchSize = 2).collect()
+      .map(f => f.media_id -> f).toMap
+    val f = feats(20L).feature
+    assert(f(0) === 3.0f, "three frames detected")
+    assert(f(1) === 24.0f && f(2) === 12.0f && f(3) === 2.0f, "dims + aspect")
+    assert(math.abs(f(4) - 0.5f) < 0.01f, "mean luma across black/gray/white")
+    assert(f(5) > 0.3f, "temporal luma stddev spans the ramp")
+    assert(f(6) < 0.02f, "solid frames have ~zero spatial stddev")
+    assert(math.abs(f(7) - 0.5f) < 0.01f, "motion proxy: two ~0.5 luma steps")
+    assert(feats(20L).n_bytes === mjpeg.length.toLong)
+    // the garbage payload matched the stub exactly (deterministic fake)
+    val stub = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRecord(21L, "video", Array[Byte](4, 5, 6, 7),
+        Map.empty)).toDS()).collect().head
+    assert(feats(21L).feature.toSeq === stub.feature.toSeq)
+  }
+
   test("multimodal: resize rewrites image meta only; frame plan explodes video") {
     val media = Multimodal.syntheticMedia(spark, 60)
     val resized = Multimodal.resizeMeta(media, maxSide = 32).collect()
