@@ -60,6 +60,73 @@ object ScaleProbe {
     time("tf-idf top-3 over 50k docs") {
       graft.operators.CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", 3).count()
     }
+    // --- round-7 maintenance probes: OPTIMIZE ZORDER (both cell modes) and
+    // Change Data Feed over a ~6M-row Delta table ---
+    locally {
+      import graft.deltalog.{DeltaFixtureWriter, DeltaLog}
+      import graft.operators.Maintenance
+      val probe = li.select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+
+      def filesOverlapping(tbl: String, c: String, lo: Long, hi: Long)
+          : (Long, Long) = {
+        val snap = DeltaLog.snapshot(spark, tbl)
+        val total = snap.activeFiles.count()
+        val hit = snap.dataWithFile.get
+          .groupBy(col("__file"))
+          .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+          .where(col("mn") <= hi && col("mx") >= lo)
+          .count()
+        snap.unpersist()
+        (hit, total)
+      }
+
+      Seq(false, true).foreach { rank =>
+        val tbl = java.nio.file.Files
+          .createTempDirectory(s"graft_zorder_probe_$rank").toString
+        // written range-partitioned by orderkey: a partkey predicate
+        // cannot prune anything until the zorder rewrite clusters it
+        DeltaFixtureWriter.write(
+          probe.repartitionByRange(32, col("l_orderkey")), tbl,
+          "overwrite", Seq())
+        val (hitBefore, totBefore) =
+          filesOverlapping(tbl, "l_partkey", 1L, 2000L)
+        val snap0 = DeltaLog.snapshot(spark, tbl)
+        val bytes = snap0.detail.select("sizeInBytes")
+          .collect().head.getLong(0)
+        snap0.unpersist()
+        time(s"OPTIMIZE ZORDER (rankBased=$rank) over 6M rows") {
+          Maintenance.zorder(spark, tbl, Seq("l_orderkey", "l_partkey"),
+            targetFileBytes = math.max(1L, bytes / 32), rankBased = rank)
+          probe.count()
+        }
+        val (hitAfter, totAfter) =
+          filesOverlapping(tbl, "l_partkey", 1L, 2000L)
+        println(s"  pruning evidence (l_partkey in [1,2000], 10% of range): " +
+          s"before $hitBefore/$totBefore files overlap, " +
+          s"after $hitAfter/$totAfter")
+        DeltaFixtureWriter.drop(tbl)
+      }
+
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft_cdf_probe").toString
+      DeltaFixtureWriter.write(
+        probe.repartitionByRange(32, col("l_orderkey")), tbl,
+        "overwrite", Seq())                                        // v0
+      DeltaFixtureWriter.write(
+        probe.where(col("l_orderkey") < 1000L)
+          .withColumn("l_orderkey", col("l_orderkey") + 2000000000L),
+        tbl, "append", Seq())                                      // v1
+      time("predicate DELETE (l_quantity > 49, ~2% of 6M rows)") {
+        DeltaFixtureWriter.delete(spark, tbl, "l_quantity > 49")   // v2
+        probe.count()
+      }
+      time("CDF changes (0,2] over the 6M-row table") {
+        DeltaLog.changes(spark, tbl, 0, 2).count()                 // feed rows
+      }
+      DeltaFixtureWriter.drop(tbl)
+    }
+
     // adversarial corpus: 100k IDENTICAL documents — without the bucket
     // guard every band bucket holds all 100k docs and the self-join emits
     // ~10^10 candidate pairs; with it the probe must complete in seconds
