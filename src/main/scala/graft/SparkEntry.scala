@@ -84,6 +84,7 @@ object SparkEntry {
     "hash_split" -> (PipelineQueries.hashSplit _),
     "decontamination" -> (PipelineQueries.decontamination _),
     "decontamination_bloom" -> (PipelineQueries.decontaminationBloom _),
+    "decontamination_auto" -> (PipelineQueries.decontaminationAuto _),
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
     "ngram_exact" -> (PipelineQueries.ngramExact _),
     "repetition_stats" -> (PipelineQueries.repetitionStats _),
@@ -157,6 +158,9 @@ object SparkEntry {
     // applies unchanged — the value check proves the prefilter dropped
     // nothing (same pattern as knn_ivf's full-probe ≡ brute-force)
     "decontamination_bloom" -> Oracles.decontamination,
+    // the size-adaptive facade picks a branch, both branches are provably
+    // identical — the shared oracle proves the auto-selection is lossless
+    "decontamination_auto" -> Oracles.decontamination,
     "vocab_topk" -> Oracles.vocabTopK,
     "knn_ivf" -> Oracles.knnBruteforce,  // full probe ≡ exact brute force
     "knn_ivfpq" -> Oracles.knnBruteforce,  // full probe + full re-rank ≡ exact
@@ -173,7 +177,7 @@ object SparkEntry {
     "temperature_mix" -> Oracles.temperatureMix,
     "token_budget_sample" -> Oracles.tokenBudgetSample,
     "pack_plan" -> Oracles.packPlan)
-    // Remaining rows-only entry (52/53 oracle-backed as of round 6 —
+    // Remaining rows-only entry (53/54 oracle-backed as of round 7 —
     // dedup_simhash graduated to a full brute-force value oracle via the
     // engine-portable md5-hash simhash variant, Dedup.simhashPortable):
     //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 BY

@@ -155,6 +155,20 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** The size-adaptive [[Dedup.decontaminate]] FACADE as a contract query:
+    * with the ~25x corpus/benchmark asymmetry of the planted fixture it
+    * must take the bloom branch, and since both branches are provably
+    * identical it shares [[decontamination]]'s oracle — the value check
+    * proves the auto-selection changed nothing. */
+  def decontaminationAuto(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlants(spark, dir)
+    Dedup.decontaminate(
+        corpus = docs.where(col("doc_id") < PlantShift),
+        benchmark = docs.where(col("doc_id") >= PlantShift),
+        "doc_id", "text", w = 3, minShared = 5)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   /** Brute-force char-trigram Jaccard over a bounded slice — the exact-math
     * twin of dedup_ngram: value-checks the charShingleSet kernel (ASCII
     * normalization, min(n, len) whole-string window, distinct trigram set)
