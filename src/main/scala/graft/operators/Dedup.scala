@@ -306,17 +306,22 @@ object Dedup {
     * statistics Catalyst gives a Filter its child's size, so two slices of
     * one source look equal-sized even when their row counts differ by
     * orders of magnitude — an inconclusive estimate must not silently pick
-    * the exact join for a 100 TB corpus. The count pass is one narrow scan
-    * per side, amortized against the shingle-explode join both branches
-    * pay afterwards. */
+    * the exact join for a 100 TB corpus. The fallback is one count of the
+    * SMALL side plus an EARLY-EXIT count of the corpus (`limit(need + 1)`
+    * before counting — Spark's limit scans partitions incrementally and
+    * stops once satisfied), so the decision costs O(ratio·|benchmark|)
+    * rows however large the corpus is — never a full 100 TB count. */
   private[graft] def preferBloom(corpus: DataFrame, benchmark: DataFrame,
                                  ratio: Double): Boolean = {
     val sentinel = BigInt(
       corpus.sparkSession.sessionState.conf.defaultSizeInBytes)
     val cs = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
     val bs = benchmark.queryExecution.optimizedPlan.stats.sizeInBytes
-    (cs < sentinel && bs < sentinel && BigDecimal(cs) >= BigDecimal(bs) * ratio) ||
-      corpus.count() >= ratio * benchmark.count()
+    (cs < sentinel && bs < sentinel && BigDecimal(cs) >= BigDecimal(bs) * ratio) || {
+      val need = math.ceil(ratio * benchmark.count()).toLong
+      if (need >= Int.MaxValue) corpus.count() >= need  // ~2B+ benchmark rows
+      else corpus.limit(need.toInt + 1).count() > need
+    }
   }
 
   /** Exact Jaccard over two string arrays (as sets). */
