@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.exprs
@@ -194,8 +193,12 @@ object Similarity {
   }
 
   /** Query-side coarse probe: each query ranks the broadcast centroid
-    * literals and keeps its `nprobe` nearest cells. The window partition is
-    * bounded by the nlist centroids per query — never data-sized. */
+    * literals and keeps its `nprobe` nearest cells. Ranked with the same
+    * [[graft.functions.BoundedTopK]] aggregation as everything else —
+    * keeping by (cosine desc, cell asc) is exactly the old window's
+    * ORDER BY (cdist asc, cell asc) — so no ANN path contains a
+    * data-partitioned window at all (this one was nlist-bounded and
+    * benign, but one ranking idiom beats two). */
   private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
                          centroids: Seq[(Int, Seq[Float])],
                          nprobe: Int): DataFrame = {
@@ -203,13 +206,14 @@ object Similarity {
     import spark.implicits._
     val centDF = centroids.toDF("cell", "cvec")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val wCell = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
     q.crossJoin(broadcast(centDF))
-      .withColumn("cdist", -exprs.cosineSimilarity(col("qvec"), col("cvec")))
-      .withColumn("crank", row_number().over(wCell))
-      .where(col("crank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+      .withColumn("csim", exprs.cosineSimilarity(col("qvec"), col("cvec")))
+      .groupBy(col("query_id"), col("qvec"))
+      .agg(exprs.boundedTopK(col("csim"), col("cell").cast("long"), nprobe)
+        .as("nn"))
+      .select(col("query_id"), col("qvec"),
+        explode(col("nn.id")).as("cellL"))
+      .select(col("query_id"), col("qvec"), col("cellL").cast("int").as("cell"))
   }
 
   /** Build a reusable IVF index: the KMeans coarse quantizer fits ONCE

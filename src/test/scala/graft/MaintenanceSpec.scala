@@ -384,12 +384,9 @@ class MaintenanceSpec extends SparkSuite {
     val plan = df.queryExecution.optimizedPlan
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
-    // the only window left is the coarse cell ranking — bounded by the
-    // nlist broadcast centroids per query, never the candidate set
-    assert(windows.size === 1, s"unexpected windows: $windows")
-    assert(!windows.exists(_.orderSpec.exists(
-        _.references.exists(_.name == "adc"))),
-      "the ADC shortlist must not be ranked by a window sort")
+    // NO windows anywhere in the ANN plan: ADC shortlist, final rank AND
+    // the coarse cell probe all rank through BoundedTopK aggregations
+    assert(windows.isEmpty, s"unexpected windows: $windows")
     val topkAggs = plan.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
         if a.aggregateExpressions.exists(_.exists {
@@ -397,8 +394,8 @@ class MaintenanceSpec extends SparkSuite {
             ae.aggregateFunction.isInstanceOf[graft.functions.BoundedTopK]
           case _ => false
         }) => a }
-    assert(topkAggs.size === 2,
-      "both the ADC shortlist and the final rank must be BoundedTopK aggregations")
+    assert(topkAggs.size === 3,
+      "cell probe, ADC shortlist and final rank must all be BoundedTopK aggregations")
   }
 
   test("optimize: compacts only multi-small-file partitions, streams the commit, preserves data") {
