@@ -129,21 +129,52 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nPlanes: Int = 8,
               seed: Long = 7L, dim: Int = 64, bucketCap: Int = 4096,
-              probeRadius: Int = 1): DataFrame = {
+              probeRadius: Int = 1): DataFrame =
+    lshIndex(corpus, idCol, vecCol, nPlanes, seed, dim, bucketCap,
+      cache = false).topK(queries, k, probeRadius)
+
+  /** Build a reusable LSH index: the corpus is bucketed (and cap-truncated)
+    * ONCE; with `cache = true` the bucketed frame persists so repeated
+    * [[LshIndex.topK]] calls are probe-join + rank only — completing the
+    * train-once family alongside [[ivfIndex]]/[[ivfpqIndex]] (LSH has no
+    * fitted model, but the corpus pass is the analogous one-time cost).
+    * [[lshTopK]] is the one-shot convenience form (`cache = false`,
+    * identical results). */
+  def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               nPlanes: Int = 8, seed: Long = 7L, dim: Int = 64,
+               bucketCap: Int = 4096, cache: Boolean = true): LshIndex = {
     val c = ScaleOps.truncateBuckets(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
         .withColumn("bucket", lshBucket(col("nvec"), nPlanes, seed, dim)),
       Seq("bucket"), "neighbor_id", bucketCap, "lsh_topk")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("bucket",
-        explode(probeBuckets(lshBucket(col("qvec"), nPlanes, seed, dim),
-          nPlanes, probeRadius)))
-    val scored = q.join(c, Seq("bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
-    rankTopK(
-      scored.select(col("query_id"), col("neighbor_id"), col("cosine")).distinct(),
-      k)
+    new LshIndex(if (cache) c.cache() else c, idCol, vecCol, nPlanes,
+      seed, dim)
+  }
+
+  /** Bucketed-corpus LSH index handle. */
+  final class LshIndex private[Similarity](
+      bucketed: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, seed: Long, dim: Int) {
+    /** Approximate top-k — same contract as [[lshTopK]]. */
+    def topK(queries: DataFrame, k: Int = 10,
+             probeRadius: Int = 1): DataFrame = {
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .withColumn("bucket",
+          explode(probeBuckets(lshBucket(col("qvec"), nPlanes, seed, dim),
+            nPlanes, probeRadius)))
+      val scored = q.join(bucketed, Seq("bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
+      // distinct BEFORE ranking: multi-probe emits one candidate row per
+      // shared bucket, and duplicate (query, neighbor) rows would occupy
+      // several top-k slots
+      rankTopK(
+        scored.select(col("query_id"), col("neighbor_id"), col("cosine"))
+          .distinct(),
+        k)
+    }
+    /** Release the persisted bucketed corpus. */
+    def unpersist(): Unit = { bucketed.unpersist(); () }
   }
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer

@@ -397,6 +397,8 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
   private val ivfpqIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfPqIndex]
+  private val lshIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.LshIndex]
 
   /** Full-probe IVF top-5 (nprobe = nlist ⇒ provably ≡ brute force, the
     * DuckDB-checkable configuration) via the cached [[Similarity.ivfIndex]]. */
@@ -431,8 +433,9 @@ object PipelineQueries {
     * path executes. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsWithPlants(spark, dir)
-    Similarity.lshTopK(e.where(col("vec_id") < 10), e,
-        "vec_id", "embedding", k = 5, probeRadius = 2)
+    lshIndexes.getOrElseUpdate(dir,
+        Similarity.lshIndex(e, "vec_id", "embedding"))
+      .topK(e.where(col("vec_id") < 10), k = 5, probeRadius = 2)
       .where(col("rank") === 1)
       .orderBy(col("query_id"))
   }

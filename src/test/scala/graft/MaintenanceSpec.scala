@@ -330,6 +330,31 @@ class MaintenanceSpec extends SparkSuite {
     } finally idx.unpersist()
   }
 
+  test("lsh index: bucket once, query many — repeat calls equal the one-shot form") {
+    import spark.implicits._
+    val emb = graft.queries.PipelineQueries.embeddingsWithPlants(spark, sf())
+    val idx = graft.operators.Similarity.lshIndex(emb, "vec_id", "embedding")
+    try {
+      val qs1 = emb.where(col("vec_id") < 5)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(3))
+      val oneShot = graft.operators.Similarity.lshTopK(
+        qs1, emb, "vec_id", "embedding", k = 3, probeRadius = 2)
+        .collect().map(key).sorted.toSeq
+      val viaIndex = idx.topK(qs1, k = 3, probeRadius = 2)
+        .collect().map(key).sorted.toSeq
+      assert(viaIndex === oneShot,
+        "cached index must return exactly the one-shot results")
+      // second query set against the SAME bucketed corpus: plants at rank 1
+      val second = idx.topK(emb.where(col("vec_id") >= 5 && col("vec_id") < 10),
+          k = 1, probeRadius = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      (5L until 10L).foreach { q =>
+        assert(second(q) === q + graft.queries.PipelineQueries.PlantShift)
+      }
+    } finally idx.unpersist()
+  }
+
   test("bounded top-k aggregation matches the window ranking on ties") {
     import spark.implicits._
     // two queries; query 1 has a cosine tie that must break by id asc
