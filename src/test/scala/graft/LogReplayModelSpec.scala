@@ -72,7 +72,7 @@ class LogReplayModelSpec extends SparkSuite {
       assertMatches("initial overwrite")
 
       (1 to 8).foreach { step =>
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 => // append
             val rows = mkRows(5 + rnd.nextInt(10))
             DeltaFixtureWriter.write(toDF(rows), path, "append", Seq("day"))
@@ -110,6 +110,11 @@ class LogReplayModelSpec extends SparkSuite {
                     // active data untouched
             graft.operators.Maintenance.vacuum(spark, path, retainMs = 0L)
             assertMatches(s"step$step vacuum")
+          case 7 => // zorder rewrite: clustering preserves every row and,
+                    // like compaction, nets to ZERO in the change feed
+            graft.operators.Maintenance.zorder(spark, path, Seq("value"),
+              targetFileBytes = 1L << 20)
+            assertMatches(s"step$step zorder")
         }
       }
       // final: maintenance cycle leaves data intact
