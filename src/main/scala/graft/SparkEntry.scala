@@ -98,7 +98,8 @@ object SparkEntry {
     "line_dedup" -> (PipelineQueries.lineDedup _),
     "temperature_mix" -> (PipelineQueries.temperatureMix _),
     "token_budget_sample" -> (PipelineQueries.tokenBudgetSample _),
-    "pack_plan" -> (PipelineQueries.packPlan _))
+    "pack_plan" -> (PipelineQueries.packPlan _),
+    "distinct_sketch" -> (PipelineQueries.distinctSketch _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -176,8 +177,12 @@ object SparkEntry {
     "line_dedup" -> Oracles.lineDedup,
     "temperature_mix" -> Oracles.temperatureMix,
     "token_budget_sample" -> Oracles.tokenBudgetSample,
-    "pack_plan" -> Oracles.packPlan)
-    // Remaining rows-only entry (53/54 oracle-backed as of round 7 —
+    "pack_plan" -> Oracles.packPlan,
+    // exact-regime sketch (k >= distinct) ≡ COUNT(DISTINCT) — same
+    // value-oracle trick as knn_ivf's full probe; the sub-k error regime
+    // is measured in KmvSpec
+    "distinct_sketch" -> Oracles.distinctSketch)
+    // Remaining rows-only entry (54/55 oracle-backed as of round 7 —
     // dedup_simhash graduated to a full brute-force value oracle via the
     // engine-portable md5-hash simhash variant, Dedup.simhashPortable):
     //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 BY

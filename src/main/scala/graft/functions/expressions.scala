@@ -412,6 +412,196 @@ case class BoundedTopK(
     copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
 }
 
+/** Grow-only open-addressing set of longs (linear probing, power-of-two
+  * table, zero key via side flag) — the accepted-value memo of
+  * [[KmvState]]. No removal support needed there: see KmvState's staleness
+  * argument. */
+final class LongOpenSet(initialCapacity: Int = 64) extends Serializable {
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1)
+  private var table = new Array[Long](cap)   // 0 = empty slot
+  private var hasZero = false
+  private var used = 0
+
+  @inline private def slot(v: Long): Int = {
+    // Stafford mix 13 finalizer — spreads consecutive hashes across slots
+    var z = v * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    (z ^ (z >>> 27)).toInt & (cap - 1)
+  }
+
+  /** Adds v; returns true iff it was NOT already present. */
+  def add(v: Long): Boolean = {
+    if (v == 0L) {
+      if (hasZero) return false
+      hasZero = true; return true
+    }
+    var i = slot(v)
+    while (table(i) != 0L) {
+      if (table(i) == v) return false
+      i = (i + 1) & (cap - 1)
+    }
+    table(i) = v
+    used += 1
+    if (used * 2 > cap) grow()
+    true
+  }
+
+  private def grow(): Unit = {
+    val old = table
+    cap <<= 1
+    table = new Array[Long](cap)
+    used = 0
+    var j = 0
+    while (j < old.length) {
+      val v = old(j)
+      if (v != 0L) {
+        var i = slot(v)
+        while (table(i) != 0L) i = (i + 1) & (cap - 1)
+        table(i) = v
+        used += 1
+      }
+      j += 1
+    }
+  }
+}
+
+/** KMV (k minimum values) distinct-count sketch state (Bar-Yossef et al.,
+  * "Counting distinct elements in a data stream", RANDOM 2002): the k
+  * smallest DISTINCT hash values seen, as a max-heap (root = largest kept,
+  * O(log k) eviction). Values arrive PRE-FLIPPED (hash ⊕ Long.MinValue) so
+  * plain SIGNED comparisons — and downstream `array_sort`/`slice` on the
+  * emitted sketch — follow the unsigned order of the raw hash.
+  *
+  * Distinctness memo: `seen` records every value ever ACCEPTED into the
+  * heap, and is never pruned. That is sufficient AND bounded: an evicted
+  * value w was the largest kept at eviction time, and roots only decrease,
+  * so a returning w always fails the `v < root` fast-reject before the set
+  * is consulted — stale entries are unreachable. Expected accepted count is
+  * O(k·log(n/k)) for hash-ordered input (each acceptance requires beating
+  * the current k-th minimum), so memory stays ~k-proportional.
+  *
+  * Order-independent by construction (a set function of the input), so
+  * partial aggregation merges and ANY partition layout give bit-identical
+  * sketches. */
+final class KmvState(val k: Int) extends Serializable {
+  private var cap = math.min(k, 16)
+  var heap = new Array[Long](cap)
+  var n = 0
+  private val seen = new LongOpenSet()
+
+  def add(v: Long): Unit = {
+    if (n >= k && v >= heap(0)) return    // can't beat the k-th minimum
+    if (!seen.add(v)) return              // already kept
+    if (n < k) {
+      if (n == cap) {
+        cap = math.min(k, cap << 1)
+        heap = java.util.Arrays.copyOf(heap, cap)
+      }
+      heap(n) = v; n += 1
+      var i = n - 1
+      while (i > 0 && heap(i) > heap((i - 1) / 2)) {
+        val p = (i - 1) / 2
+        val t = heap(i); heap(i) = heap(p); heap(p) = t
+        i = p
+      }
+    } else {
+      heap(0) = v
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = 2 * i + 2
+        var m = i
+        if (l < n && heap(l) > heap(m)) m = l
+        if (r < n && heap(r) > heap(m)) m = r
+        if (m == i) done = true
+        else {
+          val t = heap(i); heap(i) = heap(m); heap(m) = t
+          i = m
+        }
+      }
+    }
+  }
+
+  /** Kept values ascending (= unsigned-ascending raw hashes). */
+  def sortedAsc: Array[Long] = {
+    val out = java.util.Arrays.copyOf(heap, n)
+    java.util.Arrays.sort(out)
+    out
+  }
+}
+
+/** Bounded-memory mergeable distinct-count sketch aggregate: emits the KMV
+  * sketch as array<bigint> (flipped hashes, ascending). O(k) state per
+  * group with map-side partial merge — COUNT(DISTINCT) over 100 TB with a
+  * fixed memory budget, and unlike HLL the kept sample supports SET
+  * operations downstream ([[exprs.kmvJaccard]]'s min-wise resemblance).
+  * Estimate finishers are plain Column arithmetic ([[exprs.kmvEstimate]]),
+  * exact whenever the group's distinct count fits inside k — the
+  * value-oracle-able regime. */
+case class KmvSketchAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvState] {
+
+  require(k > 1, s"kmv sketch needs k > 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName consumes pre-hashed BIGINT values, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): KmvState = new KmvState(k)
+
+  override def update(buf: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: KmvState, b: KmvState): KmvState = {
+    var i = 0
+    while (i < b.n) { a.add(b.heap(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: KmvState): Any =
+    new GenericArrayData(buf.sortedAsc)
+
+  override def serialize(buf: KmvState): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * buf.n)
+    bb.putInt(buf.k).putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.heap(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val st = new KmvState(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { st.add(bb.getLong); i += 1 }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(child = newChildren(0))
+}
+
 /** Column-API entry points for the custom expressions. */
 /** Sign-bit random-hyperplane LSH bucket of an embedding vector — the fused
   * codegen twin of the `zip_with`+`aggregate` HOF formulation (HOFs are
@@ -554,4 +744,47 @@ object exprs {
   def charEntropy(c: Column): Column = column(CharEntropy(expression(c)))
   def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Long, dim: Int): Column =
     column(HyperplaneBucket(expression(vec), nPlanes, seed, dim))
+
+  // ------------------------------------------------------ KMV sketches
+
+  private val Two63 = 9.223372036854775808e18
+  private val Two64 = 1.8446744073709551616e19
+
+  /** KMV distinct-count sketch of `c` (any type): xxhash64 + sign-flip in
+    * Column space (so the stored longs sort in unsigned hash order under
+    * plain signed comparisons), then the bounded [[KmvSketchAgg]]. Emits
+    * array<bigint> — feed to [[kmvEstimate]]/[[kmvJaccard]]. */
+  def kmvSketch(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, when, xxhash64}
+    // xxhash64 maps NULL to the seed (a real long!) — gate it so null
+    // input stays null and the aggregate's null-skip applies
+    column(KmvSketchAgg(
+      expression(when(c.isNotNull,
+        xxhash64(c).bitwiseXOR(lit(Long.MinValue)))), k)
+      .toAggregateExpression())
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]] result: exact |sketch|
+    * while the heap never filled (distinct ≤ k — the oracle regime), else
+    * the k-th-minimum estimator (k−1)/u₍ₖ₎ with u₍ₖ₎ the k-th smallest
+    * hash mapped to [0,1). Plain Column arithmetic — stays in codegen. */
+  def kmvEstimate(sketch: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, size, when}
+    val u = (element_at(sketch, k).cast("double") + lit(Two63)) / lit(Two64)
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / u)
+  }
+
+  /** Min-wise resemblance (Jaccard) estimate between two [[kmvSketch]]
+    * results built with the same k: of the k smallest hashes of the UNION,
+    * the fraction present in both sketches (Beyer et al., SIGMOD 2007).
+    * Exact when |A ∪ B| ≤ k. */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{array_intersect, array_sort,
+      array_union, lit, size, slice, when}
+    val x = slice(array_sort(array_union(a, b)), 1, k)
+    when(size(x) === 0, lit(0.0)).otherwise(
+      size(array_intersect(array_intersect(x, a), b)).cast("double")
+        / size(x))
+  }
 }

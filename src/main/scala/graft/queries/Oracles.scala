@@ -828,4 +828,13 @@ object Oracles {
       |  event_type, count(*) AS cnt,
       |  round(sum(value), 4) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** distinct_sketch runs the KMV sketch in its exact regime (k far above
+    * the true distinct count), where the estimate provably equals plain
+    * COUNT(DISTINCT) — so the oracle needs no hash arithmetic at all. */
+  val distinctSketch: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -385,6 +385,25 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** KMV distinct-count sketch in its EXACT regime: per-returnflag distinct
+    * part keys over lineitem with k = 2¹⁷, far above sf0.1's 20k distinct
+    * parts, so the bounded sketch provably equals COUNT(DISTINCT) and
+    * DuckDB value-checks the whole pipeline (hash, flip, bounded heap,
+    * partial-aggregate merges, estimate finisher). The sub-k ERROR regime
+    * — the reason the sketch exists at 100 TB — is spec-tested with
+    * measured relative error (KmvSpec), the same split as knn_ivf's
+    * full-probe trick. */
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val k = 1 << 17
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        exprs.kmvEstimate(exprs.kmvSketch(col("l_partkey"), k), k)
+          .cast("long").as("distinct_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Trained-index memo for the contract knn queries, keyed by sf dir:
     * training (KMeans coarse fit + m PQ sub-fits) happens once per corpus
     * and every later invocation is probe + search only — the FAISS
