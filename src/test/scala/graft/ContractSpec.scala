@@ -23,6 +23,16 @@ class ContractSpec extends SparkSuite {
     assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
   }
 
+  test("bench-only twins run and never shadow contract queries") {
+    val overlap = SparkEntry.benchQueries.keySet
+      .intersect(SparkEntry.queries.keySet)
+    assert(overlap.isEmpty, s"bench twins shadowing contract entries: $overlap")
+    SparkEntry.benchQueries.foreach { case (name, fn) =>
+      // executes without throwing; row count itself is the twin's business
+      assert(fn(spark, sf()).count() >= 0L, s"bench query $name failed")
+    }
+  }
+
   test("A4 parity: python tuple-key format") {
     val df = Seq(("Mon", "Dinner", 1)).toDF("day", "time", "x")
     val single = df.select(SkewAnalyzer.pythonTupleKey(Seq("day"))).first().getString(0)
