@@ -30,6 +30,12 @@ object ScaleProbe {
         .agg(sum(col("l_quantity")), sum(col("l_extendedprice")), count(lit(1)))
         .count()
     }
+    time("KMV distinct sketch (k=4096, error regime) over 6M rows") {
+      // "rows" here = the estimate itself; true distinct ≈ 1.5M orderkeys
+      li.agg(graft.functions.exprs.kmvEstimate(
+          graft.functions.exprs.kmvSketch(col("l_orderkey"), 4096), 4096)
+        .as("est")).collect().head.getDouble(0).round
+    }
     val docs = x10("documents", "doc_id")
     time("minhash LSH dedup over 50k docs") {
       graft.operators.Dedup.minhashPairs(docs, "doc_id", "text").count()
