@@ -99,7 +99,8 @@ object SparkEntry {
     "temperature_mix" -> (PipelineQueries.temperatureMix _),
     "token_budget_sample" -> (PipelineQueries.tokenBudgetSample _),
     "pack_plan" -> (PipelineQueries.packPlan _),
-    "distinct_sketch" -> (PipelineQueries.distinctSketch _))
+    "distinct_sketch" -> (PipelineQueries.distinctSketch _),
+    "range_join_events" -> (PipelineQueries.rangeJoinEvents _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -181,8 +182,9 @@ object SparkEntry {
     // exact-regime sketch (k >= distinct) ≡ COUNT(DISTINCT) — same
     // value-oracle trick as knn_ivf's full probe; the sub-k error regime
     // is measured in KmvSpec
-    "distinct_sketch" -> Oracles.distinctSketch)
-    // Remaining rows-only entry (54/55 oracle-backed as of round 7 —
+    "distinct_sketch" -> Oracles.distinctSketch,
+    "range_join_events" -> Oracles.rangeJoinEvents)
+    // Remaining rows-only entry (55/56 oracle-backed as of round 7 —
     // dedup_simhash graduated to a full brute-force value oracle via the
     // engine-portable md5-hash simhash variant, Dedup.simhashPortable):
     //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 BY

@@ -829,6 +829,21 @@ object Oracles {
       |  round(sum(value), 4) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** range_join_events: DuckDB derives the same min-anchored staggered
+    * windows and joins with a plain BETWEEN — the bucketized operator must
+    * value-match the naive formulation. Spark's timestamp→long cast
+    * truncates, so floor(epoch(ts)) on this side. */
+  val rangeJoinEvents: String =
+    """WITH pts AS (
+      |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+      |base AS (SELECT min(ep) AS b FROM pts),
+      |wins AS (
+      |  SELECT i AS window_id, b + i * 7919 AS w_lo, b + i * 7919 + 12347 AS w_hi
+      |  FROM base, range(0, 20) t(i))
+      |SELECT window_id, count(*) AS n_events, sum(event_id) AS id_sum
+      |FROM pts JOIN wins ON pts.ep BETWEEN w_lo AND w_hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** distinct_sketch runs the KMV sketch in its exact regime (k far above
     * the true distinct count), where the estimate provably equals plain
     * COUNT(DISTINCT) — so the oracle needs no hash arithmetic at all. */

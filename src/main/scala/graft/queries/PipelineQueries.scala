@@ -404,6 +404,28 @@ object PipelineQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Bucketized range join as a contract query: attribute events to 20
+    * deterministic OVERLAPPING campaign windows (staggered 7919 s apart,
+    * 12347 s wide, anchored at the corpus' min timestamp — an event can
+    * fall in up to two windows) and aggregate per window. The join is
+    * [[graft.operators.RangeJoin.pointInterval]] — bucket-keyed candidate
+    * generation, never a cartesian — and DuckDB recomputes the identical
+    * windows and a plain BETWEEN join for the value check. */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(spark, dir)   // nanos-parquet-safe reader
+      .select(col("event_id"), col("ts").cast("long").as("ep"))
+    val base = ev.agg(min(col("ep"))).collect().head.getLong(0)
+    val windows = spark.range(0, 20).select(
+      col("id").as("window_id"),
+      (lit(base) + col("id") * 7919L).as("w_lo"),
+      (lit(base) + col("id") * 7919L + 12347L).as("w_hi"))
+    graft.operators.RangeJoin
+      .pointInterval(ev, windows, "ep", "w_lo", "w_hi", bucketWidth = 4096L)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"))
+      .orderBy(col("window_id"))
+  }
+
   /** Trained-index memo for the contract knn queries, keyed by sf dir:
     * training (KMeans coarse fit + m PQ sub-fits) happens once per corpus
     * and every later invocation is probe + search only — the FAISS

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Bucketized point-in-interval join: exact equivalence with the naive
+  * cross-join formulation (any bucket width), boundary inclusivity,
+  * negative-domain floor division, overlap multi-match, the degenerate-
+  * interval fail-fast, and the no-cartesian plan shape. */
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def naive(points: org.apache.spark.sql.DataFrame,
+                    intervals: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    points.crossJoin(intervals)
+      .where($"p" >= $"lo" && $"p" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+
+  test("equals the cross-join reference for every bucket width, signs included") {
+    val rnd = new scala.util.Random(7)
+    val points = (0L until 300L).map(i => (i, rnd.nextInt(2000) - 1000L))
+      .toDF("pid", "p")
+    val intervals = (0L until 40L).map { i =>
+      val lo = rnd.nextInt(2000) - 1000L
+      (i, lo, lo + rnd.nextInt(300))
+    }.toDF("iid", "lo", "hi")
+    val want = naive(points, intervals)
+    assert(want.nonEmpty)
+    Seq(1L, 7L, 64L, 1000L, 100000L).foreach { w =>
+      val got = RangeJoin.pointInterval(points, intervals, "p", "lo", "hi", w)
+        .select($"pid", $"iid").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size,
+        s"w=$w: a pair must meet in exactly one bucket (no dup rows)")
+      assert(got.toSet === want, s"bucket width $w changed the result")
+    }
+  }
+
+  test("bounds are inclusive on both ends; overlapping intervals multi-match") {
+    val points = Seq((1L, 10L), (2L, 20L), (3L, 15L)).toDF("pid", "p")
+    val intervals = Seq((10L, 10L, 20L), (11L, 15L, 25L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInterval(points, intervals, "p", "lo", "hi", 4L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 11L)))
+  }
+
+  test("degenerate whole-axis interval fails fast instead of exploding") {
+    val points = Seq((1L, 0L)).toDF("pid", "p")
+    val intervals = Seq((1L, Long.MinValue / 4, Long.MaxValue / 4))
+      .toDF("iid", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInterval(points, intervals, "p", "lo", "hi", 1024L)
+    }
+    assert(e.getMessage.contains("buckets of width"))
+  }
+
+  test("plan is a bucket equi-join, not a cartesian / nested loop") {
+    val points = spark.range(0, 1000).select($"id".as("pid"), ($"id" * 3).as("p"))
+    val intervals = spark.range(0, 50)
+      .select($"id".as("iid"), ($"id" * 60).as("lo"), ($"id" * 60 + 90).as("hi"))
+    val df = RangeJoin.pointInterval(points, intervals, "p", "lo", "hi", 64L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$plan")
+    assert(df.count() > 0)
+  }
+}
