@@ -100,7 +100,8 @@ object SparkEntry {
     "token_budget_sample" -> (PipelineQueries.tokenBudgetSample _),
     "pack_plan" -> (PipelineQueries.packPlan _),
     "distinct_sketch" -> (PipelineQueries.distinctSketch _),
-    "range_join_events" -> (PipelineQueries.rangeJoinEvents _))
+    "range_join_events" -> (PipelineQueries.rangeJoinEvents _),
+    "heavy_hitters" -> (PipelineQueries.heavyHitters _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -183,8 +184,11 @@ object SparkEntry {
     // value-oracle trick as knn_ivf's full probe; the sub-k error regime
     // is measured in KmvSpec
     "distinct_sketch" -> Oracles.distinctSketch,
-    "range_join_events" -> Oracles.rangeJoinEvents)
-    // Remaining rows-only entry (55/56 oracle-backed as of round 7 —
+    "range_join_events" -> Oracles.rangeJoinEvents,
+    // exact-regime Misra-Gries (vocab <= k) ≡ plain counts; error regime
+    // carries the MG guarantee, spec-tested in MgSpec
+    "heavy_hitters" -> Oracles.heavyHitters)
+    // Remaining rows-only entry (56/57 oracle-backed as of round 7 —
     // dedup_simhash graduated to a full brute-force value oracle via the
     // engine-portable md5-hash simhash variant, Dedup.simhashPortable):
     //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 BY

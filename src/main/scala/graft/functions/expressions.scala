@@ -602,6 +602,146 @@ case class KmvSketchAgg(
     copy(child = newChildren(0))
 }
 
+/** Misra–Gries heavy-hitters summary state: at most k (term → count)
+  * entries. Inserts accumulate freely; whenever the map exceeds k entries
+  * it PRUNES by the (k+1)-th largest count m — subtract m everywhere, drop
+  * non-positives — which generalizes the classic decrement-all step (one
+  * new unit entry: m = 1) AND gives the mergeable-summaries combine rule
+  * (Agarwal et al., PODS 2012): merging is just accumulate-then-prune.
+  * Guarantees after processing n items: every kept count is an
+  * UNDERestimate short by at most n/(k+1), and any term with true
+  * frequency > n/(k+1) is present. With distinct(terms) ≤ k no prune ever
+  * fires and the counts are EXACT and order-independent — the
+  * value-oracle-able regime. */
+final class MgState(val k: Int) extends Serializable {
+  val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+
+  /** `term` must already be safe to retain (cloned by the caller). */
+  def add(term: UTF8String, c: Long): Unit = {
+    val cur = counts.get(term)
+    if (cur != null) { counts.put(term, cur + c); return }
+    counts.put(term, c)
+    if (counts.size > k) prune()
+  }
+
+  private def prune(): Unit = {
+    val vals = new Array[Long](counts.size)
+    val it0 = counts.values().iterator()
+    var i = 0
+    while (it0.hasNext) { vals(i) = it0.next(); i += 1 }
+    java.util.Arrays.sort(vals)
+    val m = vals(vals.length - k - 1)   // (k+1)-th largest
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nc = e.getValue - m
+      if (nc <= 0L) it.remove() else e.setValue(nc)
+    }
+  }
+
+  /** Entries ranked (count desc, term asc — UTF8 binary). */
+  def sortedDesc: Array[(UTF8String, Long)] = {
+    val out = new Array[(UTF8String, Long)](counts.size)
+    val it = counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) { val e = it.next(); out(i) = (e.getKey, e.getValue.longValue()); i += 1 }
+    out.sortWith { case ((t1, c1), (t2, c2)) =>
+      c1 > c2 || (c1 == c2 && t1.compareTo(t2) < 0)
+    }
+  }
+}
+
+/** Bounded heavy-hitters aggregate (Misra–Gries): O(k) state per group
+  * with map-side partial merge — token/domain/source frequency profiling
+  * over 100 TB with a fixed memory budget, where the exact
+  * explode-groupBy's shuffle is keyed by every distinct term. Emits
+  * array<struct<term string, count bigint>> ranked (count desc, term asc).
+  * Exact — and layout-independent — whenever the group's distinct count
+  * fits inside k; in the error regime counts carry the standard MG
+  * guarantee (underestimates short by ≤ n/(k+1), no false dismissals
+  * above that threshold). */
+case class HeavyHittersAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgState] {
+
+  require(k > 0, s"heavy hitters needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "heavy_hitters"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType), StructField("count", LongType))))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING term, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): MgState = new MgState(k)
+
+  override def update(buf: MgState, input: InternalRow): MgState = {
+    val v = child.eval(input)
+    // clone: the UTF8String points into a reused unsafe-row buffer
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].clone(), 1L)
+    buf
+  }
+
+  override def merge(a: MgState, b: MgState): MgState = {
+    val it = b.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      a.add(e.getKey, e.getValue.longValue())
+    }
+    a
+  }
+
+  override def eval(buf: MgState): Any =
+    new GenericArrayData(buf.sortedDesc.map { case (t, c) =>
+      InternalRow(t, c)
+    }.toIndexedSeq)
+
+  override def serialize(buf: MgState): Array[Byte] = {
+    val entries = buf.sortedDesc
+    val payload = entries.map(_._1.getBytes)
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + 12 * entries.length + payload.map(_.length).sum)
+    bb.putInt(buf.k).putInt(entries.length)
+    var i = 0
+    while (i < entries.length) {
+      bb.putLong(entries(i)._2).putInt(payload(i).length).put(payload(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val st = new MgState(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val c = bb.getLong
+      val tb = new Array[Byte](bb.getInt)
+      bb.get(tb)
+      st.add(UTF8String.fromBytes(tb), c)
+      i += 1
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHittersAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHittersAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeavyHittersAgg =
+    copy(child = newChildren(0))
+}
+
 /** Column-API entry points for the custom expressions. */
 /** Sign-bit random-hyperplane LSH bucket of an embedding vector — the fused
   * codegen twin of the `zip_with`+`aggregate` HOF formulation (HOFs are
@@ -744,6 +884,11 @@ object exprs {
   def charEntropy(c: Column): Column = column(CharEntropy(expression(c)))
   def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Long, dim: Int): Column =
     column(HyperplaneBucket(expression(vec), nPlanes, seed, dim))
+
+  /** Misra–Gries heavy hitters over a string column: array<struct<term,
+    * count>> ranked (count desc, term asc). Exact when distinct ≤ k. */
+  def heavyHitters(c: Column, k: Int): Column =
+    column(HeavyHittersAgg(expression(c), k).toAggregateExpression())
 
   // ------------------------------------------------------ KMV sketches
 

@@ -829,6 +829,17 @@ object Oracles {
       |  round(sum(value), 4) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** heavy_hitters runs Misra–Gries in its exact regime (vocab ≤ k), where
+    * the summary provably equals plain token counts — same tokenizer and
+    * ranking as vocab_topk, top 10. */
+  val heavyHitters: String =
+    """SELECT token, count(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0)) AS token
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 10""".stripMargin
+
   /** range_join_events: DuckDB derives the same min-anchored staggered
     * windows and joins with a plain BETWEEN — the bucketized operator must
     * value-match the naive formulation. Spark's timestamp→long cast

@@ -226,6 +226,23 @@ object PipelineQueries {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(50)
 
+  /** Misra–Gries heavy hitters in the EXACT regime: the corpus vocabulary
+    * (31 distinct tokens) fits inside k = 256, so the bounded sketch
+    * provably equals the exact token counts and DuckDB value-checks the
+    * whole aggregate (update path, partial-merge combine, ranking). The
+    * error regime — the point of the sketch when the term universe is
+    * billions of tokens/domains — is spec-tested against the MG guarantee
+    * (MgSpec). Same tokenizer as [[vocabTopK]]. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(
+        TextFunctions.normalized(col("text")))).as("token"))
+      .agg(exprs.heavyHitters(col("token"), 256).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("token"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(10)
+
   /** Per-source quota cap (at most 8 docs per source, hash-priority) — the
     * anti-domination guard of corpus curation. */
   def sourceQuota(spark: SparkSession, dir: String): DataFrame =
