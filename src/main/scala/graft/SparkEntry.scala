@@ -101,6 +101,7 @@ object SparkEntry {
     "pack_plan" -> (PipelineQueries.packPlan _),
     "distinct_sketch" -> (PipelineQueries.distinctSketch _),
     "range_join_events" -> (PipelineQueries.rangeJoinEvents _),
+    "interval_overlap_events" -> (PipelineQueries.intervalOverlapEvents _),
     "heavy_hitters" -> (PipelineQueries.heavyHitters _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
@@ -185,6 +186,7 @@ object SparkEntry {
     // is measured in KmvSpec
     "distinct_sketch" -> Oracles.distinctSketch,
     "range_join_events" -> Oracles.rangeJoinEvents,
+    "interval_overlap_events" -> Oracles.intervalOverlapEvents,
     // exact-regime Misra-Gries (vocab <= k) ≡ plain counts; error regime
     // carries the MG guarantee, spec-tested in MgSpec
     "heavy_hitters" -> Oracles.heavyHitters)

@@ -36,6 +36,47 @@ object ScaleProbe {
           graft.functions.exprs.kmvSketch(col("l_orderkey"), 4096), 4096)
         .as("est")).collect().head.getDouble(0).round
     }
+    // --- round-8 probe: Misra–Gries in its ERROR regime (the regime the
+    // sketch exists for at 100 TB): 6M tokens, ~4M distinct (10 heavy terms
+    // at 200k each over a 4M-singleton tail), k = 255 → deficit bound
+    // n/(k+1) = 23438. Checks the bound empirically and records the O(k)
+    // state against the explode-groupBy whose shuffle is keyed by every
+    // distinct term. ---
+    locally {
+      val n = 6000000L
+      val heavyRows = 2000000L   // 10 heavy terms x 200k
+      val toks = spark.range(0, n).select(
+        when(col("id") < heavyRows, concat(lit("H"), col("id") % 10))
+          .otherwise(concat(lit("n"), col("id"))).as("t"))
+      val k = 255
+      var summary: Array[(String, Long)] = Array.empty
+      time(s"Misra-Gries heavyHitters(k=$k) over 6M tokens (~4M distinct)") {
+        summary = toks
+          .agg(graft.functions.exprs.heavyHitters(col("t"), k).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.term"), col("e.count"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        summary.length.toLong
+      }
+      val bound = n.toDouble / (k + 1)   // 23437.5
+      val got = summary.toMap
+      val heavyOk = (0 until 10).forall { i =>
+        got.get(s"H$i").exists(c => c <= 200000L && c >= 200000L - bound.toLong)
+      }
+      val noOver = summary.forall { case (t, c) =>
+        c <= (if (t.startsWith("H")) 200000L else 1L)
+      }
+      val stateBytes = summary.map { case (t, _) => 12 + t.getBytes("UTF-8").length }.sum + 8
+      println(s"  MG guarantee: all 10 heavy terms (freq 200k > bound " +
+        f"$bound%.0f) present within deficit = $heavyOk; " +
+        s"no overestimates = $noOver; summary ${summary.length} entries " +
+        s"~ $stateBytes B state")
+      require(heavyOk && noOver, "Misra-Gries guarantee violated at 6M rows")
+      time("exact explode-groupBy token counts (the ~4M-key shuffle MG replaces)") {
+        toks.groupBy(col("t")).count().count()
+      }
+    }
+
     val docs = x10("documents", "doc_id")
     time("minhash LSH dedup over 50k docs") {
       graft.operators.Dedup.minhashPairs(docs, "doc_id", "text").count()

@@ -49,19 +49,68 @@ object RangeJoin {
                     bucketWidth: Long,
                     maxBucketsPerInterval: Long = 1 << 16): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // Drop reversed intervals (lo > hi) BEFORE the span guard and explode:
+    // they match nothing under the inclusive predicate (semantics
+    // preserved), but a wide reversed interval has a NEGATIVE span that
+    // slips past the max() guard while sequence(loB, hiB) with start > stop
+    // generates a DESCENDING sequence — millions of bucket rows, exactly
+    // the blowup the guard exists to stop.
+    val wellFormed = intervals.where(col(loCol) <= col(hiCol))
     val loB = floorDiv(col(loCol), bucketWidth)
     val hiB = floorDiv(col(hiCol), bucketWidth)
-    val widest = intervals
+    val widest = wellFormed
       .agg(coalesce(max(hiB - loB + 1L), lit(0L)))
       .collect().head.getLong(0)
     require(widest <= maxBucketsPerInterval,
       s"an interval spans $widest buckets of width $bucketWidth (cap " +
         s"$maxBucketsPerInterval): widen bucketWidth or split the interval " +
         "— exploding it would recreate the cross join this operator avoids")
-    val iv = intervals.withColumn("__b", explode(sequence(loB, hiB)))
+    val iv = wellFormed.withColumn("__b", explode(sequence(loB, hiB)))
     points.withColumn("__b", floorDiv(col(pCol), bucketWidth))
       .join(iv, Seq("__b"))
       .where(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+      .drop("__b")
+  }
+
+  /** Inclusive interval-overlap join: one output row per (left row, right
+    * row) whose intervals intersect — `lLo <= rHi AND rLo <= lHi` (the
+    * campaign-overlap / session-intersection shape). Same bucketization as
+    * [[pointInterval]] on BOTH sides, with one extra wrinkle: an
+    * overlapping pair shares EVERY bucket their intersection touches, so
+    * exactly-once output keeps only the pair's MEET bucket — the bucket of
+    * `greatest(lLo, rLo)`, the intersection's left edge, which both
+    * replicas provably cover. Shuffle is Σ ceil(span/w) replicas per side,
+    * never |left|·|right|; reversed intervals are dropped on both sides
+    * (match nothing; see [[pointInterval]]).
+    *
+    * The two frames' column sets must be disjoint (alias upstream) — the
+    * join would otherwise leave ambiguous references. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lLo: String, lHi: String, rLo: String, rHi: String,
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Long = 1 << 16): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty,
+      s"left/right column names must be disjoint, shared: ${dup.mkString(", ")}")
+
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val wellFormed = df.where(col(lo) <= col(hi))
+      val loB = floorDiv(col(lo), bucketWidth)
+      val hiB = floorDiv(col(hi), bucketWidth)
+      val widest = wellFormed
+        .agg(coalesce(max(hiB - loB + 1L), lit(0L)))
+        .collect().head.getLong(0)
+      require(widest <= maxBucketsPerInterval,
+        s"an interval spans $widest buckets of width $bucketWidth (cap " +
+          s"$maxBucketsPerInterval): widen bucketWidth or split the interval")
+      wellFormed.withColumn("__b", explode(sequence(loB, hiB)))
+    }
+
+    exploded(left, lLo, lHi)
+      .join(exploded(right, rLo, rHi), Seq("__b"))
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__b") === floorDiv(greatest(col(lLo), col(rLo)), bucketWidth))
       .drop("__b")
   }
 }

@@ -175,6 +175,9 @@ object Similarity {
     }
     /** Release the persisted bucketed corpus. */
     def unpersist(): Unit = { bucketed.unpersist(); () }
+    /** False once the owning SparkSession is stopped — a memoized handle
+      * must then be rebuilt, not served (its cached frame is dead). */
+    def isLive: Boolean = !bucketed.sparkSession.sparkContext.isStopped
   }
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
@@ -278,6 +281,8 @@ object Similarity {
     /** Release the persisted corpus assignment (results already computed
       * stay valid — Spark caches are plan-transparent). */
     def unpersist(): Unit = { assigned.unpersist(); () }
+    /** False once the owning SparkSession is stopped (see [[LshIndex.isLive]]). */
+    def isLive: Boolean = !assigned.sparkSession.sparkContext.isStopped
   }
 
   // ------------------------------------------------ product quantization
@@ -423,6 +428,8 @@ object Similarity {
     }
     /** Release the persisted encoded corpus. */
     def unpersist(): Unit = { encoded.unpersist(); () }
+    /** False once the owning SparkSession is stopped (see [[LshIndex.isLive]]). */
+    def isLive: Boolean = !encoded.sparkSession.sparkContext.isStopped
   }
 
   /** L2 norm of a float vector (double accumulation, deterministic

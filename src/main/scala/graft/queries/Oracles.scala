@@ -851,8 +851,33 @@ object Oracles {
       |wins AS (
       |  SELECT i AS window_id, b + i * 7919 AS w_lo, b + i * 7919 + 12347 AS w_hi
       |  FROM base, range(0, 20) t(i))
-      |SELECT window_id, count(*) AS n_events, sum(event_id) AS id_sum
+      |SELECT window_id, count(*) AS n_events,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum
       |FROM pts JOIN wins ON pts.ep BETWEEN w_lo AND w_hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** interval_overlap_events: DuckDB derives the same per-user daily spans
+    * and maintenance windows and joins with the plain overlap predicate —
+    * the bucketized+meet-bucket-deduped operator must value-match it.
+    * Integer `//` matches Spark's floor() here because ep ≥ b. The SUM is
+    * cast (DuckDB types integer sums HUGEINT, which the driver's
+    * arrow/pandas lowering hashes differently — the range_join_events r7
+    * lesson, now also machine-checked by tools/oracle_check.py). */
+  val intervalOverlapEvents: String =
+    """WITH pts AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+      |base AS (SELECT min(ep) AS b FROM pts),
+      |spans AS (
+      |  SELECT user_id, (ep - b) // 86400 AS day,
+      |         min(ep) AS s_lo, max(ep) AS s_hi
+      |  FROM pts, base GROUP BY 1, 2),
+      |wins AS (
+      |  SELECT i AS window_id, b + i * 131071 AS w_lo,
+      |         b + i * 131071 + 65537 AS w_hi
+      |  FROM base, range(0, 20) t(i))
+      |SELECT window_id, count(*) AS n_spans,
+      |  CAST(sum(user_id) AS BIGINT) AS uid_sum
+      |FROM spans JOIN wins ON s_lo <= w_hi AND w_lo <= s_hi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** distinct_sketch runs the KMV sketch in its exact regime (k far above

@@ -443,6 +443,35 @@ object PipelineQueries {
       .orderBy(col("window_id"))
   }
 
+  /** Interval-interval overlap join as a contract query: per-user DAILY
+    * activity spans (min..max event epoch per user per day — ~1.5k/day
+    * intervals of span < 86400 s) overlap-joined with 20 deterministic
+    * maintenance windows (staggered 131071 s apart, 65537 s wide — covering
+    * the fixture's full month), aggregated per window. The join is
+    * [[graft.operators.RangeJoin.intervalOverlap]] — both sides explode to
+    * ~4-6 bucket replicas at width 16384, pairs dedup by meet bucket —
+    * and DuckDB recomputes identical spans/windows with a plain
+    * `s_lo <= w_hi AND w_lo <= s_hi` join for the value check. */
+  def intervalOverlapEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(spark, dir)   // nanos-parquet-safe reader
+      .select(col("user_id"), col("ts").cast("long").as("ep"))
+    val base = ev.agg(min(col("ep"))).collect().head.getLong(0)
+    val spans = ev
+      .groupBy(col("user_id"),
+        floor((col("ep") - base) / 86400.0).cast("long").as("day"))
+      .agg(min(col("ep")).as("s_lo"), max(col("ep")).as("s_hi"))
+    val windows = spark.range(0, 20).select(
+      col("id").as("window_id"),
+      (lit(base) + col("id") * 131071L).as("w_lo"),
+      (lit(base) + col("id") * 131071L + 65537L).as("w_hi"))
+    graft.operators.RangeJoin
+      .intervalOverlap(spans, windows, "s_lo", "s_hi", "w_lo", "w_hi",
+        bucketWidth = 16384L)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("user_id")).as("uid_sum"))
+      .orderBy(col("window_id"))
+  }
+
   /** Trained-index memo for the contract knn queries, keyed by sf dir:
     * training (KMeans coarse fit + m PQ sub-fits) happens once per corpus
     * and every later invocation is probe + search only — the FAISS
@@ -458,11 +487,36 @@ object PipelineQueries {
   private val lshIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.LshIndex]
 
+  /** Memo lookup that REBUILDS instead of serving a handle whose owning
+    * SparkSession has been stopped (its persisted frame is dead — a
+    * restarted-session JVM would otherwise get plans bound to a dead
+    * context). Entry replacement is idempotent under races: both builders
+    * produce equivalent live handles. */
+  private def liveMemo[T](m: scala.collection.concurrent.TrieMap[String, T],
+                          dir: String, live: T => Boolean, build: => T): T =
+    m.get(dir).filter(live).getOrElse { val v = build; m.put(dir, v); v }
+
+  /** Release every trained-index cache (unpersist the backing frames, drop
+    * the handles). Wired into Bench teardown so a long-lived session
+    * embedding these query paths can't accumulate persisted corpora; safe
+    * to call any time — the next query simply retrains. */
+  def clearIndexCaches(): Unit = {
+    def drain[T](m: scala.collection.concurrent.TrieMap[String, T])
+                (release: T => Unit): Unit = {
+      m.keys.foreach(k => m.remove(k).foreach { h =>
+        try release(h) catch { case _: Throwable => () }  // dead session: drop
+      })
+    }
+    drain(ivfIndexes)(i => if (i.isLive) i.unpersist())
+    drain(ivfpqIndexes)(i => if (i.isLive) i.unpersist())
+    drain(lshIndexes)(i => if (i.isLive) i.unpersist())
+  }
+
   /** Full-probe IVF top-5 (nprobe = nlist ⇒ provably ≡ brute force, the
     * DuckDB-checkable configuration) via the cached [[Similarity.ivfIndex]]. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
-    ivfIndexes.getOrElseUpdate(dir,
+    liveMemo(ivfIndexes, dir, (_: Similarity.IvfIndex).isLive,
         Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16))
       .topK(e.where(col("vec_id") < 10), k = 5, nprobe = 16)
       .orderBy("query_id", "rank")
@@ -472,7 +526,7 @@ object PipelineQueries {
     * checkable) via the cached [[Similarity.ivfpqIndex]]. */
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
-    ivfpqIndexes.getOrElseUpdate(dir,
+    liveMemo(ivfpqIndexes, dir, (_: Similarity.IvfPqIndex).isLive,
         Similarity.ivfpqIndex(e, "vec_id", "embedding", nlist = 16,
           m = 8, ksub = 16))
       .topK(e.where(col("vec_id") < 10), k = 5, nprobe = 16,
@@ -491,7 +545,7 @@ object PipelineQueries {
     * path executes. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsWithPlants(spark, dir)
-    lshIndexes.getOrElseUpdate(dir,
+    liveMemo(lshIndexes, dir, (_: Similarity.LshIndex).isLive,
         Similarity.lshIndex(e, "vec_id", "embedding"))
       .topK(e.where(col("vec_id") < 10), k = 5, probeRadius = 2)
       .where(col("rank") === 1)

@@ -52,4 +52,31 @@ class MgSpec extends SparkSuite {
     val df = Seq(Some("a"), None, Some("a"), Some("b"), None).toDF("t")
     assert(summary(df, 8) === Seq(("a", 2L), ("b", 1L)))
   }
+
+  // ---- BitMajorityAgg (the simhash reduction as one bounded aggregate) ----
+
+  test("bitMajority equals the per-bit counting reference, any layout") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 5000L).map(i => (i % 7, rnd.nextLong() & ((1L << 60) - 1)))
+    def reference(hs: Seq[Long]): Long =
+      (0 until 60).foldLeft(0L) { (acc, p) =>
+        val set = hs.count(h => ((h >>> p) & 1L) == 1L)
+        if (2 * set > hs.size) acc | (1L << p) else acc
+      }
+    val truth = rows.groupBy(_._1).map { case (g, xs) => g -> reference(xs.map(_._2)) }
+    Seq(1, 32).foreach { parts =>
+      val got = rows.toDF("g", "h").repartition(parts)
+        .groupBy($"g").agg(exprs.bitMajority($"h", 60).as("m"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === truth, s"parts=$parts: partial merges changed a majority bit")
+    }
+  }
+
+  test("bitMajority: ties -> 0 and nulls are skipped") {
+    // two inputs with complementary low bits: every bit position ties -> 0
+    val df = Seq(Option(0x5555555555555L), Option(0xAAAAAAAAAAAAAL), None)
+      .toDF("h")
+    val got = df.agg(exprs.bitMajority($"h", 60)).first().getLong(0)
+    assert(got === 0L)
+  }
 }

@@ -362,6 +362,36 @@ class PipelineSpec extends SparkSuite {
     assert(viaFacade.nonEmpty)
   }
 
+  test("decontaminate facade memoizes its branch decision per plan pair") {
+    val docs = PipelineQueries.docsWithPlants(spark, sf())
+    val corpus = docs.where(col("doc_id") < PipelineQueries.PlantShift)
+    val bench = docs.where(col("doc_id") >= PipelineQueries.PlantShift)
+    Dedup.clearDecisionCache()
+    Dedup.decontaminate(corpus, bench, "doc_id", "text")
+    assert(Dedup.bloomDecisions.size === 1, "first call records the decision")
+    // a re-built but plan-identical frame pair must HIT the memo (the
+    // per-batch pipeline shape) — same canonicalized plans, no second probe
+    val corpus2 = docs.where(col("doc_id") < PipelineQueries.PlantShift)
+    Dedup.decontaminate(corpus2, bench, "doc_id", "text")
+    assert(Dedup.bloomDecisions.size === 1, "plan-identical call must not re-probe")
+    // a different ratio is a different decision key
+    Dedup.decontaminate(corpus, bench, "doc_id", "text", bloomRatio = 2.0)
+    assert(Dedup.bloomDecisions.size === 2)
+    Dedup.clearDecisionCache()
+    assert(Dedup.bloomDecisions.isEmpty)
+  }
+
+  test("clearIndexCaches releases trained-index storage; next call retrains") {
+    PipelineQueries.knnIvf(spark, sf()).count()   // memoize + materialize cache
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before > 0, "the trained IVF index must hold a persisted corpus")
+    PipelineQueries.clearIndexCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size < before,
+      "clearIndexCaches must actually release persisted index storage")
+    assert(PipelineQueries.knnIvf(spark, sf()).count() > 0,
+      "a cleared cache retrains transparently")
+  }
+
   test("temperatureMix: rarest stratum kept whole, α=1 identity, α=0 equalizes") {
     val docs = spark.range(0, 1100).select(col("id"),
       when(col("id") < 1000, "en").otherwise("sw").as("lang"))

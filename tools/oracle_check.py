@@ -62,8 +62,22 @@ def main():
             ",".join(f"'{f}'" for f in files) + "])").fetchall()
         got_cols = [d[0] for d in con.description]
         try:
-            exp = con.execute(sql).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            rel = con.sql(sql)
+            exp_cols = list(rel.columns)
+            # Type guard: the driver's hasher lowers DuckDB results through
+            # arrow/pandas, where HUGEINT (int128, e.g. sum(BIGINT)) and
+            # DECIMAL become float64/object and flip the hash even when every
+            # value prints identically. Fail HERE so an un-cast aggregate
+            # can't ship (cast to BIGINT / round to DOUBLE in the oracle SQL).
+            bad_types = [
+                f"{c}:{t}" for c, t in zip(exp_cols, rel.types)
+                if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL"))]
+            if bad_types:
+                failures.append(
+                    (name, f"oracle emits driver-unsafe column type(s) "
+                           f"{bad_types}; CAST to BIGINT/DOUBLE in the SQL"))
+                continue
+            exp = rel.fetchall()
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             continue
