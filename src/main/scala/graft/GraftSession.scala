@@ -44,7 +44,15 @@ object GraftSession {
     "spark.sql.shuffle.partitions" ->
       math.max(1, if (shufflePartitions > 0) shufflePartitions else totalCores * 2).toString,
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
-    "spark.sql.autoBroadcastJoinThreshold" -> (32L * 1024 * 1024).toString)
+    "spark.sql.autoBroadcastJoinThreshold" -> (32L * 1024 * 1024).toString,
+    // generated-class cache: the default 100 entries thrashes once a
+    // session runs more than a few dozen distinct plans (this library's
+    // contract surface alone is ~58 queries x several codegen stages
+    // each), silently re-paying janino compilation per re-run — measured
+    // as a steady +0.5 s on whichever plan-twin ran first in each bench
+    // round while its sibling free-rode on the still-warm entry. Compiled
+    // classes are small; 10x the cache is noise against executor heap.
+    "spark.sql.codegen.cache.maxEntries" -> "1000")
 
   /** Apply the scale policy to an externally-configured builder (cluster
     * master, memory, dynamic allocation etc. stay the caller's business). */
