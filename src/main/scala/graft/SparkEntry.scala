@@ -102,6 +102,7 @@ object SparkEntry {
     "distinct_sketch" -> (PipelineQueries.distinctSketch _),
     "range_join_events" -> (PipelineQueries.rangeJoinEvents _),
     "interval_overlap_events" -> (PipelineQueries.intervalOverlapEvents _),
+    "quantile_sketch" -> (PipelineQueries.quantileSketch _),
     "heavy_hitters" -> (PipelineQueries.heavyHitters _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
@@ -187,6 +188,9 @@ object SparkEntry {
     "distinct_sketch" -> Oracles.distinctSketch,
     "range_join_events" -> Oracles.rangeJoinEvents,
     "interval_overlap_events" -> Oracles.intervalOverlapEvents,
+    // exact-regime KLL (k >= group rows, no compaction) ≡ quantile_disc;
+    // the over-k error regime is measured in KllSpec
+    "quantile_sketch" -> Oracles.quantileSketch,
     // exact-regime Misra-Gries (vocab <= k) ≡ plain counts; error regime
     // carries the MG guarantee, spec-tested in MgSpec
     "heavy_hitters" -> Oracles.heavyHitters)

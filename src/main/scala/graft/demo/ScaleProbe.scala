@@ -77,6 +77,28 @@ object ScaleProbe {
       }
     }
 
+    // --- round-8 probe: KLL quantile sketch in its ERROR regime at 6M rows
+    // (k=200 ≈ 1.6 KB state vs the full sort an exact percentile needs):
+    // report each quantile's TRUE rank to verify the guarantee. ---
+    locally {
+      val ps = Array(0.1, 0.25, 0.5, 0.75, 0.9)
+      var qs: Seq[Double] = Nil
+      time("KLL quantiles (k=200, error regime) over 6M doubles") {
+        qs = li.agg(graft.functions.exprs.kllQuantiles(
+            col("l_extendedprice"), 200, ps.toSeq).as("q"))
+          .first().getSeq[Double](0).toSeq
+        qs.length.toLong
+      }
+      val nLi = li.count()
+      val ranks = qs.map(q =>
+        li.where(col("l_extendedprice") <= q).count().toDouble / nLi)
+      val errs = ps.zip(ranks).map { case (p, r) => math.abs(r - p) }
+      println(f"  KLL rank errors at ${nLi} rows: " +
+        ps.zip(errs).map { case (p, e) => f"p=$p%.2f:${e * 100}%.2f%%" }
+          .mkString(" ") + f" (max ${errs.max * 100}%.2f%%, state ~1.6 KB)")
+      require(errs.max < 0.03, "KLL rank guarantee violated at 6M rows")
+    }
+
     val docs = x10("documents", "doc_id")
     time("minhash LSH dedup over 50k docs") {
       graft.operators.Dedup.minhashPairs(docs, "doc_id", "text").count()

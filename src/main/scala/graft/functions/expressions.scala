@@ -743,6 +743,203 @@ case class HeavyHittersAgg(
     copy(child = newChildren(0))
 }
 
+/** KLL quantile-sketch state (Karnin, Lall, Liberty, FOCS 2016): a stack of
+  * level buffers where items at level i carry weight 2^i. Inserts land in
+  * level 0; when the structure exceeds its size budget the lowest
+  * over-capacity level is COMPACTED — sorted, every other element promoted
+  * to the level above (its weight doubles), the rest discarded. Level
+  * capacities shrink geometrically (factor 2/3) from the top, giving O(k)
+  * total state for quantile queries over unbounded n — the fixed-memory
+  * substitute for an exact sort/percentile at 100 TB, and the third
+  * mergeable summary in this library's trio (KMV distinct, Misra-Gries
+  * frequency, KLL quantiles).
+  *
+  * Determinism: compaction keeps even/odd positions by an ALTERNATING
+  * offset (the deterministic variant à la Manku-Rajagopalan-Lindsay,
+  * SIGMOD 1998) instead of KLL's coin flip, so a given dataset+layout
+  * reproduces exactly; across layouts the error regime may differ within
+  * the guarantee (spec-measured), while the exact regime (n ≤ k: no
+  * compaction ever fires) is provably layout-independent — the
+  * value-oracle-able regime, same split as the KMV/MG aggregates.
+  * Compactions always promote an EVEN count (odd buffers leave their
+  * minimum behind), so total represented weight stays exactly n. */
+final class KllState(val k: Int) extends Serializable {
+  var n: Long = 0L
+  var compactions: Long = 0L
+  val levels = scala.collection.mutable.ArrayBuffer(
+    scala.collection.mutable.ArrayBuffer.empty[Double])
+
+  private def capacity(lvl: Int): Int = {
+    val depth = levels.length - 1 - lvl
+    math.max(8, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
+  }
+  private def budget: Int = (0 until levels.length).map(capacity).sum
+  def totalSize: Int = levels.iterator.map(_.length).sum
+
+  def add(v: Double): Unit = {
+    levels(0) += v
+    n += 1
+    compress()
+  }
+
+  def compress(): Unit = {
+    var guard = 0
+    while (totalSize > budget && guard < 64) {
+      var lvl = 0
+      while (lvl < levels.length && levels(lvl).length <= capacity(lvl)) lvl += 1
+      if (lvl == levels.length) lvl = levels.indexWhere(_.length >= 2)
+      if (lvl < 0 || lvl >= levels.length) return
+      compact(lvl)
+      guard += 1
+    }
+  }
+
+  private def compact(lvl: Int): Unit = {
+    val sorted = levels(lvl).toArray
+    java.util.Arrays.sort(sorted)
+    levels(lvl).clear()
+    var start = 0
+    if (sorted.length % 2 == 1) {       // odd: min stays at this level so
+      levels(lvl) += sorted(0)          // promoted weight stays exact
+      start = 1
+    }
+    if (lvl + 1 == levels.length)
+      levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+    val up = levels(lvl + 1)
+    var i = start + (compactions & 1L).toInt
+    compactions += 1
+    while (i < sorted.length) { up += sorted(i); i += 2 }
+  }
+
+  def mergeIn(b: KllState): Unit = {
+    var lvl = 0
+    while (lvl < b.levels.length) {
+      if (lvl == levels.length)
+        levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+      levels(lvl) ++= b.levels(lvl)
+      lvl += 1
+    }
+    n += b.n
+    compactions += b.compactions
+    compress()
+  }
+
+  /** Discrete quantiles at `probs`: smallest value whose cumulative weight
+    * reaches ceil(p·n) — DuckDB/SQL `quantile_disc` semantics, so the
+    * exact regime shares its oracle verbatim. */
+  def quantiles(probs: Array[Double]): Array[Double] = {
+    val m = totalSize
+    val vs = new Array[Double](m)
+    val ws = new Array[Long](m)
+    var idx = 0
+    var lvl = 0
+    while (lvl < levels.length) {
+      val buf = levels(lvl)
+      val w = 1L << lvl
+      var i = 0
+      while (i < buf.length) { vs(idx) = buf(i); ws(idx) = w; idx += 1; i += 1 }
+      lvl += 1
+    }
+    val order = (0 until m).sortBy(vs(_))
+    probs.map { p =>
+      val target = math.max(1L, math.ceil(p * n).toLong)
+      var cum = 0L
+      var j = 0
+      var out = vs(order(m - 1))
+      var found = false
+      while (j < m && !found) {
+        cum += ws(order(j))
+        if (cum >= target) { out = vs(order(j)); found = true }
+        j += 1
+      }
+      out
+    }
+  }
+}
+
+/** Bounded quantile-sketch aggregate over a DOUBLE column: O(k) state with
+  * map-side partial merge, emitting the discrete quantiles at `probs` as
+  * array<double>. Exact — and layout-independent — whenever the group's
+  * row count stays within k (no compaction fires; the oracle regime,
+  * matching DuckDB `quantile_disc`); beyond k the deterministic-compaction
+  * KLL guarantee applies, spec-measured (~1% rank error at k=200 over
+  * 200k rows). */
+case class KllQuantilesAgg(
+    child: Expression, k: Int, probs: Seq[Double],
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllState] {
+
+  require(k >= 8, s"kll sketch needs k >= 8, got $k")
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    s"probs must be within [0, 1], got $probs")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_quantiles"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName consumes DOUBLE values (cast upstream), got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): KllState = new KllState(k)
+
+  override def update(buf: KllState, input: InternalRow): KllState = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: KllState, b: KllState): KllState = { a.mergeIn(b); a }
+
+  override def eval(buf: KllState): Any =
+    if (buf.n == 0L) null
+    else new GenericArrayData(buf.quantiles(probs.toArray))
+
+  override def serialize(buf: KllState): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + 8 + 8 + 4 + 4 * buf.levels.length + 8 * buf.totalSize)
+    bb.putInt(buf.k).putLong(buf.n).putLong(buf.compactions)
+    bb.putInt(buf.levels.length)
+    buf.levels.foreach { lv =>
+      bb.putInt(lv.length)
+      lv.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KllState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val st = new KllState(bb.getInt)
+    st.n = bb.getLong
+    st.compactions = bb.getLong
+    val nLevels = bb.getInt
+    st.levels.clear()
+    var lvl = 0
+    while (lvl < nLevels) {
+      val sz = bb.getInt
+      val buf = new scala.collection.mutable.ArrayBuffer[Double](sz)
+      var i = 0
+      while (i < sz) { buf += bb.getDouble; i += 1 }
+      st.levels += buf
+      lvl += 1
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantilesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllQuantilesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllQuantilesAgg =
+    copy(child = newChildren(0))
+}
+
 /** Bounded bit-majority aggregate — the simhash reduction as O(nBits)
   * state: consumes a per-token hash (one long per input row), keeps one
   * signed counter per bit position (+1 set, −1 clear), and emits the long
@@ -983,6 +1180,13 @@ object exprs {
     * is 1 iff strictly more inputs had bit p set than clear (ties → 0). */
   def bitMajority(h: Column, nBits: Int): Column =
     column(BitMajorityAgg(expression(h), nBits).toAggregateExpression())
+
+  /** KLL quantile sketch over a numeric column: discrete quantiles at
+    * `probs` as array<double>, O(k) state. Exact (≡ SQL `quantile_disc`)
+    * while the group's row count stays within k. */
+  def kllQuantiles(c: Column, k: Int, probs: Seq[Double]): Column =
+    column(KllQuantilesAgg(expression(c.cast("double")), k, probs)
+      .toAggregateExpression())
 
   // ------------------------------------------------------ KMV sketches
 

@@ -856,6 +856,18 @@ object Oracles {
       |FROM pts JOIN wins ON pts.ep BETWEEN w_lo AND w_hi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** quantile_sketch runs the KLL sketch in its exact regime (k above every
+    * group's row count ⇒ no compaction ⇒ provably ≡ `quantile_disc`), so
+    * the oracle needs no sketch arithmetic — same split as distinct_sketch
+    * and heavy_hitters. */
+  val quantileSketch: String =
+    """SELECT lang,
+      |  CAST(quantile_disc(CAST(n_chars AS DOUBLE), 0.25) AS DOUBLE) AS q25,
+      |  CAST(quantile_disc(CAST(n_chars AS DOUBLE), 0.50) AS DOUBLE) AS q50,
+      |  CAST(quantile_disc(CAST(n_chars AS DOUBLE), 0.75) AS DOUBLE) AS q75,
+      |  count(*) AS n_rows
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** interval_overlap_events: DuckDB derives the same per-user daily spans
     * and maintenance windows and joins with the plain overlap predicate —
     * the bucketized+meet-bucket-deduped operator must value-match it.

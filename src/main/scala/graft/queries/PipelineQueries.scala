@@ -443,6 +443,32 @@ object PipelineQueries {
       .orderBy(col("window_id"))
   }
 
+  /** KLL quantile sketch in its EXACT regime: per-language discrete
+    * quantiles of document length with k = 2¹³, far above any language
+    * group's row count at sf0.1 (5k docs total), so no compaction ever
+    * fires and the bounded sketch provably equals SQL `quantile_disc` —
+    * DuckDB value-checks the whole pipeline (level buffers, partial-merge
+    * serialization, weighted quantile walk). The over-k ERROR regime — the
+    * reason a quantile profile is O(k) memory at 100 TB instead of a full
+    * sort — is spec-measured (KllSpec) and scale-probed at 6M rows. Probs
+    * are exact binary fractions so ceil(p·n) cannot diverge between
+    * engines on float rounding. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val k = 1 << 13
+    val ps = Seq(0.25, 0.5, 0.75)
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        exprs.kllQuantiles(col("n_chars"), k, ps).as("qs"),
+        count(lit(1)).as("n_rows"))
+      .select(col("lang"),
+        element_at(col("qs"), 1).as("q25"),
+        element_at(col("qs"), 2).as("q50"),
+        element_at(col("qs"), 3).as("q75"),
+        col("n_rows"))
+      .orderBy(col("lang"))
+  }
+
   /** Interval-interval overlap join as a contract query: per-user DAILY
     * activity spans (min..max event epoch per user per day — ~1.5k/day
     * intervals of span < 86400 s) overlap-joined with 20 deterministic
