@@ -103,7 +103,9 @@ object SparkEntry {
     "range_join_events" -> (PipelineQueries.rangeJoinEvents _),
     "interval_overlap_events" -> (PipelineQueries.intervalOverlapEvents _),
     "quantile_sketch" -> (PipelineQueries.quantileSketch _),
-    "heavy_hitters" -> (PipelineQueries.heavyHitters _))
+    "heavy_hitters" -> (PipelineQueries.heavyHitters _),
+    "repeated_spans" -> (PipelineQueries.repeatedSpansQ _),
+    "unicode_normalize" -> (PipelineQueries.unicodeNormalize _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -193,7 +195,11 @@ object SparkEntry {
     "quantile_sketch" -> Oracles.quantileSketch,
     // exact-regime Misra-Gries (vocab <= k) ≡ plain counts; error regime
     // carries the MG guarantee, spec-tested in MgSpec
-    "heavy_hitters" -> Oracles.heavyHitters)
+    "heavy_hitters" -> Oracles.heavyHitters,
+    // winnowing is deterministic, so DuckDB recomputes the whole scheme
+    // (shingle md5s, window minima, df filter) — exact value oracle
+    "repeated_spans" -> Oracles.repeatedSpans,
+    "unicode_normalize" -> Oracles.unicodeNormalize)
     // Remaining rows-only entry (56/57 oracle-backed as of round 7 —
     // dedup_simhash graduated to a full brute-force value oracle via the
     // engine-portable md5-hash simhash variant, Dedup.simhashPortable):

@@ -78,6 +78,32 @@ object TextFunctions {
   /** 64-bit rolling-hash fingerprint (custom codegen expression). */
   def fingerprint64(text: Column): Column = exprs.fingerprint64(normalized(text))
 
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD '03 — the
+    * MOSS scheme): md5 each k-char shingle, take the minimum hash of every
+    * window of w consecutive shingle hashes, return the distinct minima.
+    * Guarantee: two documents sharing ANY character run of length
+    * ≥ w + k − 1 share at least one fingerprint, regardless of where the
+    * run sits in either document (the shared run contains a full hash
+    * window, and a window's minimum depends only on the window's bytes).
+    * Expected density is 2/(w+1) fingerprints per character — the knob
+    * that makes substring-level dedup tractable at 100 TB where
+    * every-position shingling is not. Pure HOF composition (sequence /
+    * transform / slice / array_min), fully codegen'd; md5-hex minima are
+    * byte-portable to the DuckDB oracle. Short texts: fewer shingles than
+    * one window (0 < m < w) degenerate to a single whole-text window;
+    * texts shorter than k yield no fingerprints. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1, s"shingle width k must be >= 1, got $k")
+    require(w >= 1, s"window size w must be >= 1, got $w")
+    val m = length(text) - (k - 1) // shingle count
+    val hashes = transform(sequence(lit(1), m), i => md5(text.substr(i, lit(k))))
+    val fps = when(m <= 0, array().cast("array<string>"))
+      .when(m < w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(1), m - (w - 1)),
+        j => array_min(slice(hashes, j, lit(w)))))
+    array_distinct(fps)
+  }
+
   /** PII redaction: emails → [EMAIL], dotted-quad IPs → [IP], phone-shaped
     * digit runs → [PHONE]. Pure chained `regexp_replace` (codegen'd, scales
     * as a row-local map) with RE2-compatible patterns so the exact same

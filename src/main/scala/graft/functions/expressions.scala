@@ -1158,6 +1158,42 @@ object CharEntropy {
   }
 }
 
+/** Unicode NFC normalization (canonical decomposition + composition) — the
+  * encoding-form step a training-data pipeline applies before any hashing
+  * or dedup, so "café" spelled e+U+0301 and as the precomposed U+00E9 stop
+  * producing different fingerprints. Wraps `java.text.Normalizer` behind a
+  * static helper so the call stays inside whole-stage codegen; pure-ASCII
+  * inputs (the overwhelming case, detected as numBytes == numChars) return
+  * the input UTF8String untouched. Both the JDK and DuckDB's utf8proc
+  * implement Unicode canonical composition, so outputs are byte-identical
+  * for the oracle. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+object NfcNormalize {
+  def compute(u: UTF8String): UTF8String = {
+    // all-ASCII ⇒ every code point is one UTF-8 byte ⇒ already NFC
+    if (u.numBytes == u.numChars) u
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+}
+
 object exprs {
   import GraftSqlBridge.{column, expression}
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
@@ -1168,6 +1204,7 @@ object exprs {
     column(BoundedTopK(expression(score), expression(id), k)
       .toAggregateExpression())
   def charEntropy(c: Column): Column = column(CharEntropy(expression(c)))
+  def nfcNormalize(c: Column): Column = column(NfcNormalize(expression(c)))
   def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Long, dim: Int): Column =
     column(HyperplaneBucket(expression(vec), nPlanes, seed, dim))
 

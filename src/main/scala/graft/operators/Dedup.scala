@@ -636,6 +636,33 @@ object Dedup {
       .agg(exprs.bitMajority(col("h"), 60).as("simhash"))
   }
 
+  /** Repeated-span detection — substring-level dedup in the spirit of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL '22), via winnowing fingerprints
+    * ([[TextFunctions.winnowFingerprints]]) instead of a suffix array:
+    * every character run of length ≥ w + k − 1 shared by ≥ `minDocs`
+    * distinct documents is guaranteed to surface as a fingerprint row
+    * (fp, df, first_doc) — the corpus boilerplate a span-removal pass
+    * targets.
+    *
+    * Scale shape: fingerprint density is 2/(w+1) per character (the
+    * winnowing bound), the only shuffle is one partial-aggregable groupBy
+    * on the fingerprint key — no join, no window, no per-doc lists — and
+    * the output is df-filtered before it ever leaves the aggregate. At
+    * 100 TB this is a single map + combine + reduce pass, unlike
+    * suffix-array construction which needs global order. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minDocs: Long = 2): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .groupBy(col("fp"))
+      // winnowFingerprints is a per-doc SET, so count(*) == distinct docs —
+      // a plain partial-mergeable count, no distinct-expand two-phase agg
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+      .where(col("df") >= minDocs)
+  }
+
   /** Portable-simhash near-dup pairs — [[simhashPairs]] with the
     * [[simhashPortable]] hash; the blocking, cap, and threshold logic is
     * byte-identical (shared body). */

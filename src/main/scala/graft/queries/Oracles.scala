@@ -892,6 +892,52 @@ object Oracles {
       |FROM spans JOIN wins ON s_lo <= w_hi AND w_lo <= s_hi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** repeated_spans: DuckDB recomputes the full winnowing scheme (k=8
+    * char shingles via a range-table explode — this DuckDB build lacks
+    * lateral column args to generate_series — md5 hashes, min over each
+    * w=4 window as a frame window function, distinct per doc, df ≥ 2).
+    * md5-hex minima are byte-identical across engines, so the whole
+    * fingerprint pipeline is value-checked, not just counted. The
+    * `m < 4` UNION arm covers texts with fewer shingles than one window
+    * (absent at both sfs — min doc length 44 — but the operator handles
+    * it, so the oracle must too). */
+  val repeatedSpans: String =
+    """WITH s AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 5001)),
+      |g AS (
+      |  SELECT d.doc_id, s.i, md5(substr(d.text, s.i, 8)) AS h,
+      |         length(d.text) - 7 AS m
+      |  FROM documents d JOIN s ON s.i <= length(d.text) - 7),
+      |wins AS (
+      |  SELECT doc_id,
+      |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+      |         i, m
+      |  FROM g),
+      |fps AS (
+      |  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= m - 3
+      |  UNION
+      |  SELECT doc_id, min(h) AS fp FROM g WHERE m < 4 GROUP BY doc_id)
+      |SELECT fp, CAST(count(*) AS BIGINT) AS df,
+      |  min(doc_id) AS first_doc
+      |FROM fps GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin
+
+  /** unicode_normalize: the planted suffixes are DECOMPOSED sequences
+    * (base letter + combining mark, plus the U+212B angstrom singleton)
+    * written as raw UTF-8 in both this SQL literal and the Spark lit() —
+    * DuckDB's utf8proc and the JDK's Normalizer both implement UAX#15
+    * canonical composition, so the NFC outputs must be byte-identical.
+    * The ASCII doc prefix rides along to prove the fast path changes
+    * nothing. */
+  val unicodeNormalize: String =
+    """SELECT doc_id,
+      |  nfc_normalize(substr(text, 1, 40) ||
+      |    CASE CAST(doc_id % 3 AS INTEGER)
+      |      WHEN 0 THEN ' café naïve'
+      |      WHEN 1 THEN ' Àngström Å'
+      |      ELSE ' ågström élève'
+      |    END) AS norm
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+
   /** distinct_sketch runs the KMV sketch in its exact regime (k far above
     * the true distinct count), where the estimate provably equals plain
     * COUNT(DISTINCT) — so the oracle needs no hash arithmetic at all. */

@@ -191,6 +191,32 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Corpus-wide repeated character spans via winnowing fingerprints
+    * ([[Dedup.repeatedSpans]], k=8, w=4): every ≥11-char run shared by ≥2
+    * docs is guaranteed a row. The DuckDB oracle recomputes the whole
+    * scheme — shingle md5s, window minima, per-doc distinct, df filter —
+    * so fingerprint VALUES are checked, not just counts. */
+  def repeatedSpansQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(t(spark, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4, minDocs = 2)
+      .orderBy(col("fp"))
+
+  /** Unicode NFC normalization ([[exprs.nfcNormalize]]) over doc prefixes
+    * with planted DECOMPOSED suffixes (base + combining mark, chosen by
+    * doc_id % 3; the same raw UTF-8 bytes sit in the DuckDB oracle's
+    * literals) — output must be byte-identical to utf8proc's
+    * nfc_normalize. The encoding-form step that runs before any
+    * fingerprint/dedup hashing on real multilingual corpora. */
+  def unicodeNormalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").where(col("doc_id") < 300)
+      .select(col("doc_id"),
+        exprs.nfcNormalize(concat(substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0, lit(" café naïve"))
+            .when(col("doc_id") % 3 === 1, lit(" Àngström Å"))
+            .otherwise(lit(" ågström élève"))))
+          .as("norm"))
+      .orderBy(col("doc_id"))
+
   /** Gopher-style repetition signals per document (type-token ratio, top
     * token / top bigram share) — see [[TextFunctions.repetitionProfile]].
     * Gram hashes on the Spark side, gram strings in DuckDB: counts agree
