@@ -46,19 +46,40 @@ object Bench {
     // entries whose oracle form is deliberately engine-portable)
     val allQueries = SparkEntry.queries ++ SparkEntry.benchQueries
     val names = allQueries.keys.toSeq.sorted
+    // per-query wall cap: a runaway query gets CANCELLED and NAMED instead
+    // of silently eating the driver's whole bench budget — r8's rc-124
+    // produced no numbers at all because one quadratic query ran 888 s × 5
+    // rounds. A cap timeout is an error marker (never a sample), the
+    // query is skipped for remaining rounds, and the run still emits its
+    // headline JSON for every other entry.
+    val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_SEC", "60").toInt
+    println(s"""{"detail":"bench_plan","entries":${names.size},"rounds":$rounds,"cap_sec":$capSec}""")
     val samples = names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     // a query that throws records NO sample and a failure marker — timing the
     // exception path as a valid sample would let a breaking regression
     // masquerade as a speedup in the headline number
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     for (_ <- 1 to rounds) {
-      names.foreach { name =>
+      names.filterNot(errors.contains).foreach { name =>
         val fn = allQueries(name)
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // setJobGroup is thread-local: set it on the thread that runs the
+          // jobs so a cap breach can cancel exactly this query's work
+          val fut = Future {
+            spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+            fn(spark, sfDir).count()
+          }
+          Await.result(fut, capSec.seconds)
           samples(name) += (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
+        } catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(s"bench-$name")
+            errors.getOrElseUpdate(name, s"wall_cap_exceeded_${capSec}s")
+          case e: Throwable =>
           errors.getOrElseUpdate(name,
             (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
               .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
@@ -104,7 +125,7 @@ object Bench {
     val total = med.values.sum
     // the machine-readable headline is the LAST printed line and kept compact
     // (3-decimal medians, no spread) so it fits the output tail intact
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"queries":$qs,"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"entries":${names.size},"queries":$qs,"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}""")
     // teardown: release every session-lifetime cache the bench populated so
     // a long-lived embedding JVM reusing this code path starts clean
     graft.queries.PipelineQueries.clearIndexCaches()

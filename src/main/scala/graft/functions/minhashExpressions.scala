@@ -265,6 +265,118 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Linear-time winnowing kernel (Schleimer/Wilkerson/Aiken, SIGMOD '03).
+  *
+  * One pass per document: md5 each k-char shingle ONCE (m digests total,
+  * not the O(m²) re-evaluation a nested-HOF formulation pays — Catalyst
+  * HOFs have no common-subexpression elimination across lambda scopes, so
+  * `array_min(slice(hashes, j, w))` recomputes all m hashes at every j),
+  * then a monotonic deque yields every w-window minimum in amortized O(1).
+  * Digests are compared as raw 16-byte values — unsigned byte order over a
+  * fixed-length digest is EXACTLY lowercase-hex lexicographic order, so the
+  * selected minima match a DuckDB oracle that orders by `md5(...)` hex
+  * strings; hex encoding happens only at emission.
+  *
+  * Shingles are code-point windows (UTF-8 continuation bytes are not
+  * boundaries), matching both Spark `substring` and DuckDB `substr`
+  * character semantics. Texts with fewer shingles than one window
+  * (0 < m < w) degenerate to a single whole-text window; texts shorter
+  * than k yield no fingerprints. Output keeps first-emission order and is
+  * distinct (windows share minima ~w-fold; the winnowing density bound is
+  * 2/(w+1) fingerprints per character). */
+object WinnowKernel {
+  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HEX(d(i) & 0xF)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  def winnow(s: UTF8String, k: Int, w: Int): Array[UTF8String] = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // code-point start offsets: a UTF-8 char starts at any non-continuation byte
+    var nChars = 0
+    var i = 0
+    while (i < nb) { if ((bytes(i) & 0xC0) != 0x80) nChars += 1; i += 1 }
+    val m = nChars - (k - 1) // shingle count
+    if (m <= 0) return Array.empty[UTF8String]
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0
+    i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(ci) = i; ci += 1 }
+      i += 1
+    }
+    offs(nChars) = nb
+
+    val md = md5Local.get()
+    val win = if (m < w) m else w // m < w: one whole-text window
+    val cap = win + 1
+    val ring = new Array[Array[Byte]](win) // digest of shingle idx at idx % win
+    val dq = new Array[Int](cap) // circular monotonic deque of shingle indices
+    var dh = 0 // head position in dq
+    var dn = 0 // deque entry count
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var idx = 0
+    while (idx < m) {
+      // expire the head BEFORE overwriting its ring slot (idx - win ≡ idx mod win)
+      if (dn > 0 && dq(dh) <= idx - win) { dh = (dh + 1) % cap; dn -= 1 }
+      md.reset()
+      md.update(bytes, offs(idx), offs(idx + k) - offs(idx))
+      val d = md.digest()
+      ring(idx % win) = d
+      while (dn > 0 && java.util.Arrays.compareUnsigned(
+          ring(dq((dh + dn - 1) % cap) % win), d) > 0) dn -= 1
+      dq((dh + dn) % cap) = idx
+      dn += 1
+      if (idx >= win - 1) seen.add(hex(ring(dq(dh) % win)))
+      idx += 1
+    }
+    val out = new Array[UTF8String](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+}
+
+/** Winnowing fingerprint set of a document — real codegen (the per-row
+  * work is m md5 digests + an O(m) deque; see [[WinnowKernel]]). */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"shingle width k must be >= 1, got $k")
+  require(w >= 1, s"window size w must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WinnowKernel.winnow(input.asInstanceOf[UTF8String], k, w)
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fps = ctx.freshName("fps")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String[] $fps =
+         |  graft.functions.WinnowKernel.winnow($c, $k, $w);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) $fps);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+}
+
 object minhashExprs {
   import GraftSqlBridge.{column, expression}
   /** Word w-shingle hash set (normalized tokens). */
@@ -290,4 +402,8 @@ object minhashExprs {
     column(SortedLongIntersectCount(expression(a), expression(b)))
   def arrayAgreeCount(a: Column, b: Column): Column =
     column(ArrayAgreeCount(expression(a), expression(b)))
+  /** Winnowing fingerprint set — fused O(m) kernel (md5-hex minima,
+    * byte-portable to the DuckDB oracle). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprintsExpr(expression(text), k, w))
 }

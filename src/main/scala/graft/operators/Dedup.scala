@@ -654,7 +654,14 @@ object Dedup {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minDocs: Long = 2): DataFrame = {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
-    df.select(col(idCol).as("doc_id"),
+    // The fingerprint pass is CPU-bound per document; a corpus that arrives
+    // as fewer splits than cores (one small parquet file → one split) would
+    // otherwise run it on one core. At real scale the source has thousands
+    // of splits and this is a no-op; the repartition only fires on
+    // under-split inputs, where the text it shuffles is small by definition.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    spread.select(col(idCol).as("doc_id"),
         explode(TextFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
       .groupBy(col("fp"))
       // winnowFingerprints is a per-doc SET, so count(*) == distinct docs —
