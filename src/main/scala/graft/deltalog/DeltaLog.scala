@@ -21,8 +21,13 @@ import org.apache.spark.sql.types._
   * programs — the replay is a per-path max-version reconciliation implemented
   * as a hash aggregation on `path`, which shuffles once on the file path and
   * parallelizes over executors for manifests with millions of add actions.
-  * Checkpoint parquet files are not supported (fixtures never create one);
-  * the limitation is documented here on purpose.
+  * Checkpoint parquet files ARE supported: `readActions` consults
+  * `_last_checkpoint`, loads the checkpoint parquet (field-aligned to
+  * `actionSchema`), and unions it with ALL surviving JSON commits — safe
+  * because replay is per-path last-add-wins, so checkpoint STATE rows and
+  * post-checkpoint deltas reconcile in one aggregation. Consumers that need
+  * per-commit CHANGES (CDF) must use `readJsonActions` instead: checkpoint
+  * rows are cumulative state, not deltas.
   */
 object DeltaLog {
 

@@ -47,7 +47,7 @@ object DecontProbe {
       }
       10L
     }
-    println(s"memo size = ${graft.operators.Dedup.bloomDecisions.size}")
+    println(s"memo size = ${graft.operators.Dedup.decisionCacheSize}")
     spark.stop()
   }
 }

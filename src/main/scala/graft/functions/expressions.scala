@@ -773,7 +773,7 @@ final class KllState(val k: Int) extends Serializable {
     val depth = levels.length - 1 - lvl
     math.max(8, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
   }
-  private def budget: Int = (0 until levels.length).map(capacity).sum
+  private[graft] def budget: Int = (0 until levels.length).map(capacity).sum
   def totalSize: Int = levels.iterator.map(_.length).sum
 
   def add(v: Double): Unit = {
@@ -782,15 +782,20 @@ final class KllState(val k: Int) extends Serializable {
     compress()
   }
 
+  /** Compact until the state is back under budget. Terminates without a
+    * fixed iteration guard: every compact() of a ≥2-element level strictly
+    * shrinks totalSize (removes the level, promotes at most half), and when
+    * no level has ≥2 elements totalSize ≤ #levels < budget (each level's
+    * capacity is ≥ 8), so the loop condition is already false — the O(k)
+    * state bound is ENFORCED after every add/merge, not best-effort (a
+    * bounded-pass version could leave a large fan-in merge over budget). */
   def compress(): Unit = {
-    var guard = 0
-    while (totalSize > budget && guard < 64) {
+    while (totalSize > budget) {
       var lvl = 0
       while (lvl < levels.length && levels(lvl).length <= capacity(lvl)) lvl += 1
       if (lvl == levels.length) lvl = levels.indexWhere(_.length >= 2)
       if (lvl < 0 || lvl >= levels.length) return
       compact(lvl)
-      guard += 1
     }
   }
 

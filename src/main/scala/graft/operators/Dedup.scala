@@ -294,31 +294,53 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, w: Int = 3,
                     minShared: Int = 5, bloomRatio: Double = 8.0): DataFrame = {
-    val key = (System.identityHashCode(corpus.sparkSession),
-               corpus.queryExecution.optimizedPlan.canonicalized.hashCode,
+    val key = (corpus.queryExecution.optimizedPlan.canonicalized.hashCode,
                benchmark.queryExecution.optimizedPlan.canonicalized.hashCode,
                bloomRatio)
-    val useBloom = bloomDecisions.getOrElseUpdate(
+    val useBloom = decisionsFor(corpus.sparkSession).getOrElseUpdate(
       key, preferBloom(corpus, benchmark, bloomRatio))
     if (useBloom)
       crossNgramOverlapBloom(corpus, benchmark, idCol, textCol, w, minShared)
     else crossNgramOverlap(corpus, benchmark, idCol, textCol, w, minShared)
   }
 
-  /** Memo for [[decontaminate]]'s branch choice, keyed by (session,
-    * canonicalized corpus plan, canonicalized benchmark plan, ratio): a
-    * pipeline calling the facade per batch over the same two tables pays the
-    * size probe once, not per call. The session identity in the key makes a
-    * restarted JVM-shared session a miss rather than a stale hit, and a
-    * structural hash collision (astronomically unlikely) only costs the
+  /** Memo for [[decontaminate]]'s branch choice: per-SESSION inner maps
+    * keyed by (canonicalized corpus plan, canonicalized benchmark plan,
+    * ratio) — a pipeline calling the facade per batch over the same two
+    * tables pays the size probe once, not per call. The outer map holds the
+    * session by WEAK reference: a stopped, dereferenced session's entries
+    * vanish with the session object itself, so a long-lived JVM cycling
+    * sessions can't accumulate dead entries, and — unlike an
+    * identityHashCode key, which the JVM may reuse after GC — a new session
+    * can never inherit a stale decision. A structural plan-hash collision
+    * within one session (astronomically unlikely) only costs the
     * cheaper-branch heuristic — both branches are provably result-identical.
     * Cleared by [[clearDecisionCache]] (wired into bench teardown). */
-  private[graft] val bloomDecisions =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Double), Boolean]
+  private val bloomDecisions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[(Int, Int, Double), Boolean]]()
+
+  private def decisionsFor(s: org.apache.spark.sql.SparkSession) =
+    bloomDecisions.synchronized {
+      var m = bloomDecisions.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(Int, Int, Double), Boolean]
+        bloomDecisions.put(s, m)
+      }
+      m
+    }
+
+  /** Live decision count across all sessions (test/probe observability). */
+  private[graft] def decisionCacheSize: Int = bloomDecisions.synchronized {
+    var n = 0
+    bloomDecisions.values.forEach(m => n += m.size)
+    n
+  }
 
   /** Drop all memoized [[decontaminate]] branch decisions (e.g. after
     * rewriting a fixture dir in place, or from session teardown). */
-  def clearDecisionCache(): Unit = bloomDecisions.clear()
+  def clearDecisionCache(): Unit =
+    bloomDecisions.synchronized { bloomDecisions.clear() }
 
   /** [[decontaminate]]'s measured-size branch, exposed for tests: true iff
     * the corpus side is at least `ratio` × the benchmark side. Plan

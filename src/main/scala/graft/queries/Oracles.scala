@@ -900,7 +900,12 @@ object Oracles {
     * fingerprint pipeline is value-checked, not just counted. The
     * `m < 4` UNION arm covers texts with fewer shingles than one window
     * (absent at both sfs — min doc length 44 — but the operator handles
-    * it, so the oracle must too). */
+    * it, so the oracle must too). The range table caps shingle start
+    * positions at 5000 (`range` rejects subquery bounds in this DuckDB
+    * build); any doc longer than 5007 chars would silently lose tail
+    * fingerprints on the oracle side only, so a guard arm emits a loud
+    * sentinel row the moment the fixture outgrows the cap — a named
+    * hash-mismatch beats a quiet divergence that reads as an engine bug. */
   val repeatedSpans: String =
     """WITH s AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 5001)),
       |g AS (
@@ -917,9 +922,14 @@ object Oracles {
       |  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= m - 3
       |  UNION
       |  SELECT doc_id, min(h) AS fp FROM g WHERE m < 4 GROUP BY doc_id)
-      |SELECT fp, CAST(count(*) AS BIGINT) AS df,
-      |  min(doc_id) AS first_doc
-      |FROM fps GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin
+      |SELECT * FROM (
+      |  SELECT fp, CAST(count(*) AS BIGINT) AS df, min(doc_id) AS first_doc
+      |  FROM fps GROUP BY fp HAVING count(*) >= 2
+      |  UNION ALL
+      |  SELECT 'ORACLE_SHINGLE_CAP_EXCEEDED', CAST(-1 AS BIGINT),
+      |         CAST(-1 AS BIGINT)
+      |  WHERE (SELECT max(length(text)) FROM documents) > 5007
+      |) ORDER BY fp""".stripMargin
 
   /** unicode_normalize: the planted suffixes are DECOMPOSED sequences
     * (base letter + combining mark, plus the U+212B angstrom singleton)

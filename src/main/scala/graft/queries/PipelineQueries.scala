@@ -542,11 +542,29 @@ object PipelineQueries {
   /** Memo lookup that REBUILDS instead of serving a handle whose owning
     * SparkSession has been stopped (its persisted frame is dead — a
     * restarted-session JVM would otherwise get plans bound to a dead
-    * context). Entry replacement is idempotent under races: both builders
-    * produce equivalent live handles. */
+    * context). Result replacement is idempotent under races (both builders
+    * produce equivalent live handles), but STORAGE is not: each build
+    * persists a corpus frame, so the loser of a concurrent double-build
+    * must be released, not just overwritten — `put` alone would leak the
+    * loser's persisted storage until session end. Publication is
+    * putIfAbsent / replace, releasing whichever handle loses. */
   private def liveMemo[T](m: scala.collection.concurrent.TrieMap[String, T],
-                          dir: String, live: T => Boolean, build: => T): T =
-    m.get(dir).filter(live).getOrElse { val v = build; m.put(dir, v); v }
+                          dir: String, live: T => Boolean, release: T => Unit,
+                          build: => T): T =
+    m.get(dir).filter(live).getOrElse {
+      val v = build
+      def free(h: T): Unit = try release(h) catch { case _: Throwable => () }
+      m.putIfAbsent(dir, v) match {
+        case None => v // we published first
+        case Some(e) if live(e) => free(v); e // lost the race to a live winner
+        case Some(dead) => // slot held a dead-session handle (nothing to free)
+          if (m.replace(dir, dead, v)) v
+          else m.get(dir).filter(live) match {
+            case Some(e) => free(v); e // another builder swapped in first
+            case None => m.put(dir, v); v // winner was drained meanwhile
+          }
+      }
+    }
 
   /** Release every trained-index cache (unpersist the backing frames, drop
     * the handles). Wired into Bench teardown so a long-lived session
@@ -569,6 +587,7 @@ object PipelineQueries {
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     liveMemo(ivfIndexes, dir, (_: Similarity.IvfIndex).isLive,
+        (_: Similarity.IvfIndex).unpersist(),
         Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16))
       .topK(e.where(col("vec_id") < 10), k = 5, nprobe = 16)
       .orderBy("query_id", "rank")
@@ -579,6 +598,7 @@ object PipelineQueries {
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     liveMemo(ivfpqIndexes, dir, (_: Similarity.IvfPqIndex).isLive,
+        (_: Similarity.IvfPqIndex).unpersist(),
         Similarity.ivfpqIndex(e, "vec_id", "embedding", nlist = 16,
           m = 8, ksub = 16))
       .topK(e.where(col("vec_id") < 10), k = 5, nprobe = 16,
@@ -598,6 +618,7 @@ object PipelineQueries {
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsWithPlants(spark, dir)
     liveMemo(lshIndexes, dir, (_: Similarity.LshIndex).isLive,
+        (_: Similarity.LshIndex).unpersist(),
         Similarity.lshIndex(e, "vec_id", "embedding"))
       .topK(e.where(col("vec_id") < 10), k = 5, probeRadius = 2)
       .where(col("rank") === 1)

@@ -69,6 +69,25 @@ class KllSpec extends SparkSuite {
     assert(math.abs(q50 - 0.5) < 0.02, s"median of U(0,1) drifted: $q50")
   }
 
+  test("budget bound is enforced after large fan-in merges") {
+    // 64 part-sketches of 20k values each merged into one accumulator: the
+    // unbounded compress loop must land every intermediate state at or
+    // under its capacity budget (the previous 64-compaction bail made this
+    // best-effort), while the merged sketch stays rank-accurate
+    val rnd = new scala.util.Random(11)
+    val acc = new graft.functions.KllState(200)
+    (1 to 64).foreach { _ =>
+      val part = new graft.functions.KllState(200)
+      (1 to 20000).foreach(_ => part.add(rnd.nextDouble()))
+      acc.mergeIn(part)
+      assert(acc.totalSize <= acc.budget,
+        s"state ${acc.totalSize} exceeds budget ${acc.budget} after merge")
+    }
+    assert(acc.n === 64L * 20000L)
+    val Array(q50) = acc.quantiles(Array(0.5))
+    assert(math.abs(q50 - 0.5) < 0.02, s"median of U(0,1) drifted: $q50")
+  }
+
   test("nulls are ignored; empty group yields null") {
     val df = Seq(Some(1.0), None, Some(3.0), None).toDF("x")
     assert(sketchQs(df, 64, Seq(0.5)) === Seq(1.0))

@@ -368,17 +368,17 @@ class PipelineSpec extends SparkSuite {
     val bench = docs.where(col("doc_id") >= PipelineQueries.PlantShift)
     Dedup.clearDecisionCache()
     Dedup.decontaminate(corpus, bench, "doc_id", "text")
-    assert(Dedup.bloomDecisions.size === 1, "first call records the decision")
+    assert(Dedup.decisionCacheSize === 1, "first call records the decision")
     // a re-built but plan-identical frame pair must HIT the memo (the
     // per-batch pipeline shape) — same canonicalized plans, no second probe
     val corpus2 = docs.where(col("doc_id") < PipelineQueries.PlantShift)
     Dedup.decontaminate(corpus2, bench, "doc_id", "text")
-    assert(Dedup.bloomDecisions.size === 1, "plan-identical call must not re-probe")
+    assert(Dedup.decisionCacheSize === 1, "plan-identical call must not re-probe")
     // a different ratio is a different decision key
     Dedup.decontaminate(corpus, bench, "doc_id", "text", bloomRatio = 2.0)
-    assert(Dedup.bloomDecisions.size === 2)
+    assert(Dedup.decisionCacheSize === 2)
     Dedup.clearDecisionCache()
-    assert(Dedup.bloomDecisions.isEmpty)
+    assert(Dedup.decisionCacheSize === 0)
   }
 
   test("clearIndexCaches releases trained-index storage; next call retrains") {
