@@ -121,7 +121,15 @@ object SparkEntry {
     // pipeline pays for simhash dedup
     "dedup_simhash_kernel" -> ((s: SparkSession, d: String) =>
       graft.operators.Dedup.simhashPairs(
-        PipelineQueries.docsWithPlants(s, d), "doc_id", "text", maxBits = 3)))
+        PipelineQueries.docsWithPlants(s, d), "doc_id", "text", maxBits = 3)),
+    // the probabilistic LSH-banded trigram path: kept benched after the
+    // contract entry graduated to the exact prefix-filtered join, so the
+    // approximate alternative's cost stays measured (its 14/19 planted
+    // recall is pinned in PipelineSpec)
+    "dedup_ngram_lsh" -> ((s: SparkSession, d: String) =>
+      graft.operators.Dedup.ngramJaccardPairs(
+        PipelineQueries.docsWithPlants(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -199,20 +207,14 @@ object SparkEntry {
     // winnowing is deterministic, so DuckDB recomputes the whole scheme
     // (shingle md5s, window minima, df filter) — exact value oracle
     "repeated_spans" -> Oracles.repeatedSpans,
-    "unicode_normalize" -> Oracles.unicodeNormalize)
-    // Remaining rows-only entry (56/57 oracle-backed as of round 7 —
-    // dedup_simhash graduated to a full brute-force value oracle via the
-    // engine-portable md5-hash simhash variant, Dedup.simhashPortable):
-    //  - dedup_ngram: the deliberately-wide 4x8 banding has recall < 1 BY
-    //    MEASURED DESIGN — round-6 probe (demo.SimhashProbe at sf0.01): of
-    //    the 19 planted pairs with trigram J >= 0.6 (plant Jaccards
-    //    0.58-0.85), banding catches 14; narrowing bands to fix recall
-    //    degenerates toward all-pairs verification (measured 180s at sf0.1
-    //    with 16x4, see Dedup.ngramJaccardPairs). So neither the full output
-    //    nor a planted projection has a SQL-computable truth set. Its
-    //    exact-Jaccard verification math is ngram_exact's oracle, leaving
-    //    only the banding prefilter rows-only. The measured recall itself
-    //    is PINNED by PipelineSpec "dedup_ngram banding recall ... stays
-    //    pinned (sf0.01)" (>= 14 of the 19 planted J>=0.6 pairs), so a
-    //    regression behind the rows-only check fails the suite.
+    "unicode_normalize" -> Oracles.unicodeNormalize,
+    // round 9: dedup_ngram graduated from rows-only to a full brute-force
+    // value oracle by switching the contract entry to the EXACT
+    // prefix-filtered all-pairs join (Dedup.ngramJaccardJoin — provably
+    // complete candidates, so brute force IS its truth set). Every contract
+    // entry is now oracle-backed. The probabilistic LSH-banded variant the
+    // entry previously ran (recall 14/19 by measured design — no
+    // SQL-computable truth set) stays as the dedup_ngram_lsh bench twin
+    // with its recall pinned in PipelineSpec.
+    "dedup_ngram" -> Oracles.dedupNgram)
 }

@@ -748,6 +748,67 @@ object Dedup {
       bucketCap, "ngram")
   }
 
+  /** EXACT character-n-gram Jaccard self-join via prefix filtering
+    * (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search",
+    * WWW '07; length filter per Arasu et al.'s SSJoin): provably COMPLETE
+    * candidate generation, unlike the probabilistic LSH banding of
+    * [[ngramJaccardPairs]] — every pair with J ≥ threshold is emitted, so
+    * the output equals a brute-force all-pairs join and shares its
+    * value oracle.
+    *
+    * Why it is complete: order every doc's shingles by a single global
+    * canonical order (document frequency asc, hash asc — rarest first) and
+    * emit only each doc's PREFIX of size |A| − ⌈t·|A|⌉ + 1 as join keys.
+    * J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ ⌈t·max(|A|,|B|)⌉, and by pigeonhole
+    * the canonically-first shared shingle sits within BOTH prefixes — the
+    * equi-join on prefix shingles cannot miss a qualifying pair. No bucket
+    * cap here, deliberately: a cap would break exactness; instead the
+    * rarest-first order keeps join keys selective (a shingle appears in a
+    * prefix only when a doc has few rarer ones) and the length filter
+    * (t·|A| ≤ |B| ≤ |A|/t) prunes cross-size collisions before
+    * verification.
+    *
+    * Scale shape: one groupBy for frequencies, one for canonical ordering,
+    * one shingle-keyed equi-join, then codegen sorted-merge verification
+    * per candidate — all shuffles are key-partitioned, nothing quadratic
+    * in corpus size (candidate volume is data-dependent but df-ordering
+    * makes it near the true-pair count on natural text). */
+  def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = track(df.select(col(idCol).as("id"),
+        minhashExprs.charShingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0) // empty sets can never reach J >= t > 0
+      .cache())
+    val freq = sh.select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = sh.select(col("id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("h"))
+      .join(freq, "h")
+      .groupBy(col("id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+    val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val pref = ordered.select(col("id"), col("sz"),
+      explode(transform(slice(col("ord"), lit(1), prefLen),
+        s => s.getField("h"))).as("h"))
+    val cand = pref.alias("a").join(pref.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("b.sz") * threshold <= col("a.sz") &&
+          col("a.sz") * threshold <= col("b.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter",
+        minhashExprs.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("unn", (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("inter").cast("double") / col("unn") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("unn"), 6).as("jaccard"))
+  }
+
   /** Character n-grams of normalized text. */
   def charNgrams(text: Column, n: Int): Column = {
     val norm = TextFunctions.normalized(text)

@@ -588,6 +588,41 @@ object Oracles {
       |WHERE unn > 0 AND inter::DOUBLE / unn >= 0.5
       |ORDER BY 1, 2""".stripMargin
 
+  /** dedup_ngram: BRUTE-FORCE trigram-Jaccard truth set over the PLANTED
+    * corpus at threshold 0.6. The engine side runs the prefix-filtered
+    * all-pairs join (Dedup.ngramJaccardJoin), whose candidate generation is
+    * provably complete — so its output must equal this all-pairs
+    * computation row-for-row, value-checking the canonical-order prefix
+    * guarantee, the length filter, and the sorted-merge verification at
+    * once. Same trigram semantics as ngram_exact (ASCII normalization,
+    * whole-string gram for short texts, distinct set). */
+  val dedupNgram: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' graft planted near duplicate suffix'
+      |  FROM documents WHERE doc_id < 20),
+      |norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+      |  FROM docs),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(s) = 0 THEN []
+      |         WHEN len(s) <= 3 THEN [s]
+      |         ELSE list_distinct(list_transform(range(1, len(s) - 1),
+      |                i -> s[i:i + 2]))
+      |    END AS g
+      |  FROM norm),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.g, b.g)) AS inter,
+      |    len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS unn
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(inter::DOUBLE / unn, 6) AS jaccard
+      |FROM pairs
+      |WHERE unn > 0 AND inter::DOUBLE / unn >= 0.6
+      |ORDER BY 1, 2""".stripMargin
+
   /** BRUTE-FORCE portable-simhash truth set — reproduces every stage of
     * Dedup.simhashPairsPortable in SQL: per-token 60-bit hash = first 15 hex
     * chars of md5(token) (hex folded to BIGINT by position arithmetic, the

@@ -383,18 +383,31 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Character-trigram Jaccard near-dup pairs (LSH-prefiltered). Rows-only
-    * by measured design: a planted-projection oracle (the knn_lsh pattern)
-    * was evaluated in round 6 and REJECTED — the deliberately-wide 4×8
-    * banding catches 14 of the 19 planted pairs with trigram J ≥ 0.6 at
-    * sf0.01 (demo.SimhashProbe: plant Jaccards 0.58–0.85; per-band collision
-    * P ≈ J⁸), so no SQL-computable truth set equals the output; narrowing
-    * the bands to fix recall measurably degenerates toward all-pairs
-    * verification (see [[Dedup.ngramJaccardPairs]]'s banding rationale).
-    * The exact verification math is value-oracled by `ngram_exact`. */
+  /** Character-trigram Jaccard near-dup pairs via the EXACT prefix-filtered
+    * set-similarity join ([[Dedup.ngramJaccardJoin]], the WWW '07 all-pairs
+    * algorithm): candidate generation is provably complete (pigeonhole on
+    * the rarest-first canonical prefix), so the output EQUALS a brute-force
+    * all-pairs Jaccard join and a DuckDB brute force over the planted
+    * corpus is a full value oracle — this graduated the last rows-only
+    * contract entry.
+    *
+    * The entry runs on a BOUNDED corpus slice (500 docs + all plants, the
+    * ngram_exact `doc_id < 150` pattern): this synthetic corpus is
+    * generated from a tiny vocabulary (405 distinct trigrams across 5k
+    * docs at sf0.1 — measured), so ANY complete char-trigram candidate
+    * generator degenerates toward all-pairs on it (prefix filtering
+    * included: 5.3M candidates, ~20 s at local[32] full-corpus). The
+    * bounded slice keeps the contract cost sf-invariant while still
+    * value-checking the complete-candidates guarantee end to end. For
+    * full-corpus near-dup at scale the probabilistic LSH-banded variant
+    * ([[Dedup.ngramJaccardPairs]]) is the documented alternative — benched
+    * full-corpus as the `dedup_ngram_lsh` twin, measured 14/19 planted
+    * recall pinned in PipelineSpec. */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docsWithPlants(spark, dir), "doc_id", "text",
-        n = 3, threshold = 0.6)
+    Dedup.ngramJaccardJoin(
+        docsWithPlants(spark, dir)
+          .where(col("doc_id") < 500 || col("doc_id") >= PlantShift),
+        "doc_id", "text", n = 3, threshold = 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Embedding-cosine near-dup pairs over LSH buckets (planted jitter),

@@ -313,12 +313,12 @@ class PipelineSpec extends SparkSuite {
   }
 
   test("dedup_ngram banding recall on planted J>=0.6 pairs stays pinned (sf0.01)") {
-    // dedup_ngram is the one rows-only contract entry: its 4×8 banding has
-    // recall < 1 BY MEASURED DESIGN (see the SparkEntry trailing comment).
-    // This pins the round-6 measurement — 19 planted pairs with trigram
-    // J >= 0.6, banding catches 14 — so a silent recall regression (or a
-    // fixture drift changing the truth set) fails loudly instead of
-    // shipping unnoticed behind the rows-only check.
+    // ngramJaccardPairs (now the dedup_ngram_lsh BENCH TWIN — the contract
+    // entry graduated to the exact prefix-filtered join) has recall < 1 BY
+    // MEASURED DESIGN in its 4×8 banding. This pins the round-6
+    // measurement — 19 planted pairs with trigram J >= 0.6, banding
+    // catches 14 — so a silent recall regression (or a fixture drift
+    // changing the truth set) fails loudly.
     val docs = PipelineQueries.docsWithPlants(spark, sf("sf0.01"))
     val sh = docs.select(col("doc_id"),
       graft.functions.minhashExprs.charShingleSet(col("text"), 3).as("sh"))
@@ -339,6 +339,35 @@ class PipelineSpec extends SparkSuite {
     val caught = truth.intersect(found)
     assert(caught.size >= 14,
       s"banding recall regressed: caught ${caught.size}/19 planted pairs")
+  }
+
+  test("ngramJaccardJoin: prefix-filtered join equals brute force exactly") {
+    // completeness certificate for the graduated dedup_ngram contract
+    // entry: the prefix filter may generate extra candidates but can never
+    // MISS a qualifying pair (pigeonhole on the canonical-order prefix), so
+    // after exact verification the output must equal all-pairs brute force
+    // row-for-row — including every planted pair, at two thresholds
+    val docs = PipelineQueries.docsWithPlants(spark, sf())
+    val sh = docs.select(col("doc_id"),
+      graft.functions.minhashExprs.charShingleSet(col("text"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    Seq(0.5, 0.6).foreach { t =>
+      val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("inter", graft.functions.minhashExprs
+          .sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("unn", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .where(col("unn") > 0 && col("inter").cast("double") / col("unn") >= t)
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double") / col("unn"), 6).as("jaccard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      val got = Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      assert(got === brute, s"t=$t: prefix join diverged from brute force")
+      assert(got.nonEmpty, s"t=$t: planted pairs must appear")
+    }
   }
 
   test("decontaminate facade: measured sizes pick exact vs bloom, same output") {
