@@ -148,6 +148,54 @@ object ScaleProbe {
     time("tf-idf top-3 over 50k docs") {
       graft.operators.CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", 3).count()
     }
+    // --- round-9 probe: winnowing repeated-spans with the fused O(m)
+    // kernel at 10x corpus (50k docs; the r8 nested-HOF form took 888 s
+    // for 5k docs). Three checks: wall-time, measured fingerprint density
+    // vs the 2/(w+1) winnowing bound (SIGMOD '03 §4: expected SELECTED
+    // positions per window; per-doc distinct emission can only sit at or
+    // under it), and the detection guarantee — every shared run of length
+    // >= w+k-1 must surface a fingerprint common to ALL docs carrying it. ---
+    locally {
+      val k = 8; val w = 4
+      time("repeated-spans winnowing over 50k docs (fused O(m) kernel)") {
+        graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text",
+          k = k, w = w, minDocs = 2).count()
+      }
+      val dens = docs.select(
+          size(graft.functions.TextFunctions.winnowFingerprints(
+            col("text"), k, w)).cast("double").as("nfp"),
+          (length(col("text")) - (k - 1) - (w - 1)).cast("double").as("nwin"))
+        .where(col("nwin") > 0)
+        .agg(avg(col("nfp") / col("nwin")).as("d"))
+        .first().getDouble(0)
+      val bound = 2.0 / (w + 1)
+      println(f"  winnow density: $dens%.4f distinct fps/window vs 2/(w+1) " +
+        f"bound $bound%.4f")
+      require(dens <= bound + 0.02 && dens > 0.1,
+        f"winnow density $dens%.4f outside the plausible (0.1, ${bound + 0.02}%.4f] band")
+      // planted boilerplate: 500 docs get the same 60-char suffix. The
+      // shared run is > w+k-1, so every interior window's minimum is
+      // identical across all 500 — at least one boilerplate fingerprint
+      // must be shared by ALL planted docs, and repeatedSpans must report
+      // it at df >= 500.
+      val bp = " corpus wide boilerplate footer sentence planted for recall"
+      val nPlant = 500L
+      val planted = docs.where(col("doc_id") < nPlant)
+        .select(col("doc_id"), concat(col("text"), lit(bp)).as("text"))
+      val bpFps = spark.range(1).select(
+          graft.functions.TextFunctions.winnowFingerprints(lit(bp), k, w)
+            .as("fps"))
+        .select(explode(col("fps")).as("fp"))
+        .collect().map(_.getString(0)).toSeq
+      val fullyShared = graft.operators.Dedup.repeatedSpans(
+          planted, "doc_id", "text", k = k, w = w, minDocs = nPlant)
+        .where(col("fp").isin(bpFps: _*))
+        .count()
+      println(s"  winnow recall: $fullyShared boilerplate fingerprints " +
+        s"present in ALL $nPlant planted docs (guarantee needs >= 1)")
+      require(fullyShared >= 1,
+        "winnowing detection guarantee violated: no shared-run fingerprint")
+    }
     // --- round-7 maintenance probes: OPTIMIZE ZORDER (both cell modes) and
     // Change Data Feed over a ~6M-row Delta table ---
     locally {
