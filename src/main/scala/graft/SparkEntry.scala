@@ -105,7 +105,8 @@ object SparkEntry {
     "quantile_sketch" -> (PipelineQueries.quantileSketch _),
     "heavy_hitters" -> (PipelineQueries.heavyHitters _),
     "repeated_spans" -> (PipelineQueries.repeatedSpansQ _),
-    "unicode_normalize" -> (PipelineQueries.unicodeNormalize _))
+    "unicode_normalize" -> (PipelineQueries.unicodeNormalize _),
+    "boilerplate_spans" -> (PipelineQueries.boilerplateSpansQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -216,5 +217,10 @@ object SparkEntry {
     // entry previously ran (recall 14/19 by measured design — no
     // SQL-computable truth set) stays as the dedup_ngram_lsh bench twin
     // with its recall pinned in PipelineSpec.
-    "dedup_ngram" -> Oracles.dedupNgram)
+    "dedup_ngram" -> Oracles.dedupNgram,
+    // round 9: winnowing graduated from diagnosis (repeated_spans: WHICH
+    // fingerprints repeat) to transform (boilerplate_spans: WHICH character
+    // ranges of each doc are corpus-wide boilerplate) — span bounds
+    // value-checked by a full DuckDB recomputation
+    "boilerplate_spans" -> Oracles.boilerplateSpans)
 }

@@ -303,6 +303,66 @@ object WinnowKernel {
     UTF8String.fromBytes(out)
   }
 
+  /** Position-emitting variant of [[winnow]]: every SELECTED window-minimum
+    * as (md5-hex fingerprint, 1-based code-point position of its shingle),
+    * deduplicated by position (a position is selected by ~w consecutive
+    * windows). Tie-break: the EARLIEST position achieving a window's
+    * minimum — the deque pops only on strictly-greater, so the head stays
+    * the oldest minimal index, which is exactly what a SQL
+    * `min(hash || '|' || zero-padded-pos)` window formulation selects
+    * (fixed-width hex compares before the position suffix), keeping the
+    * DuckDB oracle byte-portable. Same m<w whole-text-window and m<=0
+    * degenerate rules as [[winnow]]. */
+  def winnowPos(s: UTF8String, k: Int, w: Int)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    var nChars = 0
+    var i = 0
+    while (i < nb) { if ((bytes(i) & 0xC0) != 0x80) nChars += 1; i += 1 }
+    val m = nChars - (k - 1)
+    if (m <= 0)
+      return Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0
+    i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(ci) = i; ci += 1 }
+      i += 1
+    }
+    offs(nChars) = nb
+
+    val md = md5Local.get()
+    val win = if (m < w) m else w
+    val cap = win + 1
+    val ring = new Array[Array[Byte]](win)
+    val dq = new Array[Int](cap)
+    var dh = 0
+    var dn = 0
+    val seenPos = new java.util.HashSet[Integer]()
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    var idx = 0
+    while (idx < m) {
+      if (dn > 0 && dq(dh) <= idx - win) { dh = (dh + 1) % cap; dn -= 1 }
+      md.reset()
+      md.update(bytes, offs(idx), offs(idx + k) - offs(idx))
+      val d = md.digest()
+      ring(idx % win) = d
+      while (dn > 0 && java.util.Arrays.compareUnsigned(
+          ring(dq((dh + dn - 1) % cap) % win), d) > 0) dn -= 1
+      dq((dh + dn) % cap) = idx
+      dn += 1
+      if (idx >= win - 1) {
+        val sel = dq(dh)
+        if (seenPos.add(sel))
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](hex(ring(sel % win)), sel + 1)))
+      }
+      idx += 1
+    }
+    out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](out.size()))
+  }
+
   def winnow(s: UTF8String, k: Int, w: Int): Array[UTF8String] = {
     val bytes = s.getBytes
     val nb = bytes.length
@@ -377,6 +437,37 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Winnowing SELECTED positions of a document — array<struct<fp,pos>>, one
+  * entry per distinct selected window-minimum shingle position (1-based
+  * code points). Same fused O(m) kernel as [[WinnowFingerprintsExpr]];
+  * feeds boilerplate-span reconstruction where the POSITION of a shared
+  * fingerprint matters, not just its identity. */
+case class WinnowPositionsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"shingle width k must be >= 1, got $k")
+  require(w >= 1, s"window size w must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("fp", StringType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_positions"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WinnowKernel.winnowPos(input.asInstanceOf[UTF8String], k, w)
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val rows = ctx.freshName("rows")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow[] $rows =
+         |  graft.functions.WinnowKernel.winnowPos($c, $k, $w);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) $rows);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WinnowPositionsExpr =
+    copy(child = newChild)
+}
+
 object minhashExprs {
   import GraftSqlBridge.{column, expression}
   /** Word w-shingle hash set (normalized tokens). */
@@ -406,4 +497,8 @@ object minhashExprs {
     * byte-portable to the DuckDB oracle). */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     column(WinnowFingerprintsExpr(expression(text), k, w))
+  /** Winnowing selected (fingerprint, 1-based position) structs — the
+    * position-carrying sibling of [[winnowFingerprints]]. */
+  def winnowPositions(text: Column, k: Int, w: Int): Column =
+    column(WinnowPositionsExpr(expression(text), k, w))
 }

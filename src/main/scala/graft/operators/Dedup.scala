@@ -692,6 +692,100 @@ object Dedup {
       .where(col("df") >= minDocs)
   }
 
+  /** Per-document character intervals of corpus-wide REPEATED spans —
+    * [[repeatedSpans]] taken from diagnosis to transform: which exact
+    * character ranges of each document are boilerplate shared by >=
+    * `minDocs` documents (template headers, footers, license blocks — the
+    * spans substring-level dedup removes before training).
+    *
+    * Method: winnowing with positions ([[minhashExprs.winnowPositions]]) —
+    * every selected window-minimum shingle carries its 1-based code-point
+    * position. Fingerprints selected in >= minDocs docs (distinct-doc df)
+    * mark their [pos, pos+k) shingle as shared; per doc, overlapping marks
+    * union into maximal intervals (gaps-and-islands over a doc-partitioned
+    * window — key-partitioned, never global). `k >= w` is REQUIRED for
+    * contiguity: inside one shared run, consecutive selected positions
+    * differ by at most w (every w-window holds a selection), so with
+    * k >= w their [pos, pos+k) intervals overlap and plain union
+    * reconstructs the run as ONE interval. Winnowing's detection guarantee
+    * bounds what can be missed: only the first/last <= w+k-2 chars of a
+    * shared run lack a fully-interior window, so reported spans are the
+    * run cores, never false fragments of unshared text (a fingerprint's
+    * df counts exact k-char matches).
+    *
+    * Scale shape: one explode (density-bounded at ~2/(w+1) entries per
+    * char), one distinct-doc aggregate for df, one fp-keyed equi-join
+    * (shared-fp side is post-aggregation small; AQE broadcasts it when it
+    * fits), one doc-partitioned window. No all-pairs anything.
+    *
+    * Output: (doc_id, span_start, span_end) — 1-based inclusive start,
+    * exclusive end, BIGINT for oracle portability. */
+  def boilerplateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minDocs: Long = 2): DataFrame = {
+    require(k >= w,
+      s"k >= w required for span contiguity (got k=$k, w=$w): selected " +
+        "positions in a shared run are <= w apart, so k >= w makes their " +
+        "k-char marks overlap")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val fpPos = track(spread.select(col(idCol).as("doc_id"),
+        explode(minhashExprs.winnowPositions(col(textCol), k, w)).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
+      .cache())
+    // distinct-doc df: a fp selected at several positions of one doc still
+    // counts that doc once (same df semantics as repeatedSpans)
+    val shared = fpPos.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs).select(col("fp"))
+    val sel = fpPos.join(shared, "fp")
+      .select(col("doc_id"), col("pos")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + k)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    sel
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Remove [[boilerplateSpans]] intervals from each document's text.
+    * Span application is a per-row fold over that doc's FEW merged
+    * intervals (sorted, disjoint by construction) — the interpreted-HOF
+    * cost is O(spans per doc), not O(text), and there is no nested HOF
+    * over unbounded input. Docs with no shared spans pass through on the
+    * left join. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minDocs: Long = 2): DataFrame = {
+    val spans = boilerplateSpans(df, idCol, textCol, k, w, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("spans"))
+    val t = col("__text")
+    // fold: acc = (kept text so far, 1-based cursor); each span appends the
+    // clean stretch before it and jumps the cursor past it
+    val stripped = aggregate(col("spans"),
+      struct(lit("").as("t"), lit(1L).as("c")),
+      (acc, s) => struct(
+        concat(acc.getField("t"),
+          t.substr(acc.getField("c").cast("int"),
+            (s.getField("span_start") - acc.getField("c")).cast("int")))
+          .as("t"),
+        s.getField("span_end").as("c")),
+      acc => concat(acc.getField("t"),
+        t.substr(acc.getField("c").cast("int"), length(t))))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        when(col("spans").isNull, col("__text"))
+          .otherwise(stripped).as(textCol))
+  }
+
   /** Portable-simhash near-dup pairs — [[simhashPairs]] with the
     * [[simhashPortable]] hash; the blocking, cap, and threshold logic is
     * byte-identical (shared body). */

@@ -966,6 +966,65 @@ object Oracles {
       |  WHERE (SELECT max(length(text)) FROM documents) > 5007
       |) ORDER BY fp""".stripMargin
 
+  /** boilerplate_spans: full recomputation of winnow-position span
+    * reconstruction. Window-minimum SELECTION WITH POSITION uses the
+    * fixed-width string-min trick: `md5hex || '|' || lpad(pos, 10, '0')`
+    * compares hex first (32 chars, fixed width) then position — exactly
+    * the kernel's earliest-position-on-tie deque rule. Then distinct-doc
+    * df >= 25 filters shared fingerprints, and a gaps-and-islands pass
+    * unions each doc's [pos, pos+8) marks into maximal intervals (k >= w
+    * makes in-run marks overlap, so plain union suffices). Sentinel row
+    * fires if any doc outgrows the 5000-position shingle cap (same guard
+    * as repeated_spans). */
+  val boilerplateSpans: String =
+    """WITH s AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 5001)),
+      |g AS (
+      |  SELECT d.doc_id, s.i,
+      |         md5(substr(d.text, s.i, 8)) || '|' ||
+      |           lpad(CAST(s.i AS VARCHAR), 10, '0') AS hk,
+      |         length(d.text) - 7 AS m
+      |  FROM documents d JOIN s ON s.i <= length(d.text) - 7),
+      |wins AS (
+      |  SELECT doc_id, i, m,
+      |         min(hk) OVER (PARTITION BY doc_id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+      |  FROM g),
+      |selected AS (
+      |  SELECT DISTINCT doc_id, substr(key, 1, 32) AS fp,
+      |         CAST(substr(key, 34) AS BIGINT) AS pos
+      |  FROM wins WHERE i <= m - 3
+      |  UNION
+      |  SELECT doc_id, substr(min(hk), 1, 32) AS fp,
+      |         CAST(substr(min(hk), 34) AS BIGINT) AS pos
+      |  FROM g WHERE m < 4 GROUP BY doc_id),
+      |shared AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, count(DISTINCT doc_id) AS df FROM selected GROUP BY fp)
+      |  WHERE df >= 25),
+      |sel AS (
+      |  SELECT DISTINCT t.doc_id, t.pos
+      |  FROM selected t JOIN shared USING (fp)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(
+      |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        CAST(-1 AS BIGINT))
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM sel),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl)
+      |SELECT * FROM (
+      |  SELECT doc_id, min(pos) AS span_start,
+      |         CAST(max(pos) + 8 AS BIGINT) AS span_end
+      |  FROM isl2 GROUP BY doc_id, island
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      |  WHERE (SELECT max(length(text)) FROM documents) > 5007
+      |) ORDER BY doc_id, span_start""".stripMargin
+
   /** unicode_normalize: the planted suffixes are DECOMPOSED sequences
     * (base letter + combining mark, plus the U+212B angstrom singleton)
     * written as raw UTF-8 in both this SQL literal and the Spark lit() —

@@ -201,6 +201,20 @@ object PipelineQueries {
         k = 8, w = 4, minDocs = 2)
       .orderBy(col("fp"))
 
+  /** Per-document boilerplate character intervals
+    * ([[Dedup.boilerplateSpans]], k=8, w=4, minDocs=25): the character
+    * ranges of each doc covered by winnow-selected shingles shared with
+    * >= 25 documents, merged into maximal intervals — the spans
+    * substring-level dedup would strip before training. The DuckDB oracle
+    * recomputes the whole scheme (argmin-by-(hash,pos) window selection
+    * via the fixed-width `md5 || '|' || zero-padded-pos` string-min trick,
+    * distinct-doc df, gaps-and-islands interval union), so span BOUNDS are
+    * value-checked, not just counts. */
+  def boilerplateSpansQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateSpans(t(spark, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4, minDocs = 25)
+      .orderBy(col("doc_id"), col("span_start"))
+
   /** Unicode NFC normalization ([[exprs.nfcNormalize]]) over doc prefixes
     * with planted DECOMPOSED suffixes (base + combining mark, chosen by
     * doc_id % 3; the same raw UTF-8 bytes sit in the DuckDB oracle's
