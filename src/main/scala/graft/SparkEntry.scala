@@ -130,7 +130,18 @@ object SparkEntry {
     "dedup_ngram_lsh" -> ((s: SparkSession, d: String) =>
       graft.operators.Dedup.ngramJaccardPairs(
         PipelineQueries.docsWithPlants(s, d), "doc_id", "text",
-        n = 3, threshold = 0.6)))
+        n = 3, threshold = 0.6)),
+    // the transform half of boilerplate removal: span detection feeds an
+    // interval-fold strip of each document's text. The contract entry
+    // (boilerplate_spans) value-checks the detected bounds; this twin
+    // keeps the strip path's cost measured (its correctness is pinned in
+    // BoilerplateSpec's round-trip tests)
+    "strip_boilerplate" -> (PipelineQueries.stripBoilerplateQ _),
+    // the chained corpus pass (normalize -> strip boilerplate -> exact
+    // dedup -> quality filter -> chunk): stage semantics are each oracled
+    // or spec-pinned on their own contract entries; this twin measures
+    // the composed plan's cost
+    "corpus_pipeline" -> (PipelineQueries.corpusPipelineQ _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -195,6 +195,32 @@ object ScaleProbe {
         s"present in ALL $nPlant planted docs (guarantee needs >= 1)")
       require(fullyShared >= 1,
         "winnowing detection guarantee violated: no shared-run fingerprint")
+      // boilerplateSpans at 10x: every planted doc must report a span
+      // intersecting its suffix region, and the suffix must come back as
+      // ONE interval there (k >= w contiguity). Docs outside the plant (or
+      // spans outside the suffix) are allowed — a corpus-common shingle
+      // can legitimately reach df >= minDocs — the probe checks the
+      // guarantee, not exclusivity.
+      val plantedBp = docs.select(col("doc_id"), col("text").as("orig"),
+        when(col("doc_id") < nPlant, concat(col("text"), lit(bp)))
+          .otherwise(col("text")).as("text"))
+      var suffixed = 0L
+      time(s"boilerplate-spans over 50k docs ($nPlant planted)") {
+        val spans = graft.operators.Dedup.boilerplateSpans(
+          plantedBp, "doc_id", "text", k = k, w = w, minDocs = nPlant)
+        suffixed = spans
+          .join(plantedBp.where(col("doc_id") < nPlant)
+            .select(col("doc_id"), length(col("orig")).as("blen")), "doc_id")
+          .where(col("span_end") > col("blen"))
+          .groupBy(col("doc_id")).count()
+          .where(col("count") === 1).count()
+        suffixed
+      }
+      println(s"  boilerplate spans: $suffixed/$nPlant planted docs carry " +
+        "exactly one merged suffix interval")
+      require(suffixed == nPlant,
+        s"expected $nPlant docs with one suffix span, got $suffixed")
+      graft.operators.Dedup.unpersistAll()
     }
     // --- round-7 maintenance probes: OPTIMIZE ZORDER (both cell modes) and
     // Change Data Feed over a ~6M-row Delta table ---

@@ -738,8 +738,11 @@ object Dedup {
     val shared = fpPos.select(col("doc_id"), col("fp")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocs).select(col("fp"))
+    // no distinct needed: the kernel dedups selected positions per doc
+    // (winnowPos.seenPos), so (doc_id, pos) is unique in fpPos and the
+    // fp-keyed semi-join cannot duplicate it (shared has one row per fp)
     val sel = fpPos.join(shared, "fp")
-      .select(col("doc_id"), col("pos")).distinct()
+      .select(col("doc_id"), col("pos"))
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevEnd = max(col("pos") + k)

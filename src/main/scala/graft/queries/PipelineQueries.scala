@@ -215,6 +215,38 @@ object PipelineQueries {
         k = 8, w = 4, minDocs = 25)
       .orderBy(col("doc_id"), col("span_start"))
 
+  /** Bench twin: [[Dedup.stripBoilerplate]] end-to-end (span detection +
+    * interval-fold removal) over the documents table. The trailing
+    * `length(text) >= 0` filter forces the stripped text to be computed
+    * under Bench's `.count()` — without it column pruning would skip the
+    * fold and time only span detection. */
+  def stripBoilerplateQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripBoilerplate(t(spark, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4, minDocs = 25)
+      .where(length(col("text")) >= 0)
+
+  /** Bench twin: the end-to-end training-data flow the individual contract
+    * entries exercise piecewise — NFC normalize, strip corpus-wide
+    * boilerplate spans, exact text dedup (keep first), quality filter,
+    * then token chunking. Measures what a real corpus pass pays for the
+    * chained plan (cross-stage pipelining, no materialization between
+    * stages); every stage's semantics are oracled or spec-pinned
+    * individually. The final chunk_tokens filter keeps column pruning
+    * from skipping the chunk stage under Bench's `.count()`; the earlier
+    * stages all change the row count, so none of them can be pruned. */
+  def corpusPipelineQ(spark: SparkSession, dir: String): DataFrame = {
+    val norm = t(spark, dir, "documents").select(col("doc_id"),
+      exprs.nfcNormalize(col("text")).as("text"))
+    val clean = Dedup.stripBoilerplate(norm, "doc_id", "text",
+      k = 8, w = 4, minDocs = 25)
+    val keepers = Dedup.exactTextGroups(clean, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val surviving = clean.join(keepers, "doc_id")
+      .where(TextFunctions.qualityScore(col("text")) >= 0.3)
+    CorpusOps.chunkPlan(surviving, "doc_id", "text", window = 64)
+      .where(col("chunk_tokens") > 0)
+  }
+
   /** Unicode NFC normalization ([[exprs.nfcNormalize]]) over doc prefixes
     * with planted DECOMPOSED suffixes (base + combining mark, chosen by
     * doc_id % 3; the same raw UTF-8 bytes sit in the DuckDB oracle's
