@@ -106,7 +106,13 @@ object SparkEntry {
     "heavy_hitters" -> (PipelineQueries.heavyHitters _),
     "repeated_spans" -> (PipelineQueries.repeatedSpansQ _),
     "unicode_normalize" -> (PipelineQueries.unicodeNormalize _),
-    "boilerplate_spans" -> (PipelineQueries.boilerplateSpansQ _))
+    "boilerplate_spans" -> (PipelineQueries.boilerplateSpansQ _),
+    // round 10: the two r9 bench-only twins graduated to the oracle
+    // contract — strip_boilerplate's folded text and the five-stage
+    // corpus_pipeline composition are now value-checked, closing the last
+    // surface the driver's hash check didn't cover
+    "strip_boilerplate" -> (PipelineQueries.stripBoilerplateQ _),
+    "corpus_pipeline" -> (PipelineQueries.corpusPipelineQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -130,18 +136,7 @@ object SparkEntry {
     "dedup_ngram_lsh" -> ((s: SparkSession, d: String) =>
       graft.operators.Dedup.ngramJaccardPairs(
         PipelineQueries.docsWithPlants(s, d), "doc_id", "text",
-        n = 3, threshold = 0.6)),
-    // the transform half of boilerplate removal: span detection feeds an
-    // interval-fold strip of each document's text. The contract entry
-    // (boilerplate_spans) value-checks the detected bounds; this twin
-    // keeps the strip path's cost measured (its correctness is pinned in
-    // BoilerplateSpec's round-trip tests)
-    "strip_boilerplate" -> (PipelineQueries.stripBoilerplateQ _),
-    // the chained corpus pass (normalize -> strip boilerplate -> exact
-    // dedup -> quality filter -> chunk): stage semantics are each oracled
-    // or spec-pinned on their own contract entries; this twin measures
-    // the composed plan's cost
-    "corpus_pipeline" -> (PipelineQueries.corpusPipelineQ _))
+        n = 3, threshold = 0.6)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -233,5 +228,11 @@ object SparkEntry {
     // fingerprints repeat) to transform (boilerplate_spans: WHICH character
     // ranges of each doc are corpus-wide boilerplate) — span bounds
     // value-checked by a full DuckDB recomputation
-    "boilerplate_spans" -> Oracles.boilerplateSpans)
+    "boilerplate_spans" -> Oracles.boilerplateSpans,
+    // round 10: the last two bench-only twins graduated — the interval-fold
+    // strip's output TEXT and the five-stage pipeline COMPOSITION are now
+    // value-checked (the spans oracle's CTE chain extended with the
+    // complement-interval fold, then the five stage CTEs chained)
+    "strip_boilerplate" -> Oracles.stripBoilerplate,
+    "corpus_pipeline" -> Oracles.corpusPipeline)
 }

@@ -1025,6 +1025,211 @@ object Oracles {
       |  WHERE (SELECT max(length(text)) FROM documents) > 5007
       |) ORDER BY doc_id, span_start""".stripMargin
 
+  /** strip_boilerplate: [[boilerplateSpans]]' span-detection CTE chain
+    * extended with the interval-fold strip — kept segments are the
+    * complement intervals of each doc's merged spans (`lag(span_end)` to
+    * previous-span-end, plus a tail segment from the last span to EOT),
+    * reassembled in position order by an ordered `string_agg`. Docs with
+    * no shared spans pass through on the left join, mirroring the Spark
+    * side's left-join passthrough. Same cap sentinel as the spans oracle
+    * (the strip arm would silently truncate past position 5007 too). */
+  val stripBoilerplate: String =
+    """WITH s AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 5001)),
+      |g AS (
+      |  SELECT d.doc_id, s.i,
+      |         md5(substr(d.text, s.i, 8)) || '|' ||
+      |           lpad(CAST(s.i AS VARCHAR), 10, '0') AS hk,
+      |         length(d.text) - 7 AS m
+      |  FROM documents d JOIN s ON s.i <= length(d.text) - 7),
+      |wins AS (
+      |  SELECT doc_id, i, m,
+      |         min(hk) OVER (PARTITION BY doc_id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+      |  FROM g),
+      |selected AS (
+      |  SELECT DISTINCT doc_id, substr(key, 1, 32) AS fp,
+      |         CAST(substr(key, 34) AS BIGINT) AS pos
+      |  FROM wins WHERE i <= m - 3
+      |  UNION
+      |  SELECT doc_id, substr(min(hk), 1, 32) AS fp,
+      |         CAST(substr(min(hk), 34) AS BIGINT) AS pos
+      |  FROM g WHERE m < 4 GROUP BY doc_id),
+      |shared AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, count(DISTINCT doc_id) AS df FROM selected GROUP BY fp)
+      |  WHERE df >= 25),
+      |sel AS (
+      |  SELECT DISTINCT t.doc_id, t.pos
+      |  FROM selected t JOIN shared USING (fp)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(
+      |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        CAST(-1 AS BIGINT))
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM sel),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, min(pos) AS span_start,
+      |         CAST(max(pos) + 8 AS BIGINT) AS span_end
+      |  FROM isl2 GROUP BY doc_id, island),
+      |segs AS (
+      |  SELECT doc_id,
+      |         coalesce(lag(span_end) OVER (PARTITION BY doc_id
+      |                                      ORDER BY span_start),
+      |                  CAST(1 AS BIGINT)) AS a,
+      |         span_start AS b
+      |  FROM spans
+      |  UNION ALL
+      |  SELECT doc_id, max(span_end) AS a, NULL AS b FROM spans GROUP BY doc_id),
+      |stripped AS (
+      |  SELECT sg.doc_id,
+      |         string_agg(substr(d.text, sg.a,
+      |                           coalesce(sg.b, length(d.text) + 1) - sg.a),
+      |                    '' ORDER BY sg.a) AS text
+      |  FROM segs sg JOIN documents d USING (doc_id)
+      |  GROUP BY sg.doc_id)
+      |SELECT * FROM (
+      |  SELECT d.doc_id, coalesce(st.text, d.text) AS text
+      |  FROM documents d LEFT JOIN stripped st USING (doc_id)
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), 'ORACLE_SHINGLE_CAP_EXCEEDED'
+      |  WHERE (SELECT max(length(text)) FROM documents) > 5007
+      |) ORDER BY doc_id""".stripMargin
+
+  /** corpus_pipeline: the five stage CTE chains composed end-to-end —
+    * (1) NFC normalize, (2) the [[stripBoilerplate]] winnow-span strip on
+    * the normalized text, (3) exact dedup keeping min doc_id per
+    * normalized-text md5 fingerprint (the [[dedupExact]]/fingerprint_md5
+    * math), (4) the [[qualityScores]] composite >= 0.3, (5) the
+    * [[chunkPlan]] context-window split at window=64. Every stage is
+    * already value-oracled on its own contract entry; this oracle proves
+    * the COMPOSITION — each stage consuming the previous stage's output,
+    * not the base table — matches the Spark side's chained lazy plan. */
+  val corpusPipeline: String =
+    """WITH docs AS (
+      |  SELECT doc_id, nfc_normalize(text) AS text FROM documents),
+      |s AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 5001)),
+      |g AS (
+      |  SELECT d.doc_id, s.i,
+      |         md5(substr(d.text, s.i, 8)) || '|' ||
+      |           lpad(CAST(s.i AS VARCHAR), 10, '0') AS hk,
+      |         length(d.text) - 7 AS m
+      |  FROM docs d JOIN s ON s.i <= length(d.text) - 7),
+      |wins AS (
+      |  SELECT doc_id, i, m,
+      |         min(hk) OVER (PARTITION BY doc_id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+      |  FROM g),
+      |selected AS (
+      |  SELECT DISTINCT doc_id, substr(key, 1, 32) AS fp,
+      |         CAST(substr(key, 34) AS BIGINT) AS pos
+      |  FROM wins WHERE i <= m - 3
+      |  UNION
+      |  SELECT doc_id, substr(min(hk), 1, 32) AS fp,
+      |         CAST(substr(min(hk), 34) AS BIGINT) AS pos
+      |  FROM g WHERE m < 4 GROUP BY doc_id),
+      |shared AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, count(DISTINCT doc_id) AS df FROM selected GROUP BY fp)
+      |  WHERE df >= 25),
+      |sel AS (
+      |  SELECT DISTINCT t.doc_id, t.pos
+      |  FROM selected t JOIN shared USING (fp)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(
+      |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        CAST(-1 AS BIGINT))
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM sel),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, min(pos) AS span_start,
+      |         CAST(max(pos) + 8 AS BIGINT) AS span_end
+      |  FROM isl2 GROUP BY doc_id, island),
+      |segs AS (
+      |  SELECT doc_id,
+      |         coalesce(lag(span_end) OVER (PARTITION BY doc_id
+      |                                      ORDER BY span_start),
+      |                  CAST(1 AS BIGINT)) AS a,
+      |         span_start AS b
+      |  FROM spans
+      |  UNION ALL
+      |  SELECT doc_id, max(span_end) AS a, NULL AS b FROM spans GROUP BY doc_id),
+      |stripped AS (
+      |  SELECT sg.doc_id,
+      |         string_agg(substr(d.text, sg.a,
+      |                           coalesce(sg.b, length(d.text) + 1) - sg.a),
+      |                    '' ORDER BY sg.a) AS text
+      |  FROM segs sg JOIN docs d USING (doc_id)
+      |  GROUP BY sg.doc_id),
+      |clean AS (
+      |  SELECT d.doc_id, coalesce(st.text, d.text) AS text
+      |  FROM docs d LEFT JOIN stripped st USING (doc_id)),
+      |keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM (
+      |    SELECT doc_id,
+      |           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |    FROM clean)
+      |  GROUP BY fp),
+      |surv AS (SELECT c.doc_id, c.text FROM clean c JOIN keep USING (doc_id)),
+      |q AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                t -> length(t) > 0) AS ltoks,
+      |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct
+      |  FROM surv),
+      |q2 AS (
+      |  SELECT doc_id, toks,
+      |    least(CAST(len(toks) AS DOUBLE) / 50, CAST(1 AS DOUBLE)) AS len_score,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |              / len(toks) END AS word_len,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE 1 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 5,
+      |                        CAST(1 AS DOUBLE)) END AS punct_score,
+      |    CASE WHEN len(ltoks) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(ltoks, t -> list_contains(
+      |                ['the','a','an','and','or','but','of','to','in','on','at','is',
+      |                 'are','was','were','be','been','it','this','that','with','for',
+      |                 'as','by','from','not','no','so','if','then','than','too'], t)))
+      |              AS DOUBLE) / len(ltoks) END AS stop_ratio
+      |  FROM q),
+      |qf AS (
+      |  SELECT doc_id, toks FROM q2
+      |  WHERE round(len_score * 0.3
+      |      + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      |      + punct_score * 0.25
+      |      + least(stop_ratio * 4, CAST(1 AS DOUBLE)) * 0.25, 6) >= 0.3),
+      |sized AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+      |  FROM qf WHERE len(toks) > 0),
+      |ex AS (
+      |  SELECT doc_id, toks, n_tokens,
+      |    unnest(range(0, (n_tokens - 1) // 64 + 1)) AS chunk_idx
+      |  FROM sized)
+      |SELECT * FROM (
+      |  SELECT doc_id, chunk_idx,
+      |    least(64, n_tokens - chunk_idx*64) AS chunk_tokens,
+      |    array_to_string(toks[(chunk_idx*64+1):least((chunk_idx+1)*64, n_tokens)], ' ') AS chunk_text
+      |  FROM ex
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |         'ORACLE_SHINGLE_CAP_EXCEEDED'
+      |  WHERE (SELECT max(length(text)) FROM documents) > 5007
+      |) ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** unicode_normalize: the planted suffixes are DECOMPOSED sequences
     * (base letter + combining mark, plus the U+212B angstrom singleton)
     * written as raw UTF-8 in both this SQL literal and the Spark lit() —

@@ -215,8 +215,11 @@ object PipelineQueries {
         k = 8, w = 4, minDocs = 25)
       .orderBy(col("doc_id"), col("span_start"))
 
-  /** Bench twin: [[Dedup.stripBoilerplate]] end-to-end (span detection +
-    * interval-fold removal) over the documents table. The trailing
+  /** [[Dedup.stripBoilerplate]] end-to-end (span detection + interval-fold
+    * removal) over the documents table. The DuckDB oracle extends the
+    * boilerplate_spans recomputation with the complement-interval fold
+    * (lag-to-previous-span segments + ordered string_agg), so the stripped
+    * TEXT BYTES are value-checked, not just the span bounds. The trailing
     * `length(text) >= 0` filter forces the stripped text to be computed
     * under Bench's `.count()` — without it column pruning would skip the
     * fold and time only span detection. */
@@ -224,16 +227,18 @@ object PipelineQueries {
     Dedup.stripBoilerplate(t(spark, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, minDocs = 25)
       .where(length(col("text")) >= 0)
+      .orderBy(col("doc_id"))
 
-  /** Bench twin: the end-to-end training-data flow the individual contract
-    * entries exercise piecewise — NFC normalize, strip corpus-wide
-    * boilerplate spans, exact text dedup (keep first), quality filter,
-    * then token chunking. Measures what a real corpus pass pays for the
-    * chained plan (cross-stage pipelining, no materialization between
-    * stages); every stage's semantics are oracled or spec-pinned
-    * individually. The final chunk_tokens filter keeps column pruning
-    * from skipping the chunk stage under Bench's `.count()`; the earlier
-    * stages all change the row count, so none of them can be pruned. */
+  /** The end-to-end training-data flow the individual contract entries
+    * exercise piecewise — NFC normalize, strip corpus-wide boilerplate
+    * spans, exact text dedup (keep first), quality filter, then token
+    * chunking — as ONE chained lazy plan (cross-stage pipelining, no
+    * materialization between stages). The DuckDB oracle chains the same
+    * five stage CTEs, each consuming the previous stage's output, so the
+    * COMPOSITION is value-checked end-to-end, not just each stage alone.
+    * The final chunk_tokens filter keeps column pruning from skipping the
+    * chunk stage under Bench's `.count()`; the earlier stages all change
+    * the row count, so none of them can be pruned. */
   def corpusPipelineQ(spark: SparkSession, dir: String): DataFrame = {
     val norm = t(spark, dir, "documents").select(col("doc_id"),
       exprs.nfcNormalize(col("text")).as("text"))
@@ -245,6 +250,7 @@ object PipelineQueries {
       .where(TextFunctions.qualityScore(col("text")) >= 0.3)
     CorpusOps.chunkPlan(surviving, "doc_id", "text", window = 64)
       .where(col("chunk_tokens") > 0)
+      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** Unicode NFC normalization ([[exprs.nfcNormalize]]) over doc prefixes
