@@ -45,9 +45,47 @@ object Queries {
       ns
     })
 
+  /** Normalize an events frame's `ts` column to micros-precision
+    * TimestampType regardless of which physical layout the testdata
+    * generator emitted (it has shipped both TIMESTAMP(NANOS) — readable
+    * only as nanos-long via the legacy flag — and plain timestamp[us],
+    * which Spark infers as TIMESTAMP_NTZ). The NTZ→TIMESTAMP cast is
+    * instant-preserving under the UTC session timezone Verify/tests pin,
+    * matching DuckDB's naive `epoch(ts)` on the same file. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long read: rebuild micros timestamps
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
+  }
+
+  /** Schema-adaptive events reader: try the plain session first (works for
+    * the timestamp[us] layout); fall back to the nanos-as-long derived
+    * session when the parquet carries TIMESTAMP(NANOS), which the plain
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]) at schema-inference time. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    t(nanosSession(spark), dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    normalizeTs(
+      scala.util.Try(t(spark, dir, "events"))
+        .getOrElse(t(nanosSession(spark), dir, "events")))
+
+  /** The session + raw (pre-normalize) schema a streaming reader of the
+    * events file must use — the nanos layout forces both the schema read
+    * and the readStream onto the flagged derived session; the micros
+    * layout runs on the caller's session untouched. Compose with
+    * [[normalizeTs]] after `readStream`. */
+  def eventsStreamSession(spark: SparkSession, dir: String)
+      : (SparkSession, org.apache.spark.sql.types.StructType) =
+    scala.util.Try {
+      (spark, t(spark, dir, "events").schema)
+    }.getOrElse {
+      val ns = nanosSession(spark)
+      (ns, t(ns, dir, "events").schema)
+    }
 
   /** A1/O1 + F10-F12: pruned scan + hash aggregation (TPC-H Q1 shape).
     * Catalyst prunes the scan to the 6 referenced columns. */

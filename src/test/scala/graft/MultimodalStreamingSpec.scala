@@ -189,18 +189,18 @@ class MultimodalStreamingSpec extends SparkSuite {
     val expected = EventStreams.hourlyTypeCounts(batchDf)
       .orderBy("window_start", "event_type").collect()
 
-    // stream the same parquet through a memory sink: the nanos-as-long flag
-    // is scoped to Queries.nanosSession, so both the schema read and the
-    // readStream must run on that session (the shared one never sees it).
+    // stream the same parquet through a memory sink: the layout-appropriate
+    // session (plain for timestamp[us]; the nanos-as-long derived session
+    // for TIMESTAMP(NANOS)) comes from eventsStreamSession, and the ts
+    // normalization is the same schema-adaptive helper the batch path uses.
     // streaming file source needs a DIRECTORY — glob-filter the events file
-    val nanos = Queries.nanosSession(spark)
-    val rawSchema = nanos.read.parquet(s"${sf()}/events.parquet").schema
-    val stream = nanos.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf())
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val (sess, rawSchema) = Queries.eventsStreamSession(spark, sf())
+    val stream = Queries.normalizeTs(
+        sess.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf()))
       .withWatermark("ts", "2 hours")
-    val got = EventStreams.runToMemory(nanos, stream,
+    val got = EventStreams.runToMemory(sess, stream,
         EventStreams.hourlyTypeCounts, "hourly_stream")
       .orderBy("window_start", "event_type").collect()
 
