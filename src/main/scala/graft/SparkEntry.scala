@@ -69,6 +69,7 @@ object SparkEntry {
     // training-data pipeline extensions
     "token_stats" -> (PipelineQueries.tokenStats _),
     "quality_scores" -> (PipelineQueries.qualityScores _),
+    "lm_score" -> (PipelineQueries.lmScore _),
     "lang_id" -> (PipelineQueries.langId _),
     "fingerprint_md5" -> (PipelineQueries.fingerprintMd5 _),
     "dedup_exact" -> (PipelineQueries.dedupExact _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "knn_bruteforce" -> Oracles.knnBruteforce,
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
+    "lm_score" -> Oracles.lmScore,
     "lang_id" -> Oracles.langId,
     "fingerprint_md5" -> Oracles.fingerprintMd5,
     "dedup_exact" -> Oracles.dedupExact,

@@ -102,6 +102,58 @@ object MinHashKernel {
     arr
   }
 
+  /** Word n-grams as SPACE-JOINED STRINGS in one normalize+tokenize pass —
+    * the string-keyed sibling of the hash-emitting mode-0 [[shingleHashes]],
+    * for consumers that must JOIN on the gram itself (e.g. language-model
+    * count tables shared with a SQL oracle). Normalization is the same
+    * ASCII rule (lowercase letters/digits kept, everything else a
+    * separator; idempotent on text already normalized by
+    * `TextFunctions.normalized`). Tokens are single-space separated in the
+    * normalized buffer, so gram j is the CONTIGUOUS byte slice from token j
+    * through token j+n−1 — no per-gram string building. Fewer than n tokens
+    * yields an EMPTY array (no whole-doc degenerate gram — unlike
+    * shingleHashes' min(w, ntok) rule — because an LM over padded partial
+    * grams would silently mix orders). */
+  def wordGrams(s: UTF8String, n: Int): Array[UTF8String] = {
+    val bytes = s.getBytes
+    val norm = new Array[Byte](bytes.length)
+    var m = 0
+    var lastSep = true
+    var bi = 0
+    while (bi < bytes.length) {
+      val b = bytes(bi)
+      val c: Byte =
+        if (b >= 'a' && b <= 'z' || b >= '0' && b <= '9') b
+        else if (b >= 'A' && b <= 'Z') (b + 32).toByte
+        else ' '
+      if (c == ' ') {
+        if (!lastSep) { norm(m) = ' '; m += 1; lastSep = true }
+      } else { norm(m) = c; m += 1; lastSep = false }
+      bi += 1
+    }
+    while (m > 0 && norm(m - 1) == ' ') m -= 1
+    var starts = new Array[Int](8)
+    var ends = new Array[Int](8)
+    var nTok = 0
+    var i = 0
+    while (i < m) {
+      if (norm(i) != ' ') {
+        val st = i
+        while (i < m && norm(i) != ' ') i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st; ends(nTok) = i; nTok += 1
+      } else i += 1
+    }
+    val g = nTok - n + 1
+    if (g <= 0) return Array.empty[UTF8String]
+    Array.tabulate(g) { j =>
+      UTF8String.fromBytes(norm, starts(j), ends(j + n - 1) - starts(j))
+    }
+  }
+
   def minhash(shingles: ArrayData, numHashes: Int): Array[Long] = {
     val sig = new Array[Long](numHashes)
     var p = 0
@@ -437,6 +489,30 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Word n-grams of ASCII-normalized text as space-joined strings — real
+  * codegen (one fused normalize+tokenize+slice pass per row; see
+  * [[MinHashKernel.wordGrams]]). */
+case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram width n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashKernel.wordGrams(input.asInstanceOf[UTF8String], n)
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val gs = ctx.freshName("grams")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String[] $gs =
+         |  graft.functions.MinHashKernel.wordGrams($c, $n);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) $gs);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WordGramsExpr =
+    copy(child = newChild)
+}
+
 /** Winnowing SELECTED positions of a document — array<struct<fp,pos>>, one
   * entry per distinct selected window-minimum shingle position (1-based
   * code points). Same fused O(m) kernel as [[WinnowFingerprintsExpr]];
@@ -489,6 +565,11 @@ object minhashExprs {
     * consumers must zero out their w-gram stats for such docs. */
   def wordGramMultiset(text: Column, w: Int): Column =
     column(ShingleSet(expression(text), w, 0, dedup = false))
+  /** Word n-grams as space-joined STRINGS (order + frequency preserved;
+    * < n tokens ⇒ empty). String-keyed sibling of [[wordGramMultiset]] for
+    * consumers that join on the gram itself. */
+  def wordGrams(text: Column, n: Int): Column =
+    column(WordGramsExpr(expression(text), n))
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedLongIntersectCount(expression(a), expression(b)))
   def arrayAgreeCount(a: Column, b: Column): Column =

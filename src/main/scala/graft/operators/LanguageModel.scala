@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{minhashExprs, TextFunctions}
+
+/** Statistical language-model scoring for corpus quality filtering — the
+  * CCNet/Wenzek-et-al. recipe (perplexity of each document under a model
+  * trained on the corpus itself) re-expressed as pure relational algebra:
+  * train = two hash aggregations, score = one keyed join back. No MLlib, no
+  * UDFs, no driver-side model object — the "model" is a DataFrame of counts,
+  * so it scales, persists, and broadcasts like any other relation.
+  *
+  * Reference pipelines score documents with a KenLM n-gram model; the
+  * n-gram-counts-with-add-alpha-smoothing core is the same mathematics
+  * (minus backoff), and a bigram order keeps the count table near
+  * vocabulary-sized. Scoring the training corpus with its own model is the
+  * standard self-scoring setup for quality signals: boilerplate and fluent
+  * text land at low perplexity, gibberish and OCR noise at high.
+  */
+object LanguageModel {
+
+  /** Per-document add-α-smoothed bigram log-likelihood + perplexity.
+    *
+    * Model (trained on `df` itself):
+    *   P(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·V)
+    * where c(w₁w₂) is the corpus bigram count, c(w₁·) the count of w₁ as a
+    * context (sum of its bigram counts), and V the successor vocabulary
+    * size (distinct w₂). Per document: `n_bigrams`, `avg_logprob` =
+    * mean ln P over its bigram occurrences, `ppl` = exp(−avg_logprob).
+    * Documents with < 2 tokens keep a row: (0, 0.0, 1.0).
+    *
+    * Determinism across engines: each bigram's ln P is rounded to 9
+    * decimals BEFORE the per-doc weighted sum (ln is not required to be
+    * correctly rounded by IEEE 754 — same rationale as tf-idf), outputs to
+    * 6; tokenization is `TextFunctions.normalized` whitespace tokens, and
+    * gram formation is the fused [[minhashExprs.wordGrams]] kernel (one
+    * codegen pass per row — not a nested HOF, not a per-doc window).
+    *
+    * Scale shape (100 TB): explode is the only corpus-volume stage; both
+    * count tables come off ONE per-(doc, bigram) pre-aggregation (map-side
+    * combining, keyed by data), so model size is DISTINCT-bigram bounded —
+    * sublinear in corpus bytes, usually broadcastable after AQE sizes it;
+    * otherwise the score join shuffles on the bigram key, which the
+    * pre-aggregation already partitioned by. The one-row V aggregate is an
+    * explicit broadcast. No global windows, no driver-side state. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val id = col(idCol)
+    val grams = df.select(id,
+      explode(minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), 2)).as("bigram"))
+    // one corpus-volume aggregation; everything model-side derives from it
+    val docBg = grams.groupBy(id, col("bigram")).agg(count(lit(1)).as("n"))
+    val modelBig = docBg.groupBy(col("bigram")).agg(sum(col("n")).as("c12"))
+    val modelUni = modelBig
+      .groupBy(w1(col("bigram")).as("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = modelBig.agg(
+      count_distinct(substring_index(col("bigram"), " ", -1)).as("v"))
+    val scored = docBg
+      .join(modelBig, "bigram")
+      .withColumn("w1", w1(col("bigram")))
+      .join(modelUni, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(
+        log((col("c12") + alpha) / (col("c1") + lit(alpha) * col("v"))), 9))
+      .groupBy(id)
+      .agg(sum(col("n")).as("nb"), sum(col("n") * col("lp")).as("slp"))
+    val nb = coalesce(col("nb"), lit(0L))
+    df.select(id).join(scored, Seq(idCol), "left")
+      .select(id,
+        nb.as("n_bigrams"),
+        when(nb === 0, 0.0)
+          .otherwise(round(col("slp") / col("nb"), 6)).as("avg_logprob"),
+        when(nb === 0, 1.0)
+          .otherwise(round(exp(-col("slp") / col("nb")), 6)).as("ppl"))
+  }
+
+  private def w1(bigram: Column): Column = substring_index(bigram, " ", 1)
+}

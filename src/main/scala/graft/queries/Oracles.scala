@@ -154,6 +154,47 @@ object Oracles {
       |  length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** lm_score: the full self-trained add-0.5-smoothed bigram LM recomputed
+    * value-for-value — same normalized tokenization as vocab_topk, bigram
+    * formation via list_transform over 1-based positions (range end is
+    * exclusive, so a 1-token doc yields none, mirroring the kernel's empty
+    * result), per-bigram ln P rounded to 9 BEFORE the weighted sum (ln's
+    * last-ulp engine disagreement), all integer sums cast off HUGEINT. */
+  val lmScore: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+      |  FROM base),
+      |doc_bg AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+      |model_big AS (
+      |  SELECT bigram, CAST(sum(n) AS BIGINT) AS c12 FROM doc_bg GROUP BY 1),
+      |model_uni AS (
+      |  SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+      |  FROM model_big GROUP BY 1),
+      |vocab AS (
+      |  SELECT count(DISTINCT string_split(bigram, ' ')[2]) AS v FROM model_big),
+      |scored AS (
+      |  SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS nb,
+      |    sum(d.n * round(ln((b.c12 + 0.5) / (u.c1 + 0.5 * v.v)), 9)) AS slp
+      |  FROM doc_bg d
+      |  JOIN model_big b USING (bigram)
+      |  JOIN model_uni u ON string_split(d.bigram, ' ')[1] = u.w1
+      |  CROSS JOIN vocab v
+      |  GROUP BY 1)
+      |SELECT doc.doc_id,
+      |  COALESCE(s.nb, 0) AS n_bigrams,
+      |  CASE WHEN COALESCE(s.nb, 0) = 0 THEN 0.0
+      |       ELSE round(s.slp / s.nb, 6) END AS avg_logprob,
+      |  CASE WHEN COALESCE(s.nb, 0) = 0 THEN 1.0
+      |       ELSE round(exp(-s.slp / s.nb), 6) END AS ppl
+      |FROM documents doc LEFT JOIN scored s ON doc.doc_id = s.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
   val qualityScores: String =
     """WITH base AS (
       |  SELECT doc_id, text,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{exprs, minhashExprs, TextFunctions}
-import graft.operators.{CorpusOps, Dedup, Sampling, Similarity}
+import graft.operators.{CorpusOps, Dedup, LanguageModel, Sampling, Similarity}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis) over
   * the documents and embeddings tables — the post-parity extension surface
@@ -62,6 +62,13 @@ object PipelineQueries {
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       TextFunctions.subwordCount(col("text")).as("n_subwords"),
       TextFunctions.punctCount(col("text")).cast("long").as("n_punct"))
+      .orderBy(col("doc_id"))
+
+  /** Self-trained bigram-LM log-likelihood + perplexity per document
+    * (CCNet-style quality signal; add-0.5 smoothing). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    LanguageModel.bigramLmScore(
+      t(spark, dir, "documents"), "doc_id", "text", alpha = 0.5)
       .orderBy(col("doc_id"))
 
   /** Composite quality score per document. */

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.minhashExprs
+import graft.operators.LanguageModel
+
+/** Bigram language-model scoring: hand-computed tiny-corpus values, the
+  * degenerate-document contract, the quality-signal ordering property, and
+  * the word-grams kernel's tokenization/edge behavior. */
+class LmSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("word-grams kernel: normalization, order, frequency, edges") {
+    val df = Seq(
+      (1L, "The cat, the CAT!"),
+      (2L, "Héllo world"),  // é is a separator under ASCII normalization
+      (3L, "one"),
+      (4L, ""),
+      (5L, "  a   b  ")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        minhashExprs.wordGrams(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("the cat", "cat the", "the cat")) // dup preserved
+    assert(got(2L) === Seq("h llo", "llo world"))
+    assert(got(3L) === Seq.empty) // < n tokens: empty, no whole-doc gram
+    assert(got(4L) === Seq.empty)
+    assert(got(5L) === Seq("a b"))
+    val tri = df.where(col("id") === 1)
+      .select(minhashExprs.wordGrams(col("text"), 3))
+      .collect().head.getSeq[String](0)
+    assert(tri === Seq("the cat the", "cat the cat"))
+  }
+
+  test("bigram LM matches hand-computed smoothed probabilities") {
+    // corpus: d1 "aa bb aa bb", d2 "aa bb", d3 "zz", d4 ""
+    // bigrams: d1 {aa bb:2, bb aa:1}, d2 {aa bb:1}
+    // model:   c(aa bb)=3, c(bb aa)=1; contexts c(aa.)=3, c(bb.)=1
+    // successor vocab V = |{bb, aa}| = 2; alpha = 0.5
+    val docs = Seq((1L, "aa bb aa bb"), (2L, "aa bb"), (3L, "zz"), (4L, ""))
+      .toDF("doc_id", "text")
+    val lpAaBb = round9(math.log((3 + 0.5) / (3 + 0.5 * 2))) // P(bb|aa)
+    val lpBbAa = round9(math.log((1 + 0.5) / (1 + 0.5 * 2))) // P(aa|bb)
+    val d1Avg = (2 * lpAaBb + 1 * lpBbAa) / 3
+    val d2Avg = lpAaBb
+    val got = LanguageModel.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.toSeq === Seq(
+      Row(1L, 3L, round6(d1Avg), round6(math.exp(-d1Avg))),
+      Row(2L, 1L, round6(d2Avg), round6(math.exp(-d2Avg))),
+      Row(3L, 0L, 0.0, 1.0),
+      Row(4L, 0L, 0.0, 1.0)))
+  }
+
+  test("common-phrase documents score above rare-bigram documents") {
+    val common = (0 until 8).map(i => (i.toLong, "the cat sat on the mat"))
+    val rare = Seq((100L, "qx wz vb nm kj hg"))
+    val docs = (common ++ rare).toDF("doc_id", "text")
+    val scores = LanguageModel.bigramLmScore(docs, "doc_id", "text")
+      .select("doc_id", "avg_logprob")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(0L) > scores(100L),
+      s"common ${scores(0L)} should beat rare ${scores(100L)}")
+    // ppl = exp(-avg): strictly positive, and 1.0 only for empty docs
+    val ppl = LanguageModel.bigramLmScore(docs, "doc_id", "text")
+      .agg(min("ppl")).collect().head.getDouble(0)
+    assert(ppl > 0)
+  }
+
+  test("every document keeps exactly one row; alpha must be positive") {
+    val docs = table("documents").limit(50)
+    val out = LanguageModel.bigramLmScore(docs, "doc_id", "text")
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    intercept[IllegalArgumentException] {
+      LanguageModel.bigramLmScore(docs, "doc_id", "text", alpha = 0.0)
+    }
+  }
+}
