@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_embedding" -> (PipelineQueries.dedupEmbedding _),
     "dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "knn_bruteforce" -> (PipelineQueries.knnBruteforce _),
+    "knn_filtered" -> (PipelineQueries.knnFiltered _),
     "knn_lsh" -> (PipelineQueries.knnLsh _),
     "hash_split" -> (PipelineQueries.hashSplit _),
     "decontamination" -> (PipelineQueries.decontamination _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "left_join_agg" -> Oracles.leftJoinAgg,
     "distinct_counts" -> Oracles.distinctCounts,
     "knn_bruteforce" -> Oracles.knnBruteforce,
+    "knn_filtered" -> Oracles.knnFiltered,
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
     "lm_score" -> Oracles.lmScore,

@@ -117,6 +117,29 @@ object Similarity {
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
   }
 
+  /** Attribute-filtered exact top-k: neighbors must match the query on an
+    * equality attribute (label / tenant / language / shard) — the "filtered
+    * vector search" pattern. The filter key IS the join key: each query
+    * scores only its own corpus slice through a co-partitioned equi-join,
+    * instead of a full scan followed by a post-filter — at 100 TB the
+    * scored volume shrinks by the key's selectivity for free, and a
+    * broadcast-small query side still broadcasts under AQE exactly like
+    * [[bruteForceTopK]]. Ranking is the same BoundedTopK aggregation (O(k)
+    * state per query, no windows). Queries whose key matches no corpus row
+    * (or only themselves) simply yield no rows, like an empty probe. */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, keyCol: String, k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(keyCol).as("filter_key"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      col(keyCol).as("filter_key"))
+    val scored = c.join(q, "filter_key")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"),
+      col("cosine")), k)
+  }
+
   /** Approximate top-k via multi-probe sign-bit LSH: queries explode to
     * their probe buckets, join the bucketed corpus on bucket id, exact
     * cosine + per-query top-k within the probed set.

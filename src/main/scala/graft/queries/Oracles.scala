@@ -826,6 +826,35 @@ object Oracles {
       |SELECT query_id, neighbor_id, round(raw_cosine, 6) AS cosine, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** knn_filtered: knn_bruteforce's oracle with the label-equality filter
+    * applied at candidate generation (same slice the equi-join scores). */
+  val knnFiltered: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qe, label FROM embeddings
+      |  WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS ne
+      |  FROM q, embeddings e
+      |  WHERE q.query_id <> e.vec_id AND q.label = e.label),
+      |sim AS (
+      |  SELECT query_id, neighbor_id,
+      |    CASE WHEN nq = 0 OR ne = 0 THEN 0.0
+      |         ELSE dot / (sqrt(nq) * sqrt(ne)) END AS raw_cosine
+      |  FROM scored),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, raw_cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY raw_cosine DESC, neighbor_id ASC) AS rank
+      |  FROM sim)
+      |SELECT query_id, neighbor_id, round(raw_cosine, 6) AS cosine, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val eventsJson: String =
     """SELECT
       |  CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0)

@@ -500,6 +500,16 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Attribute-filtered exact search: same 10 probe queries as
+    * knn_bruteforce, but neighbors must share the query's `label` — the
+    * filter key is the join key, so each query scores one label slice. */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.filteredTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** KMV distinct-count sketch in its EXACT regime: per-returnflag distinct
     * part keys over lineitem with k = 2¹⁷, far above sf0.1's 20k distinct
     * parts, so the bounded sketch provably equals COUNT(DISTINCT) and

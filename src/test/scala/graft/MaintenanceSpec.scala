@@ -239,6 +239,35 @@ class MaintenanceSpec extends SparkSuite {
     assert(fullTop === bruteTop, "probing every cell must match brute force")
   }
 
+  test("filtered top-k: neighbors share the query's key; single-key corpus " +
+      "degenerates to brute force") {
+    val e = table("embeddings")
+    // every returned neighbor must carry the query's label
+    val labelOf = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r = graft.operators.Similarity.filteredTopK(
+      e.where(col("vec_id") < 10), e, "vec_id", "embedding", "label", k = 5)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(labelOf(row.getLong(1)) === labelOf(row.getLong(0)),
+        s"neighbor ${row.getLong(1)} crossed the label filter")
+    }
+    // a constant key filters nothing: must equal brute force exactly
+    val one = e.withColumn("label", lit(1))
+    val filt = graft.operators.Similarity.filteredTopK(
+      one.where(col("vec_id") < 5), one, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val brute = graft.operators.Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 5), e, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(filt === brute)
+    // a key no corpus row shares yields no rows for that query
+    val lonely = e.where(col("vec_id") < 3).withColumn("label", lit(-99))
+    assert(graft.operators.Similarity.filteredTopK(
+      lonely, e, "vec_id", "embedding", "label", k = 3).count() === 0)
+  }
+
   test("ivf top-k is deterministic across shuffle settings and corpus layout") {
     val e = table("embeddings")
     def run(corpus: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
