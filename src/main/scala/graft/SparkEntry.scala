@@ -82,6 +82,8 @@ object SparkEntry {
     "dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "knn_bruteforce" -> (PipelineQueries.knnBruteforce _),
     "knn_filtered" -> (PipelineQueries.knnFiltered _),
+    "kmeans_assign" -> (PipelineQueries.kmeansAssign _),
+    "semantic_dedup" -> (PipelineQueries.semanticDedup _),
     "knn_lsh" -> (PipelineQueries.knnLsh _),
     "hash_split" -> (PipelineQueries.hashSplit _),
     "decontamination" -> (PipelineQueries.decontamination _),
@@ -165,6 +167,8 @@ object SparkEntry {
     "distinct_counts" -> Oracles.distinctCounts,
     "knn_bruteforce" -> Oracles.knnBruteforce,
     "knn_filtered" -> Oracles.knnFiltered,
+    "kmeans_assign" -> Oracles.kmeansAssign,
+    "semantic_dedup" -> Oracles.semanticDedup,
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
     "lm_score" -> Oracles.lmScore,

@@ -157,6 +157,51 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Squared L2 distance between a FLOAT vector (data) and a DOUBLE vector
+  * (centroid literal) in one fused loop — the k-means assignment hot
+  * kernel. Float elements upcast exactly; accumulation is strict
+  * left-to-right, matching a SQL engine's sequential list_sum so a round-9
+  * of the result is bit-portable cross-engine. */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "squared_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $a.getFloat($i)) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredDistance =
+    copy(left = l, right = r)
+}
+
 /** Marker for [[BoundedTopK]]'s per-id-type heap states (long / string). */
 sealed trait TopKState extends Serializable
 
@@ -1205,6 +1250,9 @@ object exprs {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def cosineSimilarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  /** Squared L2 of a float vector against a double centroid literal. */
+  def squaredDistance(v: Column, centroid: Column): Column =
+    column(SquaredDistance(expression(v), expression(centroid)))
   def boundedTopK(score: Column, id: Column, k: Int): Column =
     column(BoundedTopK(expression(score), expression(id), k)
       .toAggregateExpression())

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs
+
+/** Deterministic relational k-means and SemDeDup-style semantic
+  * deduplication over an embedding column.
+  *
+  * [[Similarity]] already fits a KMeans coarse quantizer for IVF, but that
+  * model lives inside Spark ML — fine for candidate routing, opaque to a
+  * value-level oracle. This implementation is Lloyd's algorithm as plain
+  * relational algebra: assignment is a broadcast-centroid scan + argmin
+  * (one `min(struct)` aggregation), the update step is a per-(cell,
+  * dimension) mean, and the only driver-side state is the k×dim centroid
+  * table itself — the natural broadcast model at any corpus scale. Every
+  * arithmetic step is portable (strict left-to-right kernel sums, means and
+  * distances rounded to 9 decimals), so a SQL engine replays the whole fit
+  * bit-for-bit: clustering becomes value-checkable, not just
+  * behavior-checkable.
+  *
+  * Determinism: initial centroids are the id-ordered corpus prefix (the
+  * same trick as [[Similarity]]'s coarse trainer — a bare limit(k) would
+  * depend on partition layout), argmin ties break on the lower cell id,
+  * and an empty cell keeps its previous centroid.
+  */
+object Clustering {
+
+  /** Fit k centroids with `iters` Lloyd iterations. Returns (cell,
+    * centroid) with centroid components rounded to 9 decimals — driver
+    * state is k×dim doubles, nothing else leaves the cluster. */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val v = vecs(df, idCol, vecCol)
+    var cents: Seq[(Int, Seq[Double])] = v.orderBy(col("__id")).limit(k)
+      .collect().map(_.getSeq[Float](1)).zipWithIndex
+      .map { case (x, i) => (i, x.map(_.toDouble).toSeq) }.toSeq
+    require(cents.size == k, s"corpus has ${cents.size} rows, fewer than k=$k")
+    var it = 0
+    while (it < iters) {
+      val assigned = assignTo(v, cents)
+      // update: mean per (cell, dimension); k×dim rows back to the driver
+      val means = v.join(assigned.select(col("__id"), col("cell")), "__id")
+        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x")), 9).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.map { case (cell, old) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          case None => (cell, old) // empty cell keeps its centroid
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Cluster assignment after `iters` Lloyd iterations:
+    * (idCol, cell, dist2) — dist2 the squared L2 to the winning centroid,
+    * rounded to 6. One broadcast join + one argmin aggregation per
+    * assignment pass; never shuffles the corpus. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 1): DataFrame = {
+    val cents = kmeansFit(df, idCol, vecCol, k, iters)
+    assignTo(vecs(df, idCol, vecCol), cents)
+      .select(col("__id").as(idCol), col("cell"),
+        round(col("dist2"), 6).as("dist2"))
+  }
+
+  /** SemDeDup (Abbas et al. '23): cluster the embeddings, then mark
+    * near-duplicate pairs WITHIN each cluster — cosine ≥ `tau` — keeping
+    * the lower id. Output (cell, kept_id, dropped_id, cosine).
+    *
+    * The cluster pass is what makes the quadratic tractable: pairwise
+    * comparison never crosses cells, so with k sized to the corpus
+    * (k ≈ n / target-cell-size) the candidate volume is n × cell-size, the
+    * same bound the LSH band-bucket paths rely on — and skew-capping a hot
+    * cell composes via [[ScaleOps.truncateBuckets]] upstream if a corpus
+    * needs it. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int = 1,
+                         tau: Double = 0.95): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine, got $tau")
+    val v = vecs(df, idCol, vecCol)
+    val cents = kmeansFit(df, idCol, vecCol, k, iters)
+    val withCell = v.join(
+      assignTo(v, cents).select(col("__id"), col("cell")), "__id")
+    val l = withCell.select(col("cell"), col("__id").as("kept_id"),
+      col("__v").as("va"))
+    val r = withCell.select(col("cell"), col("__id").as("dropped_id"),
+      col("__v").as("vb"))
+    l.join(r, Seq("cell"))
+      .where(col("kept_id") < col("dropped_id"))
+      .withColumn("cosine",
+        round(exprs.cosineSimilarity(col("va"), col("vb")), 6))
+      .where(col("cosine") >= tau)
+      .select(col("cell"), col("kept_id"), col("dropped_id"), col("cosine"))
+  }
+
+  private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+
+  /** Broadcast-centroid argmin: distances rounded to 9 BEFORE comparison so
+    * the (d, cell) struct-min tie-break is reproducible cross-engine. */
+  private def assignTo(v: DataFrame,
+                       cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val cdf = cents.toDF("cell", "cvec")
+    v.crossJoin(F.broadcast(cdf))
+      .withColumn("d", round(exprs.squaredDistance(col("__v"), col("cvec")), 9))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("d"), col("cell"))).as("m"))
+      .select(col("__id"), col("m.cell").as("cell"), col("m.d").as("dist2"))
+  }
+}

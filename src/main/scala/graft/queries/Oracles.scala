@@ -826,6 +826,91 @@ object Oracles {
       |SELECT query_id, neighbor_id, round(raw_cosine, 6) AS cosine, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** One full Lloyd round of k-means in SQL, parameterized by a `corpus`
+    * CTE exposing (id, v): id-ordered prefix init, round-9 squared-L2
+    * argmin with lower-cell tie-break, per-(cell, dimension) round-9 means
+    * (an empty cell keeps its centroid), reassignment. Mirrors
+    * `Clustering.kmeansFit/kmeansAssign` step for step — the round-9
+    * pinning on both sides is what makes the replay exact. */
+  private def kmeansCte(k: Int): String =
+    s"""init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+      |         list_transform(v, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM (SELECT id, v FROM corpus ORDER BY id LIMIT $k)),
+      |d0 AS (
+      |  SELECT c.id, i.cell,
+      |    round(list_sum(list_transform(range(1, 65),
+      |      j -> (CAST(c.v[j] AS DOUBLE) - i.cvec[j])
+      |         * (CAST(c.v[j] AS DOUBLE) - i.cvec[j]))), 9) AS d
+      |  FROM corpus c CROSS JOIN init i),
+      |a0 AS (
+      |  SELECT id, cell FROM (
+      |    SELECT id, cell,
+      |      row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |mem AS (
+      |  SELECT a0.cell, unnest(range(1, 65)) AS pos,
+      |         unnest(list_transform(c.v, x -> CAST(x AS DOUBLE))) AS x
+      |  FROM a0 JOIN corpus c USING (id)),
+      |means AS (SELECT cell, pos, round(avg(x), 9) AS m FROM mem GROUP BY 1, 2),
+      |newc AS (
+      |  SELECT i.cell,
+      |    CASE WHEN count(m.m) = 0 THEN any_value(i.cvec)
+      |         ELSE list(m.m ORDER BY m.pos) END AS cvec
+      |  FROM init i LEFT JOIN means m ON i.cell = m.cell
+      |  GROUP BY i.cell),
+      |d1 AS (
+      |  SELECT c.id, n.cell,
+      |    round(list_sum(list_transform(range(1, 65),
+      |      j -> (CAST(c.v[j] AS DOUBLE) - n.cvec[j])
+      |         * (CAST(c.v[j] AS DOUBLE) - n.cvec[j]))), 9) AS d
+      |  FROM corpus c CROSS JOIN newc n),
+      |a1 AS (
+      |  SELECT id, cell, d FROM (
+      |    SELECT id, cell, d,
+      |      row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+      |    FROM d1) WHERE rn = 1)""".stripMargin
+
+  val kmeansAssign: String =
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |${kmeansCte(8)}
+      |SELECT id AS vec_id, cell, round(d, 6) AS dist2
+      |FROM a1 ORDER BY vec_id""".stripMargin
+
+  /** semantic_dedup: the same Lloyd round over the planted corpus, then
+    * all within-cell pairs with round-6 cosine >= 0.95, lower id kept. */
+  val semanticDedup: String =
+    s"""WITH jit2 AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(CAST(embedding[i] AS DOUBLE)
+      |           + sin(CAST(i - 1 AS DOUBLE) + vec_id + 1000000) * 0.02 AS FLOAT)) AS je
+      |  FROM embeddings WHERE vec_id < 20),
+      |corpus AS (
+      |  SELECT vec_id AS id, embedding AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS id, je AS v FROM jit2),
+      |${kmeansCte(8)},
+      |wc AS (
+      |  SELECT c.id, c.v, a1.cell FROM corpus c JOIN a1 ON c.id = a1.id),
+      |joined AS (
+      |  SELECT l.cell, l.id AS kept_id, r.id AS dropped_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(l.v[i] AS DOUBLE) * CAST(r.v[i] AS DOUBLE))) AS dot,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(l.v[i] AS DOUBLE) * CAST(l.v[i] AS DOUBLE))) AS nq,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(r.v[i] AS DOUBLE) * CAST(r.v[i] AS DOUBLE))) AS ne
+      |  FROM wc l JOIN wc r ON l.cell = r.cell AND l.id < r.id),
+      |sim AS (
+      |  SELECT cell, kept_id, dropped_id,
+      |    round(CASE WHEN nq = 0 OR ne = 0 THEN 0.0
+      |               ELSE dot / (sqrt(nq) * sqrt(ne)) END, 6) AS cosine
+      |  FROM joined)
+      |SELECT cell, kept_id, dropped_id, cosine
+      |FROM sim WHERE cosine >= 0.95
+      |ORDER BY kept_id, dropped_id""".stripMargin
+
   /** knn_filtered: knn_bruteforce's oracle with the label-equality filter
     * applied at candidate generation (same slice the equi-join scores). */
   val knnFiltered: String =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{exprs, minhashExprs, TextFunctions}
-import graft.operators.{CorpusOps, Dedup, LanguageModel, Sampling, Similarity}
+import graft.operators.{Clustering, CorpusOps, Dedup, LanguageModel, Sampling, Similarity}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis) over
   * the documents and embeddings tables — the post-parity extension surface
@@ -499,6 +499,23 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Relational Lloyd's k-means over the embeddings: deterministic
+    * id-prefix init, one refinement iteration, per-vector cell + squared
+    * distance. The full fit is value-checked — the oracle replays init,
+    * argmin, means, and reassignment in SQL. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    Clustering.kmeansAssign(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 1)
+      .orderBy(col("vec_id"))
+
+  /** SemDeDup over the planted corpus: cluster, then within-cluster cosine
+    * ≥ 0.95 pairs keeping the lower id. Plants guarantee recall is
+    * observable; the oracle recomputes clustering AND pairing. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Clustering.semanticDedupPairs(embeddingsWithPlants(spark, dir),
+        "vec_id", "embedding", k = 8, iters = 1, tau = 0.95)
+      .orderBy(col("kept_id"), col("dropped_id"))
 
   /** Attribute-filtered exact search: same 10 probe queries as
     * knn_bruteforce, but neighbors must share the query's `label` — the

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** Relational Lloyd's k-means + SemDeDup: hand-checkable geometry, Lloyd
+  * improvement, determinism across layouts, empty-cell survival, and the
+  * within-cluster-only dedup contract. */
+class ClusteringSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] =
+    xs.map(_.toFloat) ++ Seq.fill(62)(0.0f)
+
+  test("two well-separated blobs: every point lands with its blob") {
+    // ids 0,1 seed the two init centroids; blob A near (0,0), B near (10,10)
+    val rows = Seq(
+      0L -> vec(0.0, 0.0), 1L -> vec(10.0, 10.0),
+      2L -> vec(0.5, 0.2), 3L -> vec(0.1, 0.7), 4L -> vec(0.9, 0.9),
+      5L -> vec(10.5, 9.8), 6L -> vec(9.2, 10.3), 7L -> vec(10.1, 10.9))
+    val df = rows.toDF("id", "v")
+    val a = Clustering.kmeansAssign(df, "id", "v", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val blobA = Set(0L, 2L, 3L, 4L).map(a)
+    val blobB = Set(1L, 5L, 6L, 7L).map(a)
+    assert(blobA.size === 1 && blobB.size === 1 && blobA != blobB)
+  }
+
+  test("a Lloyd iteration never increases total within-cluster distance") {
+    val e = table("embeddings")
+    def cost(iters: Int): Double =
+      Clustering.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = iters)
+        .agg(sum("dist2")).collect().head.getDouble(0)
+    val c0 = cost(0); val c1 = cost(1); val c3 = cost(3)
+    assert(c1 <= c0 + 1e-6, s"iter 1 cost $c1 above init cost $c0")
+    assert(c3 <= c1 + 1e-6, s"iter 3 cost $c3 above iter-1 cost $c1")
+  }
+
+  test("assignment is deterministic across partition layouts") {
+    val e = table("embeddings")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
+      Clustering.kmeansAssign(df, "vec_id", "embedding", k = 4, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq.sorted
+    assert(run(e) === run(e.repartition(13)))
+  }
+
+  test("empty cell keeps its centroid; k > n rejected") {
+    // duplicate of id 0 at id 2: init cells 0 and 1 are the same point as
+    // seen from id 2, tie-break sends everything to cell 0 if ids 0,1 dup
+    val df = Seq(0L -> vec(1.0, 1.0), 1L -> vec(1.0, 1.0),
+      2L -> vec(1.2, 1.0)).toDF("id", "v")
+    val cents = Clustering.kmeansFit(df, "id", "v", k = 2, iters = 2)
+    assert(cents.size === 2)
+    // cell 1 got no members (all ties go to cell 0) — centroid unchanged
+    assert(cents(1)._2.take(2) === Seq(1.0, 1.0))
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansFit(df, "id", "v", k = 5, iters = 1)
+    }
+  }
+
+  test("semantic dedup pairs stay within one cell and above tau") {
+    val e = table("embeddings")
+    val pairs = Clustering.semanticDedupPairs(
+      e, "vec_id", "embedding", k = 4, iters = 1, tau = 0.4)
+    val rows = pairs.collect()
+    assert(rows.forall(_.getDouble(3) >= 0.4))
+    assert(rows.forall(r => r.getLong(1) < r.getLong(2)))
+    // cross-check cell co-membership against the assignment
+    val cellOf = Clustering.kmeansAssign(e, "vec_id", "embedding", 4, 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(cellOf(r.getLong(1)) === r.getInt(0))
+      assert(cellOf(r.getLong(2)) === r.getInt(0))
+    }
+  }
+
+  test("planted near-duplicates are caught at tau = 0.95") {
+    val e = graft.queries.PipelineQueries.embeddingsWithPlants(spark, sf())
+    val pairs = Clustering.semanticDedupPairs(
+        e, "vec_id", "embedding", k = 8, iters = 1, tau = 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // every plant (id, id+1M) is ~0.994 cosine to its original; the pair
+    // surfaces unless clustering split it — require full recall here
+    (0L until 20L).foreach { i =>
+      assert(pairs.contains((i, i + 1000000L)),
+        s"planted pair $i <-> ${i + 1000000} was missed")
+    }
+  }
+}
