@@ -195,32 +195,68 @@ object ScaleProbe {
         s"present in ALL $nPlant planted docs (guarantee needs >= 1)")
       require(fullyShared >= 1,
         "winnowing detection guarantee violated: no shared-run fingerprint")
-      // boilerplateSpans at 10x: every planted doc must report a span
-      // intersecting its suffix region, and the suffix must come back as
-      // ONE interval there (k >= w contiguity). Docs outside the plant (or
-      // spans outside the suffix) are allowed — a corpus-common shingle
-      // can legitimately reach df >= minDocs — the probe checks the
-      // guarantee, not exclusivity.
+      // boilerplateSpans at 10x: the detection GUARANTEE is that every
+      // planted doc reports a span covering its suffix — reaching the doc
+      // end and starting within w+k-1 chars of the suffix start (the first
+      // full hash window inside the shared run must select). No
+      // exclusivity is asserted: this corpus draws from a small repeated
+      // vocabulary, so organic runs legitimately reach df >= minDocs and
+      // may add spans of their own (or merge into the suffix span when
+      // they touch it) — both shapes are correct detections.
       val plantedBp = docs.select(col("doc_id"), col("text").as("orig"),
         when(col("doc_id") < nPlant, concat(col("text"), lit(bp)))
           .otherwise(col("text")).as("text"))
-      var suffixed = 0L
+      var covered = 0L
       time(s"boilerplate-spans over 50k docs ($nPlant planted)") {
         val spans = graft.operators.Dedup.boilerplateSpans(
           plantedBp, "doc_id", "text", k = k, w = w, minDocs = nPlant)
-        suffixed = spans
+        covered = spans
           .join(plantedBp.where(col("doc_id") < nPlant)
             .select(col("doc_id"), length(col("orig")).as("blen")), "doc_id")
-          .where(col("span_end") > col("blen"))
-          .groupBy(col("doc_id")).count()
-          .where(col("count") === 1).count()
-        suffixed
+          .where( // span_end is exclusive: doc end = blen + |bp| + 1
+            col("span_end") === col("blen") + lit(bp.length + 1) &&
+            col("span_start") <= col("blen") + lit(w + k - 1))
+          .select(col("doc_id")).distinct().count()
+        covered
       }
-      println(s"  boilerplate spans: $suffixed/$nPlant planted docs carry " +
-        "exactly one merged suffix interval")
-      require(suffixed == nPlant,
-        s"expected $nPlant docs with one suffix span, got $suffixed")
+      println(s"  boilerplate spans: $covered/$nPlant planted docs report " +
+        "a span covering the planted suffix through to the doc end")
+      require(covered == nPlant,
+        s"expected $nPlant docs with a suffix-covering span, got $covered")
       graft.operators.Dedup.unpersistAll()
+    }
+    // --- round-9 probes: bigram LM scoring, relational k-means, and
+    // SemDeDup at 10x. The x10 embeddings are 10 id-shifted copies of the
+    // same 2000 vectors, which turns into a GUARANTEE check for semantic
+    // dedup: identical vectors get identical round-9 distances, hence the
+    // same argmin cell, so every 10-copy group must co-cluster and
+    // tau=1.0 must return exactly C(10,2) x 2000 = 90,000 pairs. ---
+    locally {
+      time("bigram LM scoring over 50k docs (self-trained model)") {
+        graft.operators.LanguageModel
+          .bigramLmScore(docs, "doc_id", "text").count()
+      }
+      val bad = graft.operators.LanguageModel
+        .bigramLmScore(docs, "doc_id", "text")
+        .where(col("avg_logprob") > 0).count()
+      require(bad == 0, s"$bad docs scored avg log-probability > 0")
+      time("k-means k=64 x 3 Lloyd iterations over 20k vectors") {
+        graft.operators.Clustering.kmeansAssign(
+          emb, "vec_id", "embedding", k = 64, iters = 3).count()
+      }
+      val cells = graft.operators.Clustering.kmeansAssign(
+          emb, "vec_id", "embedding", k = 64, iters = 3)
+        .select("cell").distinct().count()
+      println(s"  k-means: $cells/64 cells populated at 20k vectors")
+      var semPairs = 0L
+      time("SemDeDup k=64 tau=1.0 over 20k vectors (10 copies x 2000)") {
+        semPairs = graft.operators.Clustering.semanticDedupPairs(
+          emb, "vec_id", "embedding", k = 64, iters = 1, tau = 1.0).count()
+        semPairs
+      }
+      require(semPairs == 45L * 2000L,
+        s"expected 90000 identical-copy pairs, got $semPairs — " +
+          "identical vectors failed to co-cluster")
     }
     // --- round-7 maintenance probes: OPTIMIZE ZORDER (both cell modes) and
     // Change Data Feed over a ~6M-row Delta table ---
