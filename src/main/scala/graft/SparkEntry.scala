@@ -70,6 +70,8 @@ object SparkEntry {
     "token_stats" -> (PipelineQueries.tokenStats _),
     "quality_scores" -> (PipelineQueries.qualityScores _),
     "lm_score" -> (PipelineQueries.lmScore _),
+    "cdc_chunks" -> (PipelineQueries.cdcChunksQ _),
+    "chunk_dedup" -> (PipelineQueries.chunkDedup _),
     "lang_id" -> (PipelineQueries.langId _),
     "fingerprint_md5" -> (PipelineQueries.fingerprintMd5 _),
     "dedup_exact" -> (PipelineQueries.dedupExact _),
@@ -172,6 +174,8 @@ object SparkEntry {
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
     "lm_score" -> Oracles.lmScore,
+    "cdc_chunks" -> Oracles.cdcChunks,
+    "chunk_dedup" -> Oracles.chunkDedup,
     "lang_id" -> Oracles.langId,
     "fingerprint_md5" -> Oracles.fingerprintMd5,
     "dedup_exact" -> Oracles.dedupExact,

@@ -415,6 +415,66 @@ object WinnowKernel {
     out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](out.size()))
   }
 
+  /** Content-defined chunking in one fused pass: cut BEFORE shingle
+    * position i (1-based code points, i ≥ 2) whenever the md5 of the
+    * k-char gram starting at i opens with `nibbles` zero hex digits —
+    * boundary rate 16^-nibbles, expected chunk ≈ 16^nibbles chars. Returns
+    * (idx, start, len, md5-hex of the chunk bytes) per chunk. Boundaries
+    * depend only on local k-gram content, so an insertion resynchronizes
+    * within one chunk — the rsync/LBFS property that makes chunk-hash
+    * dedup robust to shifted text, where fixed-size blocks lose alignment
+    * forever. Min/max chunk clamps are deliberately OMITTED: they make
+    * boundaries stateful (each cut depends on the previous), which breaks
+    * both the resync property and SQL replayability; cap outliers
+    * downstream if a corpus needs it. Degenerate: empty text → no chunks;
+    * 0 < chars < k → one whole-text chunk (no gram fits). */
+  def cdcChunks(s: UTF8String, k: Int, nibbles: Int)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    var nChars = 0
+    var i = 0
+    while (i < nb) { if ((bytes(i) & 0xC0) != 0x80) nChars += 1; i += 1 }
+    if (nChars == 0)
+      return Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0
+    i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(ci) = i; ci += 1 }
+      i += 1
+    }
+    offs(nChars) = nb
+    val m = nChars - (k - 1)
+    val md = md5Local.get()
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    var start = 0 // 0-based char index of current chunk start
+    var idx = 1
+    def emit(endChar: Int): Unit = {
+      md.reset()
+      md.update(bytes, offs(start), offs(endChar) - offs(start))
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](idx, start + 1, endChar - start, hex(md.digest()))))
+      idx += 1
+    }
+    var p = 1 // candidate cut at 0-based char p (cut BEFORE gram at p)
+    while (p < m) {
+      md.reset()
+      md.update(bytes, offs(p), offs(p + k) - offs(p))
+      val d = md.digest()
+      var z = 0
+      var zeros = true
+      while (zeros && z < nibbles) {
+        val nib = if (z % 2 == 0) (d(z / 2) >> 4) & 0xF else d(z / 2) & 0xF
+        if (nib != 0) zeros = false else z += 1
+      }
+      if (zeros) { emit(p); start = p }
+      p += 1
+    }
+    emit(nChars)
+    out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](out.size()))
+  }
+
   def winnow(s: UTF8String, k: Int, w: Int): Array[UTF8String] = {
     val bytes = s.getBytes
     val nb = bytes.length
@@ -486,6 +546,38 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+}
+
+/** Content-defined chunks of a document — array<struct<idx,start,len,
+  * hash>>, one fused codegen pass per row ([[WinnowKernel.cdcChunks]]). */
+case class CdcChunksExpr(child: Expression, k: Int, nibbles: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"gram width k must be >= 1, got $k")
+  require(nibbles >= 1 && nibbles <= 8,
+    s"boundary nibbles must be in [1,8], got $nibbles")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("start", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false),
+      StructField("hash", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WinnowKernel.cdcChunks(input.asInstanceOf[UTF8String], k, nibbles)
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val rows = ctx.freshName("chunks")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow[] $rows =
+         |  graft.functions.WinnowKernel.cdcChunks($c, $k, $nibbles);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) $rows);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
     copy(child = newChild)
 }
 
@@ -582,4 +674,8 @@ object minhashExprs {
     * position-carrying sibling of [[winnowFingerprints]]. */
   def winnowPositions(text: Column, k: Int, w: Int): Column =
     column(WinnowPositionsExpr(expression(text), k, w))
+  /** Content-defined chunks: (idx, start, len, md5-hex) per chunk;
+    * boundary rate 16^-nibbles on k-gram md5 prefixes. */
+  def cdcChunks(text: Column, k: Int, nibbles: Int = 1): Column =
+    column(CdcChunksExpr(expression(text), k, nibbles))
 }

@@ -963,4 +963,38 @@ object Dedup {
         round(col("cosine"), 6).as("cosine"))
       .distinct()
   }
+
+  /** Content-defined chunk table: one row per chunk, boundaries cut where
+    * a k-gram's md5 opens with `nibbles` zero hex digits (rate
+    * 16^-nibbles; see [[graft.functions.WinnowKernel.cdcChunks]]). The
+    * rsync/LBFS primitive: because boundaries depend only on local
+    * content, an edit resynchronizes within ~one chunk, so identical text
+    * regions produce identical (hash, len) chunks regardless of where they
+    * sit in their documents — what fixed-size blocking can never give.
+    * One fused kernel pass per doc; the table is corpus-volume but every
+    * downstream consumer aggregates it by hash with map-side combine. */
+  def cdcChunkTable(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, nibbles: Int = 1): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(minhashExprs.cdcChunks(col(textCol), k, nibbles)).as("c"))
+      .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+        col("c.start").as("start"), col("c.len").as("len"),
+        col("c.hash").as("hash"))
+
+  /** Substring-level exact dedup via CDC: chunk contents recurring in at
+    * least `minDocs` DISTINCT documents, with their document frequency and
+    * total occurrence count. At 100 TB this is one hash aggregation over
+    * the chunk table — the storage-dedup shape: shuffle volume is distinct
+    * chunk hashes (16 bytes + counts each), not corpus text. */
+  def cdcSharedChunks(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, nibbles: Int = 1,
+                      minDocs: Long = 2): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    cdcChunkTable(df, idCol, textCol, k, nibbles)
+      .groupBy(col("hash"))
+      .agg(count_distinct(col("doc_id")).as("df"),
+        count(lit(1)).as("occurrences"),
+        max(col("len")).cast("long").as("len"))
+      .where(col("df") >= minDocs)
+  }
 }

@@ -154,6 +154,50 @@ object Oracles {
       |  length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The CDC chunk table recomputed in SQL: cuts where the 8-gram md5 at
+    * position i (i ≥ 2) opens with hex '0', segments by lead() per doc,
+    * chunk hash = md5 of the chunk substring. substr/length are
+    * character-based in DuckDB exactly as the kernel counts code points,
+    * and md5 hashes the UTF-8 bytes both sides. m = len−7; cuts live in
+    * [2, m] (range end exclusive, greatest() floors the empty case). */
+  private val cdcChunksCte: String =
+    """base AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+      |cuts AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, text,
+      |      unnest(range(2, greatest(length(text) - 6, 2))) AS i
+      |    FROM base)
+      |  WHERE substr(md5(substr(text, i, 8)), 1, 1) = '0'),
+      |starts AS (
+      |  SELECT doc_id, 1 AS s FROM base
+      |  UNION ALL SELECT doc_id, CAST(i AS INTEGER) AS s FROM cuts),
+      |seg AS (
+      |  SELECT st.doc_id, st.s,
+      |    CAST(row_number() OVER (PARTITION BY st.doc_id ORDER BY st.s)
+      |      AS INTEGER) AS chunk_idx,
+      |    CAST(COALESCE(lead(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s),
+      |      length(b.text) + 1) - st.s AS INTEGER) AS len,
+      |    b.text AS text
+      |  FROM starts st JOIN base b ON st.doc_id = b.doc_id),
+      |chunks AS (
+      |  SELECT doc_id, chunk_idx, s AS start, len,
+      |    md5(substr(text, s, len)) AS hash
+      |  FROM seg)""".stripMargin
+
+  val cdcChunks: String =
+    s"""WITH $cdcChunksCte
+      |SELECT doc_id, chunk_idx, start, len, hash
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  val chunkDedup: String =
+    s"""WITH $cdcChunksCte
+      |SELECT hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+      |  CAST(count(*) AS BIGINT) AS occurrences,
+      |  CAST(max(len) AS BIGINT) AS len
+      |FROM chunks GROUP BY hash
+      |HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY hash""".stripMargin
+
   /** lm_score: the full self-trained add-0.5-smoothed bigram LM recomputed
     * value-for-value — same normalized tokenization as vocab_topk, bigram
     * formation via list_transform over 1-based positions (range end is

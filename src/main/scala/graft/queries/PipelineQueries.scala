@@ -64,6 +64,21 @@ object PipelineQueries {
       TextFunctions.punctCount(col("text")).cast("long").as("n_punct"))
       .orderBy(col("doc_id"))
 
+  /** Content-defined chunking: per-doc chunk table (idx, start, len,
+    * md5) with boundaries cut on k-gram md5 zero-prefix — the rsync/LBFS
+    * primitive behind substring-level dedup. */
+  def cdcChunksQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkTable(t(spark, dir, "documents"), "doc_id", "text",
+        k = 8, nibbles = 1)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Substring-level exact dedup: chunk contents recurring in ≥ 2 distinct
+    * documents, with document frequency and occurrence counts. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcSharedChunks(t(spark, dir, "documents"), "doc_id", "text",
+        k = 8, nibbles = 1, minDocs = 2)
+      .orderBy(col("hash"))
+
   /** Self-trained bigram-LM log-likelihood + perplexity per document
     * (CCNet-style quality signal; add-0.5 smoothing). */
   def lmScore(spark: SparkSession, dir: String): DataFrame =
