@@ -70,6 +70,7 @@ object SparkEntry {
     "token_stats" -> (PipelineQueries.tokenStats _),
     "quality_scores" -> (PipelineQueries.qualityScores _),
     "lm_score" -> (PipelineQueries.lmScore _),
+    "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
     "cdc_chunks" -> (PipelineQueries.cdcChunksQ _),
     "chunk_dedup" -> (PipelineQueries.chunkDedup _),
     "lang_id" -> (PipelineQueries.langId _),
@@ -174,6 +175,7 @@ object SparkEntry {
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
     "lm_score" -> Oracles.lmScore,
+    "ppl_buckets" -> Oracles.pplBuckets,
     "cdc_chunks" -> Oracles.cdcChunks,
     "chunk_dedup" -> Oracles.chunkDedup,
     "lang_id" -> Oracles.langId,

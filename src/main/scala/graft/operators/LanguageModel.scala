@@ -79,4 +79,28 @@ object LanguageModel {
   }
 
   private def w1(bigram: Column): Column = substring_index(bigram, " ", 1)
+
+  /** CCNet's head/middle/tail corpus split by LM perplexity: thresholds are
+    * the 1/3 and 2/3 EXACT interpolated percentiles of ppl over documents
+    * that have bigrams (degenerate docs still get bucketed — their ppl of
+    * 1.0 lands in head). Output (idCol, ppl, bucket).
+    *
+    * The threshold aggregate sorts every per-doc ppl — fine up to billions
+    * of docs, but at full 100 TB corpus scale swap it for the KLL sketch
+    * ([[graft.functions.exprs.kllQuantiles]], the engine's mergeable
+    * O(k)-state quantile path, 0.44% measured rank error at k=200): the
+    * split needs two cut points, not an exact sort. Exact percentiles are
+    * used HERE because they are engine-replayable value-for-value. */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+                 alpha: Double = 0.5): DataFrame = {
+    val scored = bigramLmScore(df, idCol, textCol, alpha)
+    val th = scored.where(col("n_bigrams") > 0).agg(
+      round(expr("percentile(ppl, 0.3333333333)"), 6).as("p33"),
+      round(expr("percentile(ppl, 0.6666666667)"), 6).as("p66"))
+    scored.crossJoin(broadcast(th))
+      .select(col(idCol), col("ppl"),
+        when(col("ppl") <= col("p33"), "head")
+          .when(col("ppl") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -204,8 +204,8 @@ object Oracles {
     * exclusive, so a 1-token doc yields none, mirroring the kernel's empty
     * result), per-bigram ln P rounded to 9 BEFORE the weighted sum (ln's
     * last-ulp engine disagreement), all integer sums cast off HUGEINT. */
-  val lmScore: String =
-    """WITH base AS (
+  private val lmScoreCte: String =
+    """base AS (
       |  SELECT doc_id, list_filter(
       |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
       |    x -> len(x) > 0) AS l
@@ -229,15 +229,37 @@ object Oracles {
       |  JOIN model_big b USING (bigram)
       |  JOIN model_uni u ON string_split(d.bigram, ' ')[1] = u.w1
       |  CROSS JOIN vocab v
-      |  GROUP BY 1)
-      |SELECT doc.doc_id,
-      |  COALESCE(s.nb, 0) AS n_bigrams,
-      |  CASE WHEN COALESCE(s.nb, 0) = 0 THEN 0.0
-      |       ELSE round(s.slp / s.nb, 6) END AS avg_logprob,
-      |  CASE WHEN COALESCE(s.nb, 0) = 0 THEN 1.0
-      |       ELSE round(exp(-s.slp / s.nb), 6) END AS ppl
-      |FROM documents doc LEFT JOIN scored s ON doc.doc_id = s.doc_id
-      |ORDER BY doc.doc_id""".stripMargin
+      |  GROUP BY 1),
+      |lmfinal AS (
+      |  SELECT doc.doc_id,
+      |    COALESCE(s.nb, 0) AS n_bigrams,
+      |    CASE WHEN COALESCE(s.nb, 0) = 0 THEN 0.0
+      |         ELSE round(s.slp / s.nb, 6) END AS avg_logprob,
+      |    CASE WHEN COALESCE(s.nb, 0) = 0 THEN 1.0
+      |         ELSE round(exp(-s.slp / s.nb), 6) END AS ppl
+      |  FROM documents doc LEFT JOIN scored s ON doc.doc_id = s.doc_id)""".stripMargin
+
+  val lmScore: String =
+    s"""WITH $lmScoreCte
+      |SELECT doc_id, n_bigrams, avg_logprob, ppl
+      |FROM lmfinal ORDER BY doc_id""".stripMargin
+
+  /** ppl_buckets: CCNet's head/middle/tail corpus split by LM perplexity —
+    * thresholds are exact interpolated percentiles (Spark `percentile` ≡
+    * DuckDB `quantile_cont`, the price_percentiles convention) over docs
+    * WITH bigrams, round-6 on both sides so the round-6 ppl comparison is
+    * boundary-stable. */
+  val pplBuckets: String =
+    s"""WITH $lmScoreCte,
+      |th AS (
+      |  SELECT round(quantile_cont(ppl, 0.3333333333), 6) AS p33,
+      |         round(quantile_cont(ppl, 0.6666666667), 6) AS p66
+      |  FROM lmfinal WHERE n_bigrams > 0)
+      |SELECT doc_id, ppl,
+      |  CASE WHEN ppl <= p33 THEN 'head'
+      |       WHEN ppl <= p66 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM lmfinal, th ORDER BY doc_id""".stripMargin
 
   val qualityScores: String =
     """WITH base AS (

@@ -86,6 +86,12 @@ object PipelineQueries {
       t(spark, dir, "documents"), "doc_id", "text", alpha = 0.5)
       .orderBy(col("doc_id"))
 
+  /** CCNet head/middle/tail split of the corpus by LM perplexity. */
+  def pplBucketsQ(spark: SparkSession, dir: String): DataFrame =
+    LanguageModel.pplBuckets(
+      t(spark, dir, "documents"), "doc_id", "text", alpha = 0.5)
+      .orderBy(col("doc_id"))
+
   /** Composite quality score per document. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(

@@ -74,6 +74,22 @@ class LmSpec extends SparkSuite {
     assert(ppl > 0)
   }
 
+  test("ppl buckets: head/middle/tail ordered and near-thirds") {
+    val docs = table("documents")
+    val b = LanguageModel.pplBuckets(docs, "doc_id", "text")
+    val byBucket = b.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("ppl").as("lo"), max("ppl").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    assert(byBucket("head")._3 <= byBucket("middle")._2)
+    assert(byBucket("middle")._3 <= byBucket("tail")._2)
+    val n = docs.count()
+    byBucket.values.foreach { case (cnt, _, _) =>
+      assert(cnt >= n / 5 && cnt <= n, s"degenerate bucket size $cnt of $n")
+    }
+    assert(byBucket.values.map(_._1).sum === n)
+  }
+
   test("every document keeps exactly one row; alpha must be positive") {
     val docs = table("documents").limit(50)
     val out = LanguageModel.bigramLmScore(docs, "doc_id", "text")
