@@ -25,6 +25,16 @@ object GraftFunctions {
     registerFunction(spark, "minhash_sig", es => MinHashSig(es.head, 64))
     registerFunction(spark, "sorted_intersect_count",
       es => SortedLongIntersectCount(es(0), es(1)))
+    registerFunction(spark, "nfc_normalize", es => NfcNormalize(es.head))
+    registerFunction(spark, "char_entropy", es => CharEntropy(es.head))
+    registerFunction(spark, "squared_distance",
+      es => SquaredDistance(es(0), es(1)))
+    // text kernels with the engine's default shape parameters (the Column
+    // API exposes the knobs; SQL gets the canonical configuration)
+    registerFunction(spark, "winnow_fingerprints",
+      es => WinnowFingerprintsExpr(es.head, 8, 4))
+    registerFunction(spark, "word_grams", es => WordGramsExpr(es.head, 2))
+    registerFunction(spark, "cdc_chunks", es => CdcChunksExpr(es.head, 8, 1))
   }
 }
 
@@ -55,5 +65,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       info(classOf[SortedLongIntersectCount], "sorted_intersect_count"),
       (es: Seq[Expression]) => SortedLongIntersectCount(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info(classOf[NfcNormalize], "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
+    e.injectFunction((FunctionIdentifier("char_entropy"),
+      info(classOf[CharEntropy], "char_entropy"),
+      (es: Seq[Expression]) => CharEntropy(es.head)))
+    e.injectFunction((FunctionIdentifier("squared_distance"),
+      info(classOf[SquaredDistance], "squared_distance"),
+      (es: Seq[Expression]) => SquaredDistance(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info(classOf[WinnowFingerprintsExpr], "winnow_fingerprints"),
+      (es: Seq[Expression]) => WinnowFingerprintsExpr(es.head, 8, 4)))
+    e.injectFunction((FunctionIdentifier("word_grams"),
+      info(classOf[WordGramsExpr], "word_grams"),
+      (es: Seq[Expression]) => WordGramsExpr(es.head, 2)))
+    e.injectFunction((FunctionIdentifier("cdc_chunks"),
+      info(classOf[CdcChunksExpr], "cdc_chunks"),
+      (es: Seq[Expression]) => CdcChunksExpr(es.head, 8, 1)))
   }
 }

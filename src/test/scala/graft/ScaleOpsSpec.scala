@@ -165,6 +165,23 @@ class ScaleOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("fp") === r.getAs[Long]("fp2"))
       assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
       assert(r.getAs[Int]("siglen") === 64)
+      // round-8/9 kernels are registered too (canonical shape parameters)
+      val r2 = ext.sql(
+        """SELECT nfc_normalize('café') AS nfc,
+          |       char_entropy('aabb') AS ent,
+          |       squared_distance(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                        array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS d2,
+          |       size(winnow_fingerprints('the quick brown fox jumps')) AS nfp,
+          |       word_grams('a b c') AS grams,
+          |       size(cdc_chunks('tiny')) AS nchunks
+          |""".stripMargin).first()
+      assert(r2.getAs[String]("nfc") === "café")
+      // two equiprobable symbols: H = ln 2 (the kernel reports nats)
+      assert(math.abs(r2.getAs[Double]("ent") - math.log(2)) < 1e-12)
+      assert(math.abs(r2.getAs[Double]("d2") - 1.0) < 1e-12)
+      assert(r2.getAs[Int]("nfp") > 0)
+      assert(r2.getSeq[String](4) === Seq("a b", "b c"))
+      assert(r2.getAs[Int]("nchunks") === 1)
     } finally {
       // do not stop(): shares the SparkContext with the suite session
     }
