@@ -184,6 +184,46 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(got === Map("A" -> "first-a", "B" -> "first-b", "C" -> "first-c"))
   }
 
+  test("streaming: chunk-level CDC dedup keeps one copy of repeated content") {
+    import org.apache.spark.sql.types._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = tmpDir("stream_cdc")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val body = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the long repeated paragraph of shared corpus text"
+    Seq((1L, ts("2024-01-01 10:00:00"), body))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b1")
+    Thread.sleep(1100)
+    // the same content re-ingested as a different doc in a later batch:
+    // its chunks are in-watermark duplicates by hash and must all drop
+    Seq((2L, ts("2024-01-01 10:05:00"), body))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val got = EventStreams.runToMemoryAppend(spark, stream,
+        df => EventStreams.dedupStream(
+          df.select(col("doc_id"), col("ts"),
+            explode(graft.functions.minhashExprs.cdcChunks(col("text"), 8, 1))
+              .as("c"))
+            .select(col("doc_id"), col("ts"), col("c.hash").as("hash")),
+          Seq("hash"), "ts", "1 hour"),
+        "stream_cdc_dedup")
+      .collect()
+    assert(got.nonEmpty)
+    // every surviving chunk row is doc 1's; doc 2 contributed nothing new
+    assert(got.map(_.getLong(0)).toSet === Set(1L))
+    // and the survivors are exactly doc 1's distinct chunk hashes
+    val expected = Seq(body).toDF("text")
+      .select(explode(graft.functions.minhashExprs.cdcChunks(col("text"), 8, 1)).as("c"))
+      .select(col("c.hash")).distinct().count()
+    assert(got.map(_.getString(2)).toSet.size.toLong === expected)
+  }
+
   test("streaming: windowed agg over readStream == batch result") {
     val batchDf = Queries.events(spark, sf())
     val expected = EventStreams.hourlyTypeCounts(batchDf)
