@@ -257,6 +257,22 @@ object ScaleProbe {
       require(semPairs == 45L * 2000L,
         s"expected 90000 identical-copy pairs, got $semPairs — " +
           "identical vectors failed to co-cluster")
+      // CDC at 10x: the corpus is 10 id-shifted copies of every doc, so
+      // EVERY chunk content recurs in at least 10 documents — shared-chunk
+      // detection at minDocs=10 must cover the full distinct-hash set
+      var nShared = 0L
+      time("CDC chunk table + shared-chunk dedup over 50k docs") {
+        nShared = graft.operators.Dedup.cdcSharedChunks(
+          docs, "doc_id", "text", minDocs = 10).count()
+        nShared
+      }
+      val nDistinct = graft.operators.Dedup.cdcChunkTable(docs, "doc_id", "text")
+        .select("hash").distinct().count()
+      println(s"  CDC: $nShared shared chunk contents at df>=10 of " +
+        s"$nDistinct distinct — 10-copy guarantee " +
+        (if (nShared == nDistinct) "holds" else "VIOLATED"))
+      require(nShared == nDistinct,
+        s"every chunk recurs in >= 10 docs by construction: $nShared != $nDistinct")
     }
     // --- round-7 maintenance probes: OPTIMIZE ZORDER (both cell modes) and
     // Change Data Feed over a ~6M-row Delta table ---
