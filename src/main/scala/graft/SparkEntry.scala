@@ -86,6 +86,7 @@ object SparkEntry {
     "knn_bruteforce" -> (PipelineQueries.knnBruteforce _),
     "knn_filtered" -> (PipelineQueries.knnFiltered _),
     "kmeans_assign" -> (PipelineQueries.kmeansAssign _),
+    "embedding_outliers" -> (PipelineQueries.embeddingOutliers _),
     "semantic_dedup" -> (PipelineQueries.semanticDedup _),
     "knn_lsh" -> (PipelineQueries.knnLsh _),
     "hash_split" -> (PipelineQueries.hashSplit _),
@@ -171,6 +172,7 @@ object SparkEntry {
     "knn_bruteforce" -> Oracles.knnBruteforce,
     "knn_filtered" -> Oracles.knnFiltered,
     "kmeans_assign" -> Oracles.kmeansAssign,
+    "embedding_outliers" -> Oracles.embeddingOutliers,
     "semantic_dedup" -> Oracles.semanticDedup,
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,

@@ -28,8 +28,10 @@ import graft.functions.exprs
 object Clustering {
 
   /** Fit k centroids with `iters` Lloyd iterations. Returns (cell,
-    * centroid) with centroid components rounded to 9 decimals — driver
-    * state is k×dim doubles, nothing else leaves the cluster. */
+    * centroid) with centroid components as exact-integer-sum means over
+    * 1e-6-quantized inputs, rounded to 9 decimals — bit-reproducible
+    * across engines, runs, and partition layouts. Driver state is k×dim
+    * doubles, nothing else leaves the cluster. */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -42,17 +44,27 @@ object Clustering {
     var it = 0
     while (it < iters) {
       val assigned = assignTo(v, cents)
-      // update: mean per (cell, dimension); k×dim rows back to the driver
+      // update: mean per (cell, dimension) over 1e-6-QUANTIZED components
+      // with exact integer sums — a plain double avg() is summation-order
+      // dependent, and a cross-engine (or cross-run) last-ulp difference
+      // occasionally crosses a round-9 boundary and flips a downstream
+      // assignment. Integer sums commute exactly; the single division and
+      // round-9 are then identical everywhere. Quantization error (≤5e-7
+      // per component) is far below any cluster geometry this serves.
       val means = v.join(assigned.select(col("__id"), col("cell")), "__id")
         .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(round(avg(col("x")), 9).as("m"))
+        .agg(sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val byCell = means.groupBy(_.getInt(0))
+      def mean(r: org.apache.spark.sql.Row): Double = BigDecimal(
+        r.getLong(2).toDouble / (r.getLong(3) * 1e6))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       cents = cents.map { case (cell, old) =>
         byCell.get(cell) match {
           case Some(rows) =>
-            (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+            (cell, rows.sortBy(_.getInt(1)).map(mean).toSeq)
           case None => (cell, old) // empty cell keeps its centroid
         }
       }
@@ -101,6 +113,52 @@ object Clustering {
         round(exprs.cosineSimilarity(col("va"), col("vb")), 6))
       .where(col("cosine") >= tau)
       .select(col("cell"), col("kept_id"), col("dropped_id"), col("cosine"))
+  }
+
+  /** Embedding quality control: flag vectors that are anomalous under the
+    * trained clustering — corrupt embeddings, encoder failures, and
+    * out-of-distribution rows all surface this way. Two complementary
+    * rules, because a single distance cutoff has a hole:
+    *
+    *  - `far`: squared distance to the OWN cell's centroid beyond the
+    *    cell's robust cutoff (median + `spread` × (p90 − median)), so a
+    *    naturally wide cluster does not flag its healthy tail;
+    *  - `tiny_cell`: EVERY member of a cell with fewer than `minCell`
+    *    vectors. An extreme outlier captures a centroid for itself during
+    *    Lloyd updates, making its own distance ~0 — the far rule alone
+    *    can never see it. At k ≪ n a cell that small is an isolated
+    *    micro-cluster, which is exactly the anomaly.
+    *
+    * Returns only the outliers: (idCol, cell, dist2, cutoff, reason).
+    * Thresholds are DISCRETE per-cell quantiles through the KLL aggregate
+    * — exact (≡ quantile_disc) while a cell fits the sketch, mergeable
+    * O(k)-state approximate beyond, so the same plan serves both the
+    * oracle and a 100-TB corpus. Discrete selection also removes the
+    * cross-engine interpolation hazard: an interpolated percentile is
+    * arithmetic whose last ulp differs between engines and can cross the
+    * round-6 boundary; picking an actual element of the (round-6) dist2
+    * multiset cannot. */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int = 1, spread: Double = 3.0,
+                        minCell: Long = 4L): DataFrame = {
+    require(spread > 0, s"spread must be > 0, got $spread")
+    require(minCell >= 1, s"minCell must be >= 1, got $minCell")
+    val a = kmeansAssign(df, idCol, vecCol, k, iters)
+    val th = a.groupBy(col("cell")).agg(
+        graft.functions.exprs.kllQuantiles(col("dist2"), 1 << 13,
+          Seq(0.5, 0.9)).as("qs"),
+        count(lit(1)).as("n_cell"))
+      .select(col("cell"), element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p90"), col("n_cell"))
+    a.join(F.broadcast(th), "cell")
+      .withColumn("cutoff",
+        round(col("p50") + lit(spread) * (col("p90") - col("p50")), 6))
+      .withColumn("reason",
+        when(col("n_cell") < minCell, "tiny_cell")
+          .when(col("dist2") > col("cutoff"), "far"))
+      .where(col("reason").isNotNull)
+      .select(col(idCol), col("cell"), col("dist2"), col("cutoff"),
+        col("reason"))
   }
 
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =

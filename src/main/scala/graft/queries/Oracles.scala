@@ -894,10 +894,11 @@ object Oracles {
 
   /** One full Lloyd round of k-means in SQL, parameterized by a `corpus`
     * CTE exposing (id, v): id-ordered prefix init, round-9 squared-L2
-    * argmin with lower-cell tie-break, per-(cell, dimension) round-9 means
-    * (an empty cell keeps its centroid), reassignment. Mirrors
-    * `Clustering.kmeansFit/kmeansAssign` step for step — the round-9
-    * pinning on both sides is what makes the replay exact. */
+    * argmin with lower-cell tie-break, per-(cell, dimension) means over
+    * 1e-6-quantized components with EXACT integer sums (summation-order
+    * independent — a plain double avg can cross a round-9 boundary
+    * between engines; an empty cell keeps its centroid), reassignment.
+    * Mirrors `Clustering.kmeansFit/kmeansAssign` step for step. */
   private def kmeansCte(k: Int): String =
     s"""init AS (
       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
@@ -918,7 +919,11 @@ object Oracles {
       |  SELECT a0.cell, unnest(range(1, 65)) AS pos,
       |         unnest(list_transform(c.v, x -> CAST(x AS DOUBLE))) AS x
       |  FROM a0 JOIN corpus c USING (id)),
-      |means AS (SELECT cell, pos, round(avg(x), 9) AS m FROM mem GROUP BY 1, 2),
+      |means AS (
+      |  SELECT cell, pos,
+      |    round(CAST(CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+      |        AS BIGINT) AS DOUBLE) / (count(*) * 1000000.0), 9) AS m
+      |  FROM mem GROUP BY 1, 2),
       |newc AS (
       |  SELECT i.cell,
       |    CASE WHEN count(m.m) = 0 THEN any_value(i.cvec)
@@ -942,6 +947,42 @@ object Oracles {
       |${kmeansCte(8)}
       |SELECT id AS vec_id, cell, round(d, 6) AS dist2
       |FROM a1 ORDER BY vec_id""".stripMargin
+
+  /** embedding_outliers: the kmeans chain over the planted corpus (×30
+    * copies + one ×1000 extreme), then the two-rule flag — tiny cells
+    * (< 8 members) wholesale, plus the robust per-cell far cutoff
+    * (median + 3×(p90−median) of round-6 dist2; quantile_disc ≡ the KLL
+    * aggregate's exact regime — discrete, no interpolation, strict >). */
+  val embeddingOutliers: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id AS id, embedding AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 2000000 AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(CAST(x AS DOUBLE) * 30.0 AS FLOAT)) AS v
+      |  FROM embeddings WHERE vec_id < 5
+      |  UNION ALL
+      |  SELECT vec_id + 3000000 AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(CAST(x AS DOUBLE) * 1000.0 AS FLOAT)) AS v
+      |  FROM embeddings WHERE vec_id < 1),
+      |${kmeansCte(8)},
+      |assign AS (SELECT id, cell, round(d, 6) AS dist2 FROM a1),
+      |th AS (
+      |  SELECT cell, quantile_disc(dist2, 0.5) AS p50,
+      |         quantile_disc(dist2, 0.9) AS p90,
+      |         count(*) AS n_cell
+      |  FROM assign GROUP BY cell),
+      |flagged AS (
+      |  SELECT a.id AS vec_id, a.cell, a.dist2,
+      |    round(t.p50 + 3.0 * (t.p90 - t.p50), 6) AS cutoff,
+      |    CASE WHEN t.n_cell < 8 THEN 'tiny_cell'
+      |         WHEN a.dist2 > round(t.p50 + 3.0 * (t.p90 - t.p50), 6)
+      |           THEN 'far' END AS reason
+      |  FROM assign a JOIN th t ON a.cell = t.cell)
+      |SELECT vec_id, cell, dist2, cutoff, reason
+      |FROM flagged WHERE reason IS NOT NULL
+      |ORDER BY vec_id""".stripMargin
 
   /** semantic_dedup: the same Lloyd round over the planted corpus, then
     * all within-cell pairs with round-6 cosine >= 0.95, lower id kept. */

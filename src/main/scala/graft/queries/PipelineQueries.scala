@@ -538,6 +538,27 @@ object PipelineQueries {
         "vec_id", "embedding", k = 8, iters = 1, tau = 0.95)
       .orderBy(col("kept_id"), col("dropped_id"))
 
+  /** Embedding quality control over a corpus with PLANTED anomalies (the
+    * organic synthetic embeddings are too well-behaved to flag): five
+    * ×30-scaled copies (ids +2M) and one ×1000 extreme (id 3M). The
+    * extreme is detectable under EVERY possible cluster arrangement —
+    * isolated it trips the tiny-cell rule, grouped its distance dominates
+    * any robust cutoff — so the entry always value-checks real rows. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    def scaled(maxId: Int, factor: Double, shift: Long) =
+      e.where(col("vec_id") < maxId)
+        .select((col("vec_id") + shift).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * factor).cast("float")).as("embedding"))
+    val corpus = e
+      .union(scaled(5, 30.0, 2000000L))
+      .union(scaled(1, 1000.0, 3000000L))
+    Clustering.embeddingOutliers(corpus, "vec_id", "embedding",
+        k = 8, iters = 1, spread = 3.0, minCell = 8L)
+      .orderBy(col("vec_id"))
+  }
+
   /** Attribute-filtered exact search: same 10 probe queries as
     * knn_bruteforce, but neighbors must share the query's `label` — the
     * filter key is the join key, so each query scores one label slice. */

@@ -75,6 +75,35 @@ class ClusteringSpec extends SparkSuite {
     }
   }
 
+  test("embedding outliers: planted anomalies flagged, tight blob is not") {
+    // an extreme vector captures its own centroid under Lloyd updates
+    // (self-distance ~0) — the tiny-cell rule must catch it anyway
+    val rows =
+      (0L until 40L).map(i => i -> vec(i % 2 * 0.1, i % 3 * 0.1)) :+
+        (99L -> vec(500.0, 500.0))
+    val df = rows.toDF("id", "v")
+    val out = Clustering.embeddingOutliers(df, "id", "v", k = 2, iters = 1)
+      .collect()
+    val flagged = out.map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(flagged.contains(99L), "planted outlier missed")
+    assert(flagged(99L) === "tiny_cell",
+      "an isolated extreme owns its centroid; only the cell-size rule sees it")
+    // 'far' rows (if any) really are beyond their cutoff
+    out.filter(_.getString(4) == "far")
+      .foreach(r => assert(r.getDouble(2) > r.getDouble(3)))
+    // a tight single blob flags nothing: constant distance profile makes
+    // p90 == p50 == cutoff and the far comparison is strict; all members
+    // share one big cell so the tiny-cell rule is silent too
+    val tight = (0L until 30L).map(i => i -> vec(1.0, 1.0)).toDF("id", "v")
+    assert(Clustering.embeddingOutliers(tight, "id", "v", k = 2, iters = 1)
+      .count() === 0)
+    // the contract query's guarantee: the x1000 extreme always surfaces
+    val contract = graft.queries.PipelineQueries
+      .embeddingOutliers(spark, sf()).collect()
+    assert(contract.map(_.getLong(0)).contains(3000000L),
+      "x1000 planted extreme must be flagged under any arrangement")
+  }
+
   test("planted near-duplicates are caught at tau = 0.95") {
     val e = graft.queries.PipelineQueries.embeddingsWithPlants(spark, sf())
     val pairs = Clustering.semanticDedupPairs(
