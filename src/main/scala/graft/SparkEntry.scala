@@ -70,6 +70,7 @@ object SparkEntry {
     "token_stats" -> (PipelineQueries.tokenStats _),
     "quality_scores" -> (PipelineQueries.qualityScores _),
     "lm_score" -> (PipelineQueries.lmScore _),
+    "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
     "cdc_chunks" -> (PipelineQueries.cdcChunksQ _),
     "chunk_dedup" -> (PipelineQueries.chunkDedup _),
@@ -177,6 +178,7 @@ object SparkEntry {
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
     "lm_score" -> Oracles.lmScore,
+    "lm_heldout" -> Oracles.lmHeldout,
     "ppl_buckets" -> Oracles.pplBuckets,
     "cdc_chunks" -> Oracles.cdcChunks,
     "chunk_dedup" -> Oracles.chunkDedup,

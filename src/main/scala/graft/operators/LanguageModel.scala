@@ -80,6 +80,50 @@ object LanguageModel {
 
   private def w1(bigram: Column): Column = substring_index(bigram, " ", 1)
 
+  /** Held-out scoring: the model trains on `train` ONLY; `score` documents
+    * are scored under it — the train/validation composition of a real
+    * pipeline, where a val doc's perplexity under the train-corpus model
+    * is the filtering signal (scoring the training set with itself
+    * flatters memorized text). Unseen bigrams and contexts flow through
+    * the same add-α smoothing with zero counts — a fully-unseen bigram
+    * scores ln(1/V). With `train eq score` this reduces exactly to
+    * [[bigramLmScore]] (spec-pinned). Same scale shape; the model joins
+    * become LEFT joins. */
+  def bigramLmScoreHeldout(train: DataFrame, score: DataFrame,
+                           idCol: String, textCol: String,
+                           alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val id = col(idCol)
+    def grams(df: DataFrame) = df.select(id,
+      explode(minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), 2)).as("bigram"))
+    val modelBig = grams(train)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val modelUni = modelBig
+      .groupBy(w1(col("bigram")).as("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = modelBig.agg(
+      count_distinct(substring_index(col("bigram"), " ", -1)).as("v"))
+    val docBg = grams(score).groupBy(id, col("bigram")).agg(count(lit(1)).as("n"))
+    val scored = docBg
+      .join(modelBig, Seq("bigram"), "left")
+      .withColumn("w1", w1(col("bigram")))
+      .join(modelUni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log(
+        (coalesce(col("c12"), lit(0L)) + alpha) /
+          (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))), 9))
+      .groupBy(id)
+      .agg(sum(col("n")).as("nb"), sum(col("n") * col("lp")).as("slp"))
+    val nb = coalesce(col("nb"), lit(0L))
+    score.select(id).join(scored, Seq(idCol), "left")
+      .select(id,
+        nb.as("n_bigrams"),
+        when(nb === 0, 0.0)
+          .otherwise(round(col("slp") / col("nb"), 6)).as("avg_logprob"),
+        when(nb === 0, 1.0)
+          .otherwise(round(exp(-col("slp") / col("nb")), 6)).as("ppl"))
+  }
+
   /** CCNet's head/middle/tail corpus split by LM perplexity: thresholds are
     * the 1/3 and 2/3 EXACT interpolated percentiles of ppl over documents
     * that have bigrams (degenerate docs still get bucketed — their ppl of

@@ -244,6 +244,58 @@ object Oracles {
       |SELECT doc_id, n_bigrams, avg_logprob, ppl
       |FROM lmfinal ORDER BY doc_id""".stripMargin
 
+  /** lm_heldout: the bigram LM retrained on the md5-bucket TRAIN partition
+    * (< 204) only, validation docs (204..229) scored under it — model
+    * joins become LEFT joins with zero-coalesced counts so unseen grams
+    * take the ln((0+α)/(0+α·V)) smoothing path. */
+  val lmHeldout: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents),
+      |trl AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l
+      |  FROM b WHERE bucket < 204),
+      |vl AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l
+      |  FROM b WHERE bucket >= 204 AND bucket < 230),
+      |trbg AS (
+      |  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+      |  FROM trl),
+      |model_big AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM trbg GROUP BY 1),
+      |model_uni AS (
+      |  SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+      |  FROM model_big GROUP BY 1),
+      |vocab AS (
+      |  SELECT count(DISTINCT string_split(bigram, ' ')[2]) AS v FROM model_big),
+      |vbg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+      |  FROM vl),
+      |doc_bg AS (SELECT doc_id, bigram, count(*) AS n FROM vbg GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS nb,
+      |    sum(d.n * round(ln((COALESCE(m.c12, 0) + 0.5)
+      |      / (COALESCE(u.c1, 0) + 0.5 * v.v)), 9)) AS slp
+      |  FROM doc_bg d
+      |  LEFT JOIN model_big m USING (bigram)
+      |  LEFT JOIN model_uni u ON string_split(d.bigram, ' ')[1] = u.w1
+      |  CROSS JOIN vocab v
+      |  GROUP BY 1)
+      |SELECT vd.doc_id,
+      |  COALESCE(s.nb, 0) AS n_bigrams,
+      |  CASE WHEN COALESCE(s.nb, 0) = 0 THEN 0.0
+      |       ELSE round(s.slp / s.nb, 6) END AS avg_logprob,
+      |  CASE WHEN COALESCE(s.nb, 0) = 0 THEN 1.0
+      |       ELSE round(exp(-s.slp / s.nb), 6) END AS ppl
+      |FROM vl vd LEFT JOIN scored s ON vd.doc_id = s.doc_id
+      |ORDER BY vd.doc_id""".stripMargin
+
   /** ppl_buckets: CCNet's head/middle/tail corpus split by LM perplexity —
     * thresholds are exact interpolated percentiles (Spark `percentile` ≡
     * DuckDB `quantile_cont`, the price_percentiles convention) over docs

@@ -86,6 +86,18 @@ object PipelineQueries {
       t(spark, dir, "documents"), "doc_id", "text", alpha = 0.5)
       .orderBy(col("doc_id"))
 
+  /** Held-out LM scoring: model trained on the md5 hash-split TRAIN
+    * partition only, validation docs scored under it — unseen bigrams
+    * exercised through the smoothing. */
+  def lmHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = Sampling.hashSplit(t(spark, dir, "documents"), "doc_id")
+    LanguageModel.bigramLmScoreHeldout(
+        withSplit.where(col("split") === "train"),
+        withSplit.where(col("split") === "val"),
+        "doc_id", "text", alpha = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet head/middle/tail split of the corpus by LM perplexity. */
   def pplBucketsQ(spark: SparkSession, dir: String): DataFrame =
     LanguageModel.pplBuckets(

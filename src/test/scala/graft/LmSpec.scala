@@ -74,6 +74,28 @@ class LmSpec extends SparkSuite {
     assert(ppl > 0)
   }
 
+  test("held-out scoring: unseen grams smoothed, self-pair reduces to lmScore") {
+    // train "aa bb aa cc": model c(aa bb)=1, c(bb aa)=1, c(aa cc)=1;
+    // contexts c(aa.)=2, c(bb.)=1; successor vocab V = |{bb, aa, cc}| = 3
+    val train = Seq((1L, "aa bb aa cc")).toDF("doc_id", "text")
+    val score = Seq((10L, "aa bb"), (11L, "zz qq"), (12L, "")).toDF("doc_id", "text")
+    val got = LanguageModel.bigramLmScoreHeldout(train, score, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val lpSeen = round9(math.log((1 + 0.5) / (2 + 0.5 * 3)))   // P(bb|aa)
+    val lpUnseen = round9(math.log(0.5 / (0 + 0.5 * 3)))        // ln(1/V)
+    assert(got.toSeq === Seq(
+      Row(10L, 1L, round6(lpSeen), round6(math.exp(-lpSeen))),
+      Row(11L, 1L, round6(lpUnseen), round6(math.exp(-lpUnseen))),
+      Row(12L, 0L, 0.0, 1.0)))
+    // train == score must reduce exactly to the self-scoring operator
+    val docs = table("documents").limit(80)
+    val self = LanguageModel.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val held = LanguageModel.bigramLmScoreHeldout(docs, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(held === self)
+  }
+
   test("ppl buckets: head/middle/tail ordered and near-thirds") {
     val docs = table("documents")
     val b = LanguageModel.pplBuckets(docs, "doc_id", "text")
