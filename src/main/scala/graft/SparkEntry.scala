@@ -72,6 +72,7 @@ object SparkEntry {
     "lm_score" -> (PipelineQueries.lmScore _),
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
+    "span_similarity" -> (PipelineQueries.spanSimilarity _),
     "cdc_chunks" -> (PipelineQueries.cdcChunksQ _),
     "chunk_dedup" -> (PipelineQueries.chunkDedup _),
     "lang_id" -> (PipelineQueries.langId _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "lm_score" -> Oracles.lmScore,
     "lm_heldout" -> Oracles.lmHeldout,
     "ppl_buckets" -> Oracles.pplBuckets,
+    "span_similarity" -> Oracles.spanSimilarity,
     "cdc_chunks" -> Oracles.cdcChunks,
     "chunk_dedup" -> Oracles.chunkDedup,
     "lang_id" -> Oracles.langId,

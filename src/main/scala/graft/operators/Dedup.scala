@@ -964,6 +964,48 @@ object Dedup {
       .distinct()
   }
 
+  /** MOSS-style document-pair similarity from winnowing fingerprints
+    * (Schleimer et al. '03 §5 — the fingerprint-index report): pairs of
+    * documents sharing at least `minShared` selected fingerprints, scored
+    * by containment = shared / min(|A|, |B|). The EXACT overlap of the
+    * winnowed sets — complements MinHash, which estimates full-set Jaccard:
+    * winnowing weights contiguous runs, so a long verbatim block between
+    * otherwise-different docs scores high here and low there.
+    *
+    * Fingerprints with document frequency above `dfCap` are excluded from
+    * pairing — ultra-common fingerprints are boilerplate, not similarity
+    * evidence, and (exactly like an LSH hot bucket) a df-D fingerprint
+    * would otherwise contribute D² candidate pairs. With the cap the
+    * fp-keyed self-join is bounded by dfCap²/2 pairs per fingerprint: the
+    * same discipline every LSH path in this file applies, here with a
+    * semantic justification rather than a truncation. */
+  def winnowSimilarity(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, w: Int = 4, minShared: Long = 3,
+                       dfCap: Long = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(dfCap >= 2, s"dfCap must be >= 2 (pairs need both sides), got $dfCap")
+    // kernel emits each doc's DISTINCT minima — no per-doc dedup needed
+    val fps = track(df.select(col(idCol).as("doc_id"),
+        explode(minhashExprs.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .cache())
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select(col("fp"))
+    val sel = fps.join(keep, "fp")
+    val pairs = sel.alias("a")
+      .join(sel.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("nfp_a"), col("nfp_b")), 6).as("sim"))
+  }
+
   /** Content-defined chunk table: one row per chunk, boundaries cut where
     * a k-gram's md5 opens with `nibbles` zero hex digits (rate
     * 16^-nibbles; see [[graft.functions.WinnowKernel.cdcChunks]]). The

@@ -1255,8 +1255,12 @@ object Oracles {
     * fingerprints on the oracle side only, so a guard arm emits a loud
     * sentinel row the moment the fixture outgrows the cap — a named
     * hash-mismatch beats a quiet divergence that reads as an engine bug. */
-  val repeatedSpans: String =
-    """WITH s AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 5001)),
+  /** Per-doc DISTINCT winnowing fingerprints (k=8, w=4) as a reusable CTE
+    * chain ending in `fps(doc_id, fp)` — shared by repeated_spans and
+    * span_similarity. Same 5000-position cap as always; consumers must
+    * carry the sentinel guard. */
+  private val winnowFpsCte: String =
+    """s AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 5001)),
       |g AS (
       |  SELECT d.doc_id, s.i, md5(substr(d.text, s.i, 8)) AS h,
       |         length(d.text) - 7 AS m
@@ -1270,7 +1274,10 @@ object Oracles {
       |fps AS (
       |  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= m - 3
       |  UNION
-      |  SELECT doc_id, min(h) AS fp FROM g WHERE m < 4 GROUP BY doc_id)
+      |  SELECT doc_id, min(h) AS fp FROM g WHERE m < 4 GROUP BY doc_id)""".stripMargin
+
+  val repeatedSpans: String =
+    s"""WITH $winnowFpsCte
       |SELECT * FROM (
       |  SELECT fp, CAST(count(*) AS BIGINT) AS df, min(doc_id) AS first_doc
       |  FROM fps GROUP BY fp HAVING count(*) >= 2
@@ -1279,6 +1286,33 @@ object Oracles {
       |         CAST(-1 AS BIGINT)
       |  WHERE (SELECT max(length(text)) FROM documents) > 5007
       |) ORDER BY fp""".stripMargin
+
+  /** span_similarity: exact shared-winnow-fingerprint containment — fps
+    * with df > 50 dropped as boilerplate, pairs need >= 3 shared, sim =
+    * shared / min(|A|, |B|) round-6. Same cap sentinel as repeated_spans
+    * (impossible ids flag a silently-truncated fingerprint set). */
+  val spanSimilarity: String =
+    s"""WITH $winnowFpsCte,
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+      |          FROM fps GROUP BY 1),
+      |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+      |sel AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(count(*) AS BIGINT) AS shared
+      |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT * FROM (
+      |  SELECT p.id_a, p.id_b, p.shared,
+      |    round(CAST(p.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) AS sim
+      |  FROM pairs p
+      |  JOIN sizes sa ON p.id_a = sa.doc_id
+      |  JOIN sizes sb ON p.id_b = sb.doc_id
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |         -1.0
+      |  WHERE (SELECT max(length(text)) FROM documents) > 5007
+      |) ORDER BY id_a, id_b""".stripMargin
 
   /** boilerplate_spans: full recomputation of winnow-position span
     * reconstruction. Window-minimum SELECTION WITH POSITION uses the

@@ -64,6 +64,13 @@ object PipelineQueries {
       TextFunctions.punctCount(col("text")).cast("long").as("n_punct"))
       .orderBy(col("doc_id"))
 
+  /** MOSS-style winnowing-fingerprint pair similarity: exact shared-set
+    * containment with boilerplate fingerprints (df > 50) excluded. */
+  def spanSimilarity(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowSimilarity(t(spark, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4, minShared = 3, dfCap = 50)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Content-defined chunking: per-doc chunk table (idx, start, len,
     * md5) with boundaries cut on k-gram md5 zero-prefix — the rsync/LBFS
     * primitive behind substring-level dedup. */

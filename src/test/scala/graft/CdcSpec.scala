@@ -58,6 +58,46 @@ class CdcSpec extends SparkSuite {
       s"only $commonSuffix/${orig.size} tail chunks survived a prefix edit")
   }
 
+  test("winnow similarity: verbatim block scores high, boilerplate df-cap " +
+      "suppresses corpus-wide fingerprints") {
+    val block = table("documents").select("text")
+      .where(length(col("text")) > 300).limit(1).collect().head.getString(0)
+    val footer = " shared footer line on every single document here"
+    // footer docs carry ~6x the footer's length in DISTINCT body text, so
+    // footer-only containment must stay a small fraction of min(|A|, |B|)
+    def body(seed: Int): String =
+      (0 until 30).map(i => s"w${seed}x${i * seed + 7}").mkString(" ")
+    val docs = Seq(
+      (1L, "first unique preamble " + block),
+      (2L, "a completely different opener " + block + " trailing bits"),
+      (3L, body(3) + footer),
+      (4L, body(4) + footer),
+      (5L, body(5) + footer)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowSimilarity(docs, "doc_id", "text",
+        minShared = 3, dfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.contains((1L, 2L)), "verbatim block pair missed")
+    assert(pairs((1L, 2L)) > 0.5, s"containment ${pairs((1L, 2L))} too low " +
+      "for a shared majority block")
+    // footer-only trios share just the short footer's few fingerprints —
+    // below minShared=3 they must not pair with each other via it alone
+    // unless the footer itself contributes >= 3 fps (then sim stays small)
+    Seq((3L, 4L), (3L, 5L), (4L, 5L)).foreach { p =>
+      pairs.get(p).foreach(s => assert(s < 0.5, s"footer pair $p sim $s"))
+    }
+    // dfCap below a fingerprint's df suppresses it: add a third copy of
+    // the block (df=3) and cap at 2 — block and footer (df=3) both drop,
+    // so no pair can reach minShared
+    val three = docs.unionByName(
+      Seq((6L, "yet another opener " + block)).toDF("doc_id", "text"))
+    val capped = Dedup.winnowSimilarity(three, "doc_id", "text",
+        minShared = 3, dfCap = 2)
+      .collect()
+    assert(capped.isEmpty,
+      s"dfCap=2 must suppress the df-3 block/footer: ${capped.mkString(",")}")
+  }
+
   test("shared substring across documents surfaces as shared chunk hashes") {
     val shared = table("documents").select("text")
       .where(length(col("text")) > 300).limit(1).collect().head.getString(0)
