@@ -273,6 +273,27 @@ object ScaleProbe {
         (if (nShared == nDistinct) "holds" else "VIOLATED"))
       require(nShared == nDistinct,
         s"every chunk recurs in >= 10 docs by construction: $nShared != $nDistinct")
+      // winnow pair similarity at 10x: every fp's df is 10x its base df,
+      // so on this hyper-repetitive corpus the boilerplate cap removes
+      // most fingerprints — exactly its job — and the pairs that survive
+      // are identical-copy pairs of docs retaining >= minShared
+      // DISTINCTIVE fps, which must score exactly 1.0 (sizes are computed
+      // over the surviving sets, so copies agree on them completely)
+      var simPairs = 0L
+      var fullSim = 0L
+      time("winnow pair similarity over 50k docs (df-capped self-join)") {
+        val p = graft.operators.Dedup.winnowSimilarity(
+          docs, "doc_id", "text")
+        simPairs = p.count()
+        fullSim = p.where(col("sim") === 1.0).count()
+        simPairs
+      }
+      println(s"  winnow similarity: $simPairs pairs survive the df cap, " +
+        s"$fullSim at sim=1.0 (identical-copy pairs of docs with " +
+        "distinctive fingerprints)")
+      require(fullSim >= 45L && fullSim == simPairs,
+        s"expected only identical-copy pairs at sim=1.0: $fullSim/$simPairs")
+      graft.operators.Dedup.unpersistAll()
     }
     // --- round-7 maintenance probes: OPTIMIZE ZORDER (both cell modes) and
     // Change Data Feed over a ~6M-row Delta table ---

@@ -967,7 +967,8 @@ object Dedup {
   /** MOSS-style document-pair similarity from winnowing fingerprints
     * (Schleimer et al. '03 §5 — the fingerprint-index report): pairs of
     * documents sharing at least `minShared` selected fingerprints, scored
-    * by containment = shared / min(|A|, |B|). The EXACT overlap of the
+    * by containment = shared / min(|A|, |B|) over the DISTINCTIVE
+    * (df-surviving) fingerprint sets. The EXACT overlap of the
     * winnowed sets — complements MinHash, which estimates full-set Jaccard:
     * winnowing weights contiguous runs, so a long verbatim block between
     * otherwise-different docs scores high here and low there.
@@ -988,10 +989,15 @@ object Dedup {
     val fps = track(df.select(col(idCol).as("doc_id"),
         explode(minhashExprs.winnowFingerprints(col(textCol), k, w)).as("fp"))
       .cache())
-    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select(col("fp"))
     val sel = fps.join(keep, "fp")
+    // sizes over the SURVIVING set: capped (boilerplate) fingerprints are
+    // out of numerator AND denominator, so sim measures the overlap of
+    // DISTINCTIVE content — identical documents score exactly 1.0 even
+    // when they carry corpus-wide boilerplate (counting capped fps only
+    // in the denominator would make 1.0 unreachable for them)
+    val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val pairs = sel.alias("a")
       .join(sel.alias("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -1288,15 +1288,16 @@ object Oracles {
       |) ORDER BY fp""".stripMargin
 
   /** span_similarity: exact shared-winnow-fingerprint containment — fps
-    * with df > 50 dropped as boilerplate, pairs need >= 3 shared, sim =
-    * shared / min(|A|, |B|) round-6. Same cap sentinel as repeated_spans
-    * (impossible ids flag a silently-truncated fingerprint set). */
+    * with df > 50 dropped as boilerplate from BOTH sides of the ratio,
+    * pairs need >= 3 shared, sim = shared / min(|A|, |B|) over surviving
+    * sets, round-6 (identical docs score exactly 1.0). Same cap sentinel
+    * as repeated_spans (impossible ids flag a truncated fp set). */
   val spanSimilarity: String =
     s"""WITH $winnowFpsCte,
-      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
-      |          FROM fps GROUP BY 1),
       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
       |sel AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+      |          FROM sel GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |         CAST(count(*) AS BIGINT) AS shared
