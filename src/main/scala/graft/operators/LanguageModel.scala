@@ -48,37 +48,46 @@ object LanguageModel {
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
                     alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    requireNoReserved(idCol)
     val id = col(idCol)
     val grams = df.select(id,
       explode(minhashExprs.wordGrams(
-        TextFunctions.normalized(col(textCol)), 2)).as("bigram"))
+        TextFunctions.normalized(col(textCol)), 2)).as("__bigram"))
     // one corpus-volume aggregation; everything model-side derives from it
-    val docBg = grams.groupBy(id, col("bigram")).agg(count(lit(1)).as("n"))
-    val modelBig = docBg.groupBy(col("bigram")).agg(sum(col("n")).as("c12"))
+    val docBg = grams.groupBy(id, col("__bigram")).agg(count(lit(1)).as("__n"))
+    val modelBig = docBg.groupBy(col("__bigram")).agg(sum(col("__n")).as("__c12"))
     val modelUni = modelBig
-      .groupBy(w1(col("bigram")).as("w1")).agg(sum(col("c12")).as("c1"))
+      .groupBy(w1(col("__bigram")).as("__w1")).agg(sum(col("__c12")).as("__c1"))
     val vocab = modelBig.agg(
-      count_distinct(substring_index(col("bigram"), " ", -1)).as("v"))
+      count_distinct(substring_index(col("__bigram"), " ", -1)).as("__v"))
     val scored = docBg
-      .join(modelBig, "bigram")
-      .withColumn("w1", w1(col("bigram")))
-      .join(modelUni, "w1")
+      .join(modelBig, "__bigram")
+      .withColumn("__w1", w1(col("__bigram")))
+      .join(modelUni, "__w1")
       .crossJoin(broadcast(vocab))
-      .withColumn("lp", round(
-        log((col("c12") + alpha) / (col("c1") + lit(alpha) * col("v"))), 9))
+      .withColumn("__lp", round(
+        log((col("__c12") + alpha) / (col("__c1") + lit(alpha) * col("__v"))), 9))
       .groupBy(id)
-      .agg(sum(col("n")).as("nb"), sum(col("n") * col("lp")).as("slp"))
-    val nb = coalesce(col("nb"), lit(0L))
+      .agg(sum(col("__n")).as("__nb"), sum(col("__n") * col("__lp")).as("__slp"))
+    val nb = coalesce(col("__nb"), lit(0L))
     df.select(id).join(scored, Seq(idCol), "left")
       .select(id,
         nb.as("n_bigrams"),
         when(nb === 0, 0.0)
-          .otherwise(round(col("slp") / col("nb"), 6)).as("avg_logprob"),
+          .otherwise(round(col("__slp") / col("__nb"), 6)).as("avg_logprob"),
         when(nb === 0, 1.0)
-          .otherwise(round(exp(-col("slp") / col("nb")), 6)).as("ppl"))
+          .otherwise(round(exp(-col("__slp") / col("__nb")), 6)).as("ppl"))
   }
 
   private def w1(bigram: Column): Column = substring_index(bigram, " ", 1)
+
+  /** Internal LM columns are `__`-prefixed (same convention as
+    * `Clustering.vecs`' __id/__v) so a user idCol like `n` or `v` can't
+    * silently collide with the model's working columns; a user column
+    * already in the reserved namespace is rejected outright. */
+  private def requireNoReserved(idCol: String): Unit =
+    require(!idCol.startsWith("__"),
+      s"idCol '$idCol' collides with the reserved __ internal-column namespace")
 
   /** Held-out scoring: the model trains on `train` ONLY; `score` documents
     * are scored under it — the train/validation composition of a real
@@ -93,35 +102,36 @@ object LanguageModel {
                            idCol: String, textCol: String,
                            alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    requireNoReserved(idCol)
     val id = col(idCol)
     def grams(df: DataFrame) = df.select(id,
       explode(minhashExprs.wordGrams(
-        TextFunctions.normalized(col(textCol)), 2)).as("bigram"))
+        TextFunctions.normalized(col(textCol)), 2)).as("__bigram"))
     val modelBig = grams(train)
-      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .groupBy(col("__bigram")).agg(count(lit(1)).as("__c12"))
     val modelUni = modelBig
-      .groupBy(w1(col("bigram")).as("w1")).agg(sum(col("c12")).as("c1"))
+      .groupBy(w1(col("__bigram")).as("__w1")).agg(sum(col("__c12")).as("__c1"))
     val vocab = modelBig.agg(
-      count_distinct(substring_index(col("bigram"), " ", -1)).as("v"))
-    val docBg = grams(score).groupBy(id, col("bigram")).agg(count(lit(1)).as("n"))
+      count_distinct(substring_index(col("__bigram"), " ", -1)).as("__v"))
+    val docBg = grams(score).groupBy(id, col("__bigram")).agg(count(lit(1)).as("__n"))
     val scored = docBg
-      .join(modelBig, Seq("bigram"), "left")
-      .withColumn("w1", w1(col("bigram")))
-      .join(modelUni, Seq("w1"), "left")
+      .join(modelBig, Seq("__bigram"), "left")
+      .withColumn("__w1", w1(col("__bigram")))
+      .join(modelUni, Seq("__w1"), "left")
       .crossJoin(broadcast(vocab))
-      .withColumn("lp", round(log(
-        (coalesce(col("c12"), lit(0L)) + alpha) /
-          (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))), 9))
+      .withColumn("__lp", round(log(
+        (coalesce(col("__c12"), lit(0L)) + alpha) /
+          (coalesce(col("__c1"), lit(0L)) + lit(alpha) * col("__v"))), 9))
       .groupBy(id)
-      .agg(sum(col("n")).as("nb"), sum(col("n") * col("lp")).as("slp"))
-    val nb = coalesce(col("nb"), lit(0L))
+      .agg(sum(col("__n")).as("__nb"), sum(col("__n") * col("__lp")).as("__slp"))
+    val nb = coalesce(col("__nb"), lit(0L))
     score.select(id).join(scored, Seq(idCol), "left")
       .select(id,
         nb.as("n_bigrams"),
         when(nb === 0, 0.0)
-          .otherwise(round(col("slp") / col("nb"), 6)).as("avg_logprob"),
+          .otherwise(round(col("__slp") / col("__nb"), 6)).as("avg_logprob"),
         when(nb === 0, 1.0)
-          .otherwise(round(exp(-col("slp") / col("nb")), 6)).as("ppl"))
+          .otherwise(round(exp(-col("__slp") / col("__nb")), 6)).as("ppl"))
   }
 
   /** CCNet's head/middle/tail corpus split by LM perplexity: thresholds are
@@ -139,12 +149,18 @@ object LanguageModel {
                  alpha: Double = 0.5): DataFrame = {
     val scored = bigramLmScore(df, idCol, textCol, alpha)
     val th = scored.where(col("n_bigrams") > 0).agg(
-      round(expr("percentile(ppl, 0.3333333333)"), 6).as("p33"),
-      round(expr("percentile(ppl, 0.6666666667)"), 6).as("p66"))
+      round(expr("percentile(ppl, 0.3333333333)"), 6).as("__p33"),
+      round(expr("percentile(ppl, 0.6666666667)"), 6).as("__p66"))
+    // An all-degenerate corpus (no document has bigrams) leaves both
+    // thresholds NULL; null-safe comparisons would send every doc to
+    // 'tail'. Coalescing NULL thresholds to +inf keeps the docblock's
+    // contract: with no trained thresholds everything (ppl 1.0) is 'head'.
+    val p33 = coalesce(col("__p33"), lit(Double.PositiveInfinity))
+    val p66 = coalesce(col("__p66"), lit(Double.PositiveInfinity))
     scored.crossJoin(broadcast(th))
       .select(col(idCol), col("ppl"),
-        when(col("ppl") <= col("p33"), "head")
-          .when(col("ppl") <= col("p66"), "middle")
+        when(col("ppl") <= p33, "head")
+          .when(col("ppl") <= p66, "middle")
           .otherwise("tail").as("bucket"))
   }
 }

@@ -64,14 +64,30 @@ object Queries {
     }
   }
 
+  /** True iff the failure is the plain reader rejecting a TIMESTAMP(NANOS)
+    * parquet column ([PARQUET_TYPE_ILLEGAL] at schema-inference time) —
+    * the ONE condition the nanos-session retry can fix. Anything else
+    * (missing dir, corrupt file, permissions) must surface as-is, not as
+    * a misleading second error from the retry. */
+  private def isNanosLayoutFailure(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("PARQUET_TYPE_ILLEGAL") ||
+        (m.contains("TIMESTAMP(NANOS") && m.contains("Parquet"))
+    }
+
   /** Schema-adaptive events reader: try the plain session first (works for
     * the timestamp[us] layout); fall back to the nanos-as-long derived
-    * session when the parquet carries TIMESTAMP(NANOS), which the plain
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]) at schema-inference time. */
+    * session ONLY when the parquet carries TIMESTAMP(NANOS), which the
+    * plain reader rejects ([PARQUET_TYPE_ILLEGAL]) at schema-inference
+    * time. Other failures rethrow unchanged. */
   def events(spark: SparkSession, dir: String): DataFrame =
     normalizeTs(
-      scala.util.Try(t(spark, dir, "events"))
-        .getOrElse(t(nanosSession(spark), dir, "events")))
+      try t(spark, dir, "events")
+      catch {
+        case e: Throwable if isNanosLayoutFailure(e) =>
+          t(nanosSession(spark), dir, "events")
+      })
 
   /** The session + raw (pre-normalize) schema a streaming reader of the
     * events file must use — the nanos layout forces both the schema read
@@ -80,11 +96,11 @@ object Queries {
     * [[normalizeTs]] after `readStream`. */
   def eventsStreamSession(spark: SparkSession, dir: String)
       : (SparkSession, org.apache.spark.sql.types.StructType) =
-    scala.util.Try {
-      (spark, t(spark, dir, "events").schema)
-    }.getOrElse {
-      val ns = nanosSession(spark)
-      (ns, t(ns, dir, "events").schema)
+    try (spark, t(spark, dir, "events").schema)
+    catch {
+      case e: Throwable if isNanosLayoutFailure(e) =>
+        val ns = nanosSession(spark)
+        (ns, t(ns, dir, "events").schema)
     }
 
   /** A1/O1 + F10-F12: pruned scan + hash aggregation (TPC-H Q1 shape).
