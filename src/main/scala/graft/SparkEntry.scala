@@ -243,6 +243,10 @@ object SparkEntry {
     // entry previously ran (recall 14/19 by measured design — no
     // SQL-computable truth set) stays as the dedup_ngram_lsh bench twin
     // with its recall pinned in PipelineSpec.
+    // round 10: the entry calls the Dedup.ngramJaccard size-routing facade;
+    // the bounded slice measures under the exactRowLimit budget, so the
+    // contract PINS THE EXACT BRANCH (oracle unchanged) while an
+    // over-budget corpus auto-routes to the LSH branch.
     "dedup_ngram" -> Oracles.dedupNgram,
     // round 9: winnowing graduated from diagnosis (repeated_spans: WHICH
     // fingerprints repeat) to transform (boilerplate_spans: WHICH character

@@ -339,8 +339,17 @@ object Dedup {
 
   /** Drop all memoized [[decontaminate]] branch decisions (e.g. after
     * rewriting a fixture dir in place, or from session teardown). */
-  def clearDecisionCache(): Unit =
+  def clearDecisionCache(): Unit = {
     bloomDecisions.synchronized { bloomDecisions.clear() }
+    ngramRoutes.synchronized { ngramRoutes.clear() }
+  }
+
+  /** Live [[ngramJaccard]] route-decision count (test observability). */
+  private[graft] def ngramRouteCacheSize: Int = ngramRoutes.synchronized {
+    var n = 0
+    ngramRoutes.values.forEach(m => n += m.size)
+    n
+  }
 
   /** [[decontaminate]]'s measured-size branch, exposed for tests: true iff
     * the corpus side is at least `ratio` × the benchmark side. Plan
@@ -905,6 +914,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("unn"), 6).as("jaccard"))
   }
+
+  /** Size-adaptive near-dup text-join facade over [[ngramJaccardJoin]]
+    * (exact prefix-filtered all-pairs, WWW '07) and [[ngramJaccardPairs]]
+    * (MinHash-LSH banding + exact verification) — the same
+    * measured-not-guessed branch pattern as [[decontaminate]].
+    *
+    * The exact join is provably complete but its candidate volume is
+    * data-dependent: on a near-dup-heavy or highly-repetitive corpus the
+    * prefix-shingle equi-join can approach all-pairs, which no cap may
+    * truncate (a cap would break exactness). That is the right trade on a
+    * bounded slice and the wrong one on a 100-TB corpus, where the banded
+    * LSH path (bucket-capped, probabilistically complete at the
+    * configured band/row operating point) is the only shape whose shuffle
+    * volume is controlled by construction. A caller picking blind can
+    * point the exact join at the full corpus; this facade routes on a
+    * MEASURED row count instead: exact iff the corpus has ≤
+    * `exactRowLimit` rows, measured with an early-exit
+    * `limit(n+1).count()` — Spark satisfies a limit by scanning partitions
+    * incrementally, so the probe costs O(exactRowLimit) rows however large
+    * the corpus is, never a full count. The decision is memoized per
+    * (session, canonicalized plan, limit) exactly like
+    * [[decontaminate]]'s (weak session keys; cleared by
+    * [[clearDecisionCache]]).
+    *
+    * Both branches emit (id_a, id_b, jaccard ≥ threshold); on the slices
+    * where both run, the LSH branch's output is a subset of the exact
+    * branch's (banding recall < 1 by design) with IDENTICAL jaccard
+    * values on shared pairs — spec-pinned. The `dedup_ngram` contract
+    * entry pins the EXACT branch (bounded planted slice, value-oracled
+    * against DuckDB brute force); `dedup_ngram_lsh` benches the LSH
+    * branch full-corpus. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   bucketCap: Int = 1000,
+                   exactRowLimit: Long = 100000L): DataFrame = {
+    val key = (df.queryExecution.optimizedPlan.canonicalized.hashCode,
+               exactRowLimit)
+    val useExact = ngramRoutesFor(df.sparkSession).getOrElseUpdate(
+      key, fitsExactNgram(df, exactRowLimit))
+    if (useExact) ngramJaccardJoin(df, idCol, textCol, n, threshold)
+    else ngramJaccardPairs(df, idCol, textCol, n, threshold, bucketCap)
+  }
+
+  /** [[ngramJaccard]]'s measured-size branch, exposed for tests: true iff
+    * the corpus holds at most `limit` rows, probed with an early-exit
+    * incremental-limit count (same bounded-cost rationale as
+    * [[preferBloom]]'s fallback — an inconclusive estimate must never
+    * silently pick the exact join for a 100-TB corpus, so nothing here
+    * trusts plan statistics at all; the probe itself is already O(limit)). */
+  private[graft] def fitsExactNgram(df: DataFrame, limit: Long): Boolean = {
+    require(limit > 0 && limit < Int.MaxValue,
+      s"exactRowLimit must be in (0, Int.MaxValue), got $limit")
+    df.limit(limit.toInt + 1).count() <= limit
+  }
+
+  /** Memo for [[ngramJaccard]]'s route, same lifecycle as
+    * [[decontaminate]]'s bloom decisions (weak session key, cleared by
+    * [[clearDecisionCache]]). */
+  private val ngramRoutes =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[(Int, Long), Boolean]]()
+
+  private def ngramRoutesFor(s: org.apache.spark.sql.SparkSession) =
+    ngramRoutes.synchronized {
+      var m = ngramRoutes.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(Int, Long), Boolean]
+        ngramRoutes.put(s, m)
+      }
+      m
+    }
 
   /** Character n-grams of normalized text. */
   def charNgrams(text: Column, n: Int): Column = {

@@ -501,9 +501,15 @@ object PipelineQueries {
     * full-corpus near-dup at scale the probabilistic LSH-banded variant
     * ([[Dedup.ngramJaccardPairs]]) is the documented alternative — benched
     * full-corpus as the `dedup_ngram_lsh` twin, measured 14/19 planted
-    * recall pinned in PipelineSpec. */
+    * recall pinned in PipelineSpec.
+    *
+    * Round 10: the entry goes through the [[Dedup.ngramJaccard]]
+    * size-routing facade — the bounded slice measures under the row budget,
+    * so the facade provably PINS THE EXACT BRANCH here (route asserted in
+    * PipelineSpec; a caller pointing the same facade at a 100-TB corpus
+    * gets the banded branch instead of an unbounded all-pairs join). */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardJoin(
+    Dedup.ngramJaccard(
         docsWithPlants(spark, dir)
           .where(col("doc_id") < 500 || col("doc_id") >= PlantShift),
         "doc_id", "text", n = 3, threshold = 0.6)

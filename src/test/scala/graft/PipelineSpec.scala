@@ -410,6 +410,41 @@ class PipelineSpec extends SparkSuite {
     assert(Dedup.decisionCacheSize === 0)
   }
 
+  test("ngramJaccard facade: measured rows route exact vs LSH; LSH ⊆ exact") {
+    val docs = PipelineQueries.docsWithPlants(spark, sf())
+    // the bounded slice fits the default budget → exact branch; a tiny
+    // forced budget must route away from the exact join (the 100-TB guard)
+    assert(Dedup.fitsExactNgram(docs, 100000L))
+    assert(!Dedup.fitsExactNgram(docs, 5L),
+      "a corpus above the row budget must route to the LSH branch")
+    Dedup.clearDecisionCache()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val viaFacade = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(key).sorted.toSeq
+    assert(Dedup.ngramRouteCacheSize === 1, "first call records the route")
+    val exact = Dedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(key).sorted.toSeq
+    assert(viaFacade === exact,
+      "below the budget the facade must BE the exact join")
+    // forced-LSH branch on the same slice: banding recall < 1 by design,
+    // so its output is a SUBSET of the exact join's — with identical
+    // jaccard values on every shared pair (both verify with the same
+    // sorted-intersect kernel; the facade is a pure cost decision)
+    val lsh = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5,
+      exactRowLimit = 5L).collect().map(key).toSeq
+    assert(Dedup.ngramRouteCacheSize === 2, "a different budget re-probes")
+    assert(lsh.nonEmpty, "planted near-dups must survive the LSH branch")
+    val exactSet = exact.toSet
+    assert(lsh.forall(exactSet.contains),
+      "every LSH pair (id_a, id_b, jaccard) must appear in the exact output")
+    // a plan-identical repeat call hits the memo — no second probe
+    Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5)
+    assert(Dedup.ngramRouteCacheSize === 2, "repeat call must not re-probe")
+    Dedup.clearDecisionCache()
+    assert(Dedup.ngramRouteCacheSize === 0)
+  }
+
   test("clearIndexCaches releases trained-index storage; next call retrains") {
     PipelineQueries.knnIvf(spark, sf()).count()   // memoize + materialize cache
     val before = spark.sparkContext.getPersistentRDDs.size
