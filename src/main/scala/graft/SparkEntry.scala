@@ -122,7 +122,12 @@ object SparkEntry {
     // corpus_pipeline composition are now value-checked, closing the last
     // surface the driver's hash check didn't cover
     "strip_boilerplate" -> (PipelineQueries.stripBoilerplateQ _),
-    "corpus_pipeline" -> (PipelineQueries.corpusPipelineQ _))
+    "corpus_pipeline" -> (PipelineQueries.corpusPipelineQ _),
+    // round 10: exact substring dedup (Lee et al. ACL '22 ExactSubstr as
+    // keep-one-copy span removal) — spans with per-fingerprint keeper
+    // retention, and the deduplicated text end-to-end
+    "duplicate_spans" -> (PipelineQueries.duplicateSpansQ _),
+    "dedup_substring" -> (PipelineQueries.dedupSubstringQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -258,5 +263,10 @@ object SparkEntry {
     // value-checked (the spans oracle's CTE chain extended with the
     // complement-interval fold, then the five stage CTEs chained)
     "strip_boilerplate" -> Oracles.stripBoilerplate,
-    "corpus_pipeline" -> Oracles.corpusPipeline)
+    "corpus_pipeline" -> Oracles.corpusPipeline,
+    // round 10: the ExactSubstr dedup pair — winnow-selected duplicate
+    // spans under the min-doc_id keeper rule (bounds + keeper assignment
+    // value-checked) and the keeper-retaining deduplicated text
+    "duplicate_spans" -> Oracles.duplicateSpans,
+    "dedup_substring" -> Oracles.dedupSubstring)
 }

@@ -731,17 +731,9 @@ object Dedup {
     * exclusive end, BIGINT for oracle portability. */
   def boilerplateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minDocs: Long = 2): DataFrame = {
-    require(k >= w,
-      s"k >= w required for span contiguity (got k=$k, w=$w): selected " +
-        "positions in a shared run are <= w apart, so k >= w makes their " +
-        "k-char marks overlap")
+    requireSpanContiguity(k, w)
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    val fpPos = track(spread.select(col(idCol).as("doc_id"),
-        explode(minhashExprs.winnowPositions(col(textCol), k, w)).as("s"))
-      .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
-      .cache())
+    val fpPos = winnowFpPos(df, idCol, textCol, k, w)
     // distinct-doc df: a fp selected at several positions of one doc still
     // counts that doc once (same df semantics as repeatedSpans)
     val shared = fpPos.select(col("doc_id"), col("fp")).distinct()
@@ -752,6 +744,35 @@ object Dedup {
     // fp-keyed semi-join cannot duplicate it (shared has one row per fp)
     val sel = fpPos.join(shared, "fp")
       .select(col("doc_id"), col("pos"))
+    unionSpans(sel, k)
+  }
+
+  private def requireSpanContiguity(k: Int, w: Int): Unit =
+    require(k >= w,
+      s"k >= w required for span contiguity (got k=$k, w=$w): selected " +
+        "positions in a shared run are <= w apart, so k >= w makes their " +
+        "k-char marks overlap")
+
+  /** Position-carrying winnow fingerprints of each doc, spread across the
+    * cluster and cached (every caller consumes it at least twice). The
+    * fingerprint pass is CPU-bound per document; a corpus that arrives as
+    * fewer splits than cores (one small parquet file → one split) would
+    * otherwise run it on one core. At real scale the source has thousands
+    * of splits and the repartition is a no-op. */
+  private def winnowFpPos(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, w: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    track(spread.select(col(idCol).as("doc_id"),
+        explode(minhashExprs.winnowPositions(col(textCol), k, w)).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
+      .cache())
+  }
+
+  /** Gaps-and-islands union of k-char position marks into maximal disjoint
+    * (doc_id, span_start, span_end) intervals — doc-partitioned window,
+    * never global. */
+  private def unionSpans(sel: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevEnd = max(col("pos") + k)
@@ -773,8 +794,19 @@ object Dedup {
     * over unbounded input. Docs with no shared spans pass through on the
     * left join. */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, minDocs: Long = 2): DataFrame = {
-    val spans = boilerplateSpans(df, idCol, textCol, k, w, minDocs)
+      k: Int = 8, w: Int = 4, minDocs: Long = 2): DataFrame =
+    applySpans(df, idCol, textCol,
+      boilerplateSpans(df, idCol, textCol, k, w, minDocs))
+
+  /** Remove the given (doc_id, span_start, span_end) intervals (sorted,
+    * disjoint — what [[unionSpans]] emits) from each document's text.
+    * Span application is a per-row fold over that doc's FEW merged
+    * intervals — the interpreted-HOF cost is O(spans per doc), not
+    * O(text), and there is no nested HOF over unbounded input. Docs with
+    * no spans pass through on the left join. */
+  private def applySpans(df: DataFrame, idCol: String, textCol: String,
+                         spanDf: DataFrame): DataFrame = {
+    val spans = spanDf
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
         .as("spans"))
@@ -797,6 +829,60 @@ object Dedup {
         when(col("spans").isNull, col("__text"))
           .otherwise(stripped).as(textCol))
   }
+
+  /** Cross-document duplicate-span detection — the exact-substring dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL '22, the ExactSubstr pass), KEEPING ONE COPY: for every
+    * character run shared verbatim across >= 2 distinct documents, the
+    * lowest doc_id containing it is the KEEPER and retains the run; every
+    * other document gets the run reported as a removable span. This is the
+    * dedup complement of [[boilerplateSpans]], which strips a df >=
+    * minDocs span from ALL documents (template removal, no copy kept).
+    *
+    * Method: winnow fingerprints with positions mark k-char grams; a
+    * fingerprint seen in >= 2 distinct docs is duplicated, its keeper =
+    * min doc_id over the docs that selected it. Positions are marked only
+    * in NON-keeper docs, then unioned per doc into maximal spans
+    * ([[unionSpans]]). The winnowing guarantee makes the minimum match
+    * length explicit: every shared run of >= w + k − 1 chars surfaces at
+    * least one selected fingerprint in EVERY doc containing it
+    * (SIGMOD '03), so no qualifying duplicate escapes; reported spans are
+    * run cores (first/last <= w+k-2 chars of a run may lack a fully
+    * interior window — same boundary behavior as [[boilerplateSpans]]).
+    * Keeper choice is per-fingerprint greedy: doc 2 sharing run X with
+    * doc 1 and run Y with doc 3 keeps Y (it is Y's min doc) while losing X.
+    *
+    * Scale shape: identical to [[boilerplateSpans]] — density-bounded
+    * explode (2/(w+1) per char), one distinct-doc aggregate, one fp-keyed
+    * equi-join (keeper frame is post-aggregation; AQE broadcasts when it
+    * fits), one doc-partitioned window. A suffix array needs a global
+    * order; this is map + combine + keyed join all the way down.
+    *
+    * Output: (doc_id, span_start, span_end), 1-based inclusive/exclusive,
+    * only for docs that LOSE a span. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    requireSpanContiguity(k, w)
+    val fpPos = winnowFpPos(df, idCol, textCol, k, w)
+    val docFp = fpPos.select(col("doc_id"), col("fp")).distinct()
+    val keepers = docFp
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper"))
+      .where(col("df") >= 2)
+      .select(col("fp"), col("keeper"))
+    val sel = fpPos.join(keepers, "fp")
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("pos"))
+    unionSpans(sel, k)
+  }
+
+  /** [[duplicateSpans]] applied: each document's duplicated span cores are
+    * removed EXCEPT from the per-fingerprint keeper doc — output
+    * (idCol, textCol) with exactly one copy of every cross-doc duplicated
+    * run retained corpus-wide. */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    applySpans(df, idCol, textCol, duplicateSpans(df, idCol, textCol, k, w))
 
   /** Portable-simhash near-dup pairs — [[simhashPairs]] with the
     * [[simhashPortable]] hash; the blocking, cap, and threshold logic is

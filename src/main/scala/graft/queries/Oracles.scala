@@ -1450,6 +1450,134 @@ object Oracles {
       |  WHERE (SELECT max(length(text)) FROM documents) > 5007
       |) ORDER BY doc_id""".stripMargin
 
+  /** duplicate_spans: the [[boilerplateSpans]] winnow-selection CTE chain
+    * with the dedup keeper rule in place of the df >= minDocs filter — a
+    * fingerprint duplicated across >= 2 distinct docs assigns keeper =
+    * min(doc_id), and only NON-keeper positions mark spans (the keeper
+    * retains its copy). Value-checks span bounds AND keeper assignment.
+    * Same 5000-position cap sentinel as the spans oracle. */
+  val duplicateSpans: String =
+    """WITH s AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 5001)),
+      |g AS (
+      |  SELECT d.doc_id, s.i,
+      |         md5(substr(d.text, s.i, 8)) || '|' ||
+      |           lpad(CAST(s.i AS VARCHAR), 10, '0') AS hk,
+      |         length(d.text) - 7 AS m
+      |  FROM documents d JOIN s ON s.i <= length(d.text) - 7),
+      |wins AS (
+      |  SELECT doc_id, i, m,
+      |         min(hk) OVER (PARTITION BY doc_id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+      |  FROM g),
+      |selected AS (
+      |  SELECT DISTINCT doc_id, substr(key, 1, 32) AS fp,
+      |         CAST(substr(key, 34) AS BIGINT) AS pos
+      |  FROM wins WHERE i <= m - 3
+      |  UNION
+      |  SELECT doc_id, substr(min(hk), 1, 32) AS fp,
+      |         CAST(substr(min(hk), 34) AS BIGINT) AS pos
+      |  FROM g WHERE m < 4 GROUP BY doc_id),
+      |keepers AS (
+      |  SELECT fp, min(doc_id) AS keeper
+      |  FROM selected GROUP BY fp
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |sel AS (
+      |  SELECT DISTINCT t.doc_id, t.pos
+      |  FROM selected t JOIN keepers kp USING (fp)
+      |  WHERE t.doc_id <> kp.keeper),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(
+      |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        CAST(-1 AS BIGINT))
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM sel),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl)
+      |SELECT * FROM (
+      |  SELECT doc_id, min(pos) AS span_start,
+      |         CAST(max(pos) + 8 AS BIGINT) AS span_end
+      |  FROM isl2 GROUP BY doc_id, island
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      |  WHERE (SELECT max(length(text)) FROM documents) > 5007
+      |) ORDER BY doc_id, span_start""".stripMargin
+
+  /** dedup_substring: [[duplicateSpans]]' keeper-ruled span chain extended
+    * with the complement-interval fold of [[stripBoilerplate]] — the
+    * deduplicated text bytes of every doc, keeper copies intact. */
+  val dedupSubstring: String =
+    """WITH s AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 5001)),
+      |g AS (
+      |  SELECT d.doc_id, s.i,
+      |         md5(substr(d.text, s.i, 8)) || '|' ||
+      |           lpad(CAST(s.i AS VARCHAR), 10, '0') AS hk,
+      |         length(d.text) - 7 AS m
+      |  FROM documents d JOIN s ON s.i <= length(d.text) - 7),
+      |wins AS (
+      |  SELECT doc_id, i, m,
+      |         min(hk) OVER (PARTITION BY doc_id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+      |  FROM g),
+      |selected AS (
+      |  SELECT DISTINCT doc_id, substr(key, 1, 32) AS fp,
+      |         CAST(substr(key, 34) AS BIGINT) AS pos
+      |  FROM wins WHERE i <= m - 3
+      |  UNION
+      |  SELECT doc_id, substr(min(hk), 1, 32) AS fp,
+      |         CAST(substr(min(hk), 34) AS BIGINT) AS pos
+      |  FROM g WHERE m < 4 GROUP BY doc_id),
+      |keepers AS (
+      |  SELECT fp, min(doc_id) AS keeper
+      |  FROM selected GROUP BY fp
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |sel AS (
+      |  SELECT DISTINCT t.doc_id, t.pos
+      |  FROM selected t JOIN keepers kp USING (fp)
+      |  WHERE t.doc_id <> kp.keeper),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(
+      |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        CAST(-1 AS BIGINT))
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM sel),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, min(pos) AS span_start,
+      |         CAST(max(pos) + 8 AS BIGINT) AS span_end
+      |  FROM isl2 GROUP BY doc_id, island),
+      |segs AS (
+      |  SELECT doc_id,
+      |         coalesce(lag(span_end) OVER (PARTITION BY doc_id
+      |                                      ORDER BY span_start),
+      |                  CAST(1 AS BIGINT)) AS a,
+      |         span_start AS b
+      |  FROM spans
+      |  UNION ALL
+      |  SELECT doc_id, max(span_end) AS a, NULL AS b FROM spans GROUP BY doc_id),
+      |stripped AS (
+      |  SELECT sg.doc_id,
+      |         string_agg(substr(d.text, sg.a,
+      |                           coalesce(sg.b, length(d.text) + 1) - sg.a),
+      |                    '' ORDER BY sg.a) AS text
+      |  FROM segs sg JOIN documents d USING (doc_id)
+      |  GROUP BY sg.doc_id)
+      |SELECT * FROM (
+      |  SELECT d.doc_id, coalesce(st.text, d.text) AS text
+      |  FROM documents d LEFT JOIN stripped st USING (doc_id)
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), 'ORACLE_SHINGLE_CAP_EXCEEDED'
+      |  WHERE (SELECT max(length(text)) FROM documents) > 5007
+      |) ORDER BY doc_id""".stripMargin
+
   /** corpus_pipeline: the five stage CTE chains composed end-to-end —
     * (1) NFC normalize, (2) the [[stripBoilerplate]] winnow-span strip on
     * the normalized text, (3) exact dedup keeping min doc_id per

@@ -276,6 +276,31 @@ object PipelineQueries {
       .where(length(col("text")) >= 0)
       .orderBy(col("doc_id"))
 
+  /** Cross-document duplicate-span detection ([[Dedup.duplicateSpans]],
+    * k=8, w=4): character ranges duplicated verbatim across >= 2 docs,
+    * reported only for NON-keeper docs (keeper = min doc_id per shared
+    * fingerprint retains its copy) — the Lee et al. ACL '22 ExactSubstr
+    * pass as keep-one dedup rather than strip-everywhere boilerplate
+    * removal. The DuckDB oracle recomputes winnow selection, per-fp
+    * keeper assignment, and the islands union, so span bounds AND the
+    * keeper rule are value-checked. */
+  def duplicateSpansQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(t(spark, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** [[Dedup.dedupSubstrings]] end-to-end: duplicate-span detection with
+    * keeper retention + interval-fold removal — after this pass the corpus
+    * holds exactly one copy of every cross-doc duplicated run core. The
+    * oracle extends the span recomputation with the complement-interval
+    * fold, value-checking the deduplicated TEXT BYTES. Same
+    * anti-column-pruning filter rationale as [[stripBoilerplateQ]]. */
+  def dedupSubstringQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstrings(t(spark, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4)
+      .where(length(col("text")) >= 0)
+      .orderBy(col("doc_id"))
+
   /** The end-to-end training-data flow the individual contract entries
     * exercise piecewise — NFC normalize, strip corpus-wide boilerplate
     * spans, exact text dedup (keep first), quality filter, then token

@@ -69,9 +69,13 @@ class BoilerplateSpec extends SparkSuite {
     assert(viaPos.exceptAll(viaFp).isEmpty && viaFp.exceptAll(viaPos).isEmpty)
   }
 
-  // 50 docs: unique 32-char hex prefix + shared 60-char block + unique
-  // 32-char hex suffix. Only shingles wholly inside the block can reach
-  // df=50. Block occupies positions 33..92 (1-based).
+  // 50 docs: unique 32-char prefix + shared 60-char block + unique 32-char
+  // suffix. The prefix's LAST char and the suffix's FIRST char are unique
+  // PER DOC (chars 'A'+i, outside the hex alphabet's collision range at a
+  // fixed position), so every block-boundary-straddling shingle contains a
+  // doc-unique char and only shingles WHOLLY inside the block can be
+  // cross-doc shared — at ANY df threshold, including the dedup df>=2.
+  // Block occupies positions 33..92 (1-based).
   private val Block = "SHARED-BOILERPLATE-LICENSE-HEADER-EXACTLY-SIXTY-CHARS-LONG!!"
   private def plantedDocs = {
     require(Block.length == 60)
@@ -80,7 +84,10 @@ class BoilerplateSpec extends SparkSuite {
       md.reset()
       md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
-    (0 until 50).map(i => (i.toLong, hx(s"pre$i") + Block + hx(s"suf$i")))
+    def uniq(i: Int) = ('A' + i).toChar.toString
+    (0 until 50).map(i => (i.toLong,
+        hx(s"pre$i").substring(0, 31) + uniq(i) + Block +
+          uniq(i) + hx(s"suf$i").substring(0, 31)))
       .toDF("doc_id", "text")
   }
 
@@ -154,5 +161,91 @@ class BoilerplateSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Dedup.boilerplateSpans(plantedDocs, "doc_id", "text", k = 3, w = 4)
     }
+  }
+
+  test("duplicateSpans: keeper doc retains the planted block, others lose it") {
+    // every fp the keeper doc selects has keeper = min(docs) = 0, so doc 0
+    // can NEVER carry a span; docs 1..49 each get one merged interval over
+    // the block core (interior winnow selections are doc-independent and
+    // <= w apart, so the island is single and tight)
+    val spans = Dedup.duplicateSpans(plantedDocs, "doc_id", "text",
+        k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!spans.exists(_._1 == 0L), "keeper doc 0 must keep its copy")
+    assert(spans.length === 49, "exactly one interval per non-keeper doc")
+    assert(spans.map(_._1).toSet === (1L until 50L).toSet)
+    spans.foreach { case (id, start, end) =>
+      assert(start >= 33 && start <= 36, s"doc $id span_start=$start")
+      assert(end >= 90 && end <= 93, s"doc $id span_end=$end")
+    }
+    Dedup.unpersistAll()
+  }
+
+  test("duplicateSpans keeper rule is per-fingerprint greedy") {
+    // run X shared by docs {1,2} (keeper 1), run Y by docs {2,3}
+    // (keeper 2): doc 1 keeps X, doc 2 loses X but KEEPS Y, doc 3 loses Y
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hx(seed: String) = {
+      md.reset()
+      md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // X and Y use DISJOINT alphabets (A..T vs g..z, both disjoint from the
+    // hex filler and from the U/V/W boundary markers) so they share no
+    // 8-gram with each other or with any doc's unique filler — each run's
+    // shared fingerprints are exactly its interior shingles
+    val X = (0 until 60).map(i => ('A' + i % 20).toChar).mkString
+    val Y = (0 until 60).map(i => ('g' + i % 20).toChar).mkString
+    val docs = Seq(
+      (1L, hx("p1") + "U" + X + "U" + hx("s1")),
+      (2L, hx("p2") + "V" + X + "V" + hx("m2") + "V" + Y + "V" + hx("s2")),
+      (3L, hx("p3") + "W" + Y + "W" + hx("s3"))).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!spans.exists(_._1 == 1L), "doc 1 is X's keeper")
+    // doc 2: exactly one span, inside its X occurrence (positions 34..93),
+    // never touching its Y occurrence (it is Y's keeper)
+    val d2 = spans.filter(_._1 == 2L)
+    assert(d2.length === 1, s"doc 2 spans: ${d2.toSeq}")
+    assert(d2.head._2 >= 34 && d2.head._3 <= 94,
+      s"doc 2 span ${d2.head} must stay inside its X occurrence")
+    // doc 3: one span inside its Y occurrence (positions 34..93)
+    val d3 = spans.filter(_._1 == 3L)
+    assert(d3.length === 1, s"doc 3 spans: ${d3.toSeq}")
+    assert(d3.head._2 >= 34 && d3.head._3 <= 94,
+      s"doc 3 span ${d3.head} must stay inside its Y occurrence")
+    Dedup.unpersistAll()
+  }
+
+  test("dedupSubstrings keeps one copy corpus-wide, unique text intact") {
+    val docs = plantedDocs
+    val before = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Dedup.dedupSubstrings(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.keySet === before.keySet)
+    assert(after(0L) === before(0L), "keeper doc must be byte-identical")
+    (1L until 50L).foreach { id =>
+      val orig = before(id); val txt = after(id)
+      assert(txt.startsWith(orig.substring(0, 32)), s"doc $id lost prefix")
+      assert(txt.endsWith(orig.substring(92)), s"doc $id lost suffix")
+      assert(!txt.contains(Block.substring(4, 56)), s"doc $id kept the block")
+      val cut = orig.length - txt.length
+      assert(cut >= 54 && cut <= 60, s"doc $id cut=$cut chars")
+    }
+    Dedup.unpersistAll()
+  }
+
+  test("dedupSubstrings passes an all-unique corpus through unchanged") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hx(seed: String) = {
+      md.reset()
+      md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = (0 until 20).map(i => (i.toLong, hx(s"u$i") + hx(s"v$i")))
+      .toDF("doc_id", "text")
+    val before = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Dedup.dedupSubstrings(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === before)
+    Dedup.unpersistAll()
   }
 }
