@@ -127,7 +127,11 @@ object SparkEntry {
     // keep-one-copy span removal) — spans with per-fingerprint keeper
     // retention, and the deduplicated text end-to-end
     "duplicate_spans" -> (PipelineQueries.duplicateSpansQ _),
-    "dedup_substring" -> (PipelineQueries.dedupSubstringQ _))
+    "dedup_substring" -> (PipelineQueries.dedupSubstringQ _),
+    // round 10: the full training-data recipe end-to-end — the cleaning
+    // chain plus decontaminate → token-budget sample → sequence packing,
+    // the composition a real corpus build runs, replayed as one oracle
+    "corpus_pipeline_full" -> (PipelineQueries.corpusPipelineFullQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -268,5 +272,6 @@ object SparkEntry {
     // spans under the min-doc_id keeper rule (bounds + keeper assignment
     // value-checked) and the keeper-retaining deduplicated text
     "duplicate_spans" -> Oracles.duplicateSpans,
-    "dedup_substring" -> Oracles.dedupSubstring)
+    "dedup_substring" -> Oracles.dedupSubstring,
+    "corpus_pipeline_full" -> Oracles.corpusPipelineFull)
 }

@@ -21,7 +21,7 @@ object Dedup {
   // cached signature frames live for the session unless released; long
   // sessions running many dedup pipelines should call unpersistAll()
   private val cachedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-  private def track(df: DataFrame): DataFrame =
+  private[graft] def track(df: DataFrame): DataFrame =
     cachedFrames.synchronized { cachedFrames += df; df }
 
   /** Release every signature cache created by the LSH pipelines — ALL of

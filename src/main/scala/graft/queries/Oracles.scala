@@ -1707,6 +1707,190 @@ object Oracles {
       |  WHERE (SELECT max(length(text)) FROM documents) > 5007
       |) ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** corpus_pipeline_full: the full curation recipe as one CTE chain —
+    * NFC normalize → decontaminate against the planted benchmark set
+    * (word-3-gram overlap ≥ 5 on the NORMALIZED text, the
+    * [[decontamination]] math, before cleaning can strip the shared
+    * n-grams) → winnow boilerplate strip over the decontaminated corpus
+    * (df ≥ 25 counted there) → exact dedup keep-min → quality ≥ 0.3 →
+    * the 2000-token md5-hash-ordered budget prefix ([[tokenBudgetSample]]
+    * math) → next-fit packing into ≤256-token sequences within 16
+    * md5-bucket groups ([[packPlan]] math). Each stage consumes the
+    * previous stage's output; the recursive pack CTE runs over the budget
+    * survivors only. */
+  val corpusPipelineFull: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, nfc_normalize(text) AS text FROM documents),
+      |bench AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         text || ' graft planted near duplicate suffix' AS text
+      |  FROM documents WHERE doc_id < 20),
+      |ctoks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0) AS t
+      |  FROM docs),
+      |btoks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0) AS t
+      |  FROM bench),
+      |csh AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> array_to_string(t[i:i+2], ' ')))
+      |    END) AS sh
+      |  FROM ctoks),
+      |bsh AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> array_to_string(t[i:i+2], ' ')))
+      |    END) AS sh
+      |  FROM btoks),
+      |cont AS (
+      |  SELECT c.doc_id FROM csh c JOIN bsh b USING (sh)
+      |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+      |contam AS (SELECT DISTINCT doc_id FROM cont),
+      |docs2 AS (
+      |  SELECT doc_id, text FROM docs
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |s AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 5001)),
+      |g AS (
+      |  SELECT d.doc_id, s.i,
+      |         md5(substr(d.text, s.i, 8)) || '|' ||
+      |           lpad(CAST(s.i AS VARCHAR), 10, '0') AS hk,
+      |         length(d.text) - 7 AS m
+      |  FROM docs2 d JOIN s ON s.i <= length(d.text) - 7),
+      |wins AS (
+      |  SELECT doc_id, i, m,
+      |         min(hk) OVER (PARTITION BY doc_id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+      |  FROM g),
+      |selected AS (
+      |  SELECT DISTINCT doc_id, substr(key, 1, 32) AS fp,
+      |         CAST(substr(key, 34) AS BIGINT) AS pos
+      |  FROM wins WHERE i <= m - 3
+      |  UNION
+      |  SELECT doc_id, substr(min(hk), 1, 32) AS fp,
+      |         CAST(substr(min(hk), 34) AS BIGINT) AS pos
+      |  FROM g WHERE m < 4 GROUP BY doc_id),
+      |shared AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, count(DISTINCT doc_id) AS df FROM selected GROUP BY fp)
+      |  WHERE df >= 25),
+      |sel AS (
+      |  SELECT DISTINCT t.doc_id, t.pos
+      |  FROM selected t JOIN shared USING (fp)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(
+      |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        CAST(-1 AS BIGINT))
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM sel),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, min(pos) AS span_start,
+      |         CAST(max(pos) + 8 AS BIGINT) AS span_end
+      |  FROM isl2 GROUP BY doc_id, island),
+      |segs AS (
+      |  SELECT doc_id,
+      |         coalesce(lag(span_end) OVER (PARTITION BY doc_id
+      |                                      ORDER BY span_start),
+      |                  CAST(1 AS BIGINT)) AS a,
+      |         span_start AS b
+      |  FROM spans
+      |  UNION ALL
+      |  SELECT doc_id, max(span_end) AS a, NULL AS b FROM spans GROUP BY doc_id),
+      |stripped AS (
+      |  SELECT sg.doc_id,
+      |         string_agg(substr(d.text, sg.a,
+      |                           coalesce(sg.b, length(d.text) + 1) - sg.a),
+      |                    '' ORDER BY sg.a) AS text
+      |  FROM segs sg JOIN docs2 d USING (doc_id)
+      |  GROUP BY sg.doc_id),
+      |clean AS (
+      |  SELECT d.doc_id, coalesce(st.text, d.text) AS text
+      |  FROM docs2 d LEFT JOIN stripped st USING (doc_id)),
+      |keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM (
+      |    SELECT doc_id,
+      |           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |    FROM clean)
+      |  GROUP BY fp),
+      |surv AS (SELECT c.doc_id, c.text FROM clean c JOIN keep USING (doc_id)),
+      |q AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                t -> length(t) > 0) AS ltoks,
+      |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct
+      |  FROM surv),
+      |q2 AS (
+      |  SELECT doc_id, toks,
+      |    least(CAST(len(toks) AS DOUBLE) / 50, CAST(1 AS DOUBLE)) AS len_score,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |              / len(toks) END AS word_len,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE 1 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 5,
+      |                        CAST(1 AS DOUBLE)) END AS punct_score,
+      |    CASE WHEN len(ltoks) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(ltoks, t -> list_contains(
+      |                ['the','a','an','and','or','but','of','to','in','on','at','is',
+      |                 'are','was','were','be','been','it','this','that','with','for',
+      |                 'as','by','from','not','no','so','if','then','than','too'], t)))
+      |              AS DOUBLE) / len(ltoks) END AS stop_ratio
+      |  FROM q),
+      |qf AS (
+      |  SELECT doc_id, toks FROM q2
+      |  WHERE round(len_score * 0.3
+      |      + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      |      + punct_score * 0.25
+      |      + least(stop_ratio * 4, CAST(1 AS DOUBLE)) * 0.25, 6) >= 0.3),
+      |sized AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         md5(CAST(doc_id AS VARCHAR)) AS pr
+      |  FROM qf),
+      |cum AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY pr, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM sized),
+      |samp AS MATERIALIZED (
+      |  SELECT doc_id, n_tokens, cum_tokens,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 16 AS grp
+      |  FROM cum WHERE cum_tokens <= 2000),
+      |r AS MATERIALIZED (
+      |      SELECT doc_id, n_tokens, cum_tokens, grp,
+      |        CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS BIGINT) AS rn
+      |      FROM samp),
+      |p AS (
+      |  SELECT doc_id, n_tokens, cum_tokens, grp, rn, n_tokens AS acc,
+      |         CAST(0 AS BIGINT) AS pack_id
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.doc_id, r.n_tokens, r.cum_tokens, r.grp, r.rn,
+      |    CASE WHEN p.acc + r.n_tokens > 256 THEN r.n_tokens ELSE p.acc + r.n_tokens END,
+      |    CASE WHEN p.acc + r.n_tokens > 256 THEN p.pack_id + 1 ELSE p.pack_id END
+      |  FROM p JOIN r ON r.grp = p.grp AND r.rn = p.rn + 1)
+      |SELECT * FROM (
+      |  SELECT doc_id, n_tokens, cum_tokens, CAST(grp AS BIGINT) AS grp, pack_id
+      |  FROM p
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |         CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      |  WHERE (SELECT max(length(text)) FROM documents) > 5007
+      |) ORDER BY doc_id""".stripMargin
+
   /** unicode_normalize: the planted suffixes are DECOMPOSED sequences
     * (base letter + combining mark, plus the U+212B angstrom singleton)
     * written as raw UTF-8 in both this SQL literal and the Spark lit() —

@@ -325,6 +325,67 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** The FULL training-data recipe end-to-end — the curation stages a
+    * production corpus build chains before tokenization:
+    *
+    *   1. NFC normalize
+    *   2. DECONTAMINATE against a benchmark set (the planted doc_id<20
+    *      suffix variants): any doc sharing ≥ 5 word-3-gram shingles with
+    *      a benchmark doc is dropped — via the size-adaptive
+    *      [[Dedup.decontaminate]] facade (≈25× corpus/benchmark asymmetry
+    *      ⇒ the bloom branch, decision memoized per session). Runs on the
+    *      normalized text BEFORE the aggressive cleaning stages: benchmark
+    *      overlap must be caught while the document still carries the
+    *      n-grams the benchmark does (this corpus's small vocabulary makes
+    *      the winnow strip remove most repeated runs — stripping first
+    *      would blind the overlap check)
+    *   3. winnow-span boilerplate strip (k=8, w=4, df ≥ 25)
+    *   4. exact dedup (keep-min doc per md5 fingerprint)
+    *   5. quality filter ≥ 0.3
+    *   6. TOKEN-BUDGET sample: the md5-hash-ordered corpus prefix holding
+    *      the first 2000 whitespace tokens of what survived
+    *   7. PACK into ≤256-token training sequences (next-fit within 16
+    *      md5-bucket groups)
+    *
+    * Output is the pack plan with the running budget total — every stage
+    * consuming the previous stage's output, the whole chain replayed as one
+    * DuckDB CTE pipeline. The decontaminated frame feeds the winnow strip's
+    * two passes and the cleaned frame three more stages, so both are
+    * persisted for the query's lifetime (released by
+    * [[Dedup.unpersistAll]], which the bench calls per query). */
+  def corpusPipelineFullQ(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Dedup.track(t(spark, dir, "documents")
+      .select(col("doc_id"), exprs.nfcNormalize(col("text")).as("text"))
+      .persist())
+    val bench = t(spark, dir, "documents").where(col("doc_id") < 20)
+      .select((col("doc_id") + PlantShift).as("doc_id"),
+        concat(col("text"), lit(" graft planted near duplicate suffix"))
+          .as("text"))
+    val contaminated = Dedup.decontaminate(norm, bench,
+        "doc_id", "text", w = 3, minShared = 5)
+      .select(col("doc_id")).distinct()
+    val deconed = norm.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = Dedup.track(Dedup.stripBoilerplate(deconed, "doc_id", "text",
+      k = 8, w = 4, minDocs = 25).persist())
+    val keepers = Dedup.exactTextGroups(clean, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val surviving = clean.join(keepers, "doc_id")
+      .where(TextFunctions.qualityScore(col("text")) >= 0.3)
+    val sampled = Sampling.tokenBudgetSample(
+        surviving.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2000L)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    CorpusOps.packSequences(sampled.select("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget = 256, numGroups = 16)
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("grp").cast("long").as("grp"), col("pack_id"))
+      .join(sampled.select(col("doc_id"), col("cum_tokens")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        col("grp"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode NFC normalization ([[exprs.nfcNormalize]]) over doc prefixes
     * with planted DECOMPOSED suffixes (base + combining mark, chosen by
     * doc_id % 3; the same raw UTF-8 bytes sit in the DuckDB oracle's

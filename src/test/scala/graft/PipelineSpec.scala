@@ -445,6 +445,58 @@ class PipelineSpec extends SparkSuite {
     assert(Dedup.ngramRouteCacheSize === 0)
   }
 
+  test("corpus_pipeline_full: decon completeness, budget prefix, pack bound") {
+    import graft.operators.Sampling
+    val out = PipelineQueries.corpusPipelineFullQ(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val outIds = out.map(_._1).toSet
+    // stage-5 soundness: the benchmark is built from docs 0..19, so any of
+    // them surviving the cleaning stages MUST have been decontaminated away
+    assert(outIds.forall(_ >= 20L),
+      s"benchmark-contaminated docs leaked: ${outIds.filter(_ < 20L)}")
+    // independent recompute of the chain with the NON-facade exact overlap
+    // (the facade takes the bloom branch here; both are provably identical,
+    // so this doubles as a routing check), compared as SETS
+    val norm = table("documents").select(col("doc_id"),
+      exprs.nfcNormalize(col("text")).as("text"))
+    val bench = table("documents").where(col("doc_id") < 20)
+      .select((col("doc_id") + PipelineQueries.PlantShift).as("doc_id"),
+        concat(col("text"), lit(" graft planted near duplicate suffix"))
+          .as("text"))
+    val bad = Dedup.crossNgramOverlap(norm, bench, "doc_id", "text",
+      w = 3, minShared = 5).select("doc_id").distinct()
+    val deconed = norm.join(bad, Seq("doc_id"), "left_anti")
+    val clean = Dedup.stripBoilerplate(deconed, "doc_id", "text", 8, 4, 25)
+    val surv = clean.join(
+        Dedup.exactTextGroups(clean, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id")), "doc_id")
+      .where(TextFunctions.qualityScore(col("text")) >= 0.3)
+    val expected = Sampling.tokenBudgetSample(
+        surv.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(outIds === expected,
+      "output docs must be exactly the in-budget decontaminated survivors")
+    // stage-6 shape: running total respects the budget and covers each doc
+    assert(out.forall { case (_, n, cum, _, _) => cum <= 2000L && cum >= n })
+    // stage-7 bound: every pack fits the 256-token budget unless it is a
+    // single oversized doc
+    out.groupBy(t => (t._4, t._5)).foreach { case ((grp, pack), rows) =>
+      val tot = rows.map(_._2).sum
+      assert(tot <= 256L || rows.size == 1,
+        s"pack ($grp,$pack) holds $tot tokens across ${rows.size} docs")
+    }
+    // grp is the md5 bucket % 16 of the doc id (layout-independent layout key)
+    val grpOk = spark.createDataset(out.map(t => (t._1, t._4)).toSeq)
+      .toDF("doc_id", "grp")
+      .where(Sampling.hashBucket(col("doc_id")) % 16 =!= col("grp"))
+    assert(grpOk.count() === 0L)
+    Dedup.unpersistAll()
+  }
+
   test("clearIndexCaches releases trained-index storage; next call retrains") {
     PipelineQueries.knnIvf(spark, sf()).count()   // memoize + materialize cache
     val before = spark.sparkContext.getPersistentRDDs.size
