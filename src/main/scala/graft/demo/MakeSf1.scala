@@ -17,20 +17,27 @@ object MakeSf1 {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val S = 100000000L
-    val shifts: Map[String, Seq[String]] = Map(
-      "customer" -> Seq("c_custkey"),
-      "supplier" -> Seq("s_suppkey"),
-      "part" -> Seq("p_partkey"),
-      "orders" -> Seq("o_orderkey", "o_custkey"),
-      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-      "events" -> Seq("event_id", "user_id"),
-      "documents" -> Seq("doc_id"),
-      "embeddings" -> Seq("vec_id"))
-    for ((t, keys) <- shifts) {
+    // documents/embeddings shift by 1e5, NOT 1e8: the pipeline queries'
+    // planted-fixture convention parks synthetic benchmark/near-dup ids at
+    // +PlantShift (1e6), and a copy shifted past it would masquerade as a
+    // 45k-doc "benchmark" (measured: it flips decontamination_auto to the
+    // exact branch and blows the dedup_ngram slice past its row budget).
+    // Base doc_id/vec_id max out at 4999/1999, so 1e5 keeps all ten copies
+    // distinct and below 1e6.
+    val shifts: Map[String, (Long, Seq[String])] = Map(
+      "customer" -> (S, Seq("c_custkey")),
+      "supplier" -> (S, Seq("s_suppkey")),
+      "part" -> (S, Seq("p_partkey")),
+      "orders" -> (S, Seq("o_orderkey", "o_custkey")),
+      "lineitem" -> (S, Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      "events" -> (S, Seq("event_id", "user_id")),
+      "documents" -> (100000L, Seq("doc_id")),
+      "embeddings" -> (100000L, Seq("vec_id")))
+    for ((t, (step, keys)) <- shifts) {
       val base = spark.read.parquet(s"$dir/$t.parquet")
       val x10 = (0 until 10).map { i =>
         keys.foldLeft(base)((df, k) =>
-          df.withColumn(k, col(k) + lit(i.toLong * S)))
+          df.withColumn(k, col(k) + lit(i.toLong * step)))
       }.reduce(_ unionByName _)
       x10.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
