@@ -131,7 +131,15 @@ object SparkEntry {
     // round 10: the full training-data recipe end-to-end — the cleaning
     // chain plus decontaminate → token-budget sample → sequence packing,
     // the composition a real corpus build runs, replayed as one oracle
-    "corpus_pipeline_full" -> (PipelineQueries.corpusPipelineFullQ _))
+    "corpus_pipeline_full" -> (PipelineQueries.corpusPipelineFullQ _),
+    // round 10: model-based document classification (the GPT-3/CCNet
+    // quality-routing stage) — relational multinomial Naive Bayes trained
+    // on the hash-split train partition, argmax prediction for val docs
+    "nb_classify" -> (PipelineQueries.nbClassify _),
+    // round 10: DSIR-style importance weighting (Xie et al. '23 data
+    // selection) — target/source likelihood-ratio weights + top-quantile
+    // selection, both unigram models retrained by the oracle in SQL
+    "dsir_select" -> (PipelineQueries.dsirSelect _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -273,5 +281,7 @@ object SparkEntry {
     // value-checked) and the keeper-retaining deduplicated text
     "duplicate_spans" -> Oracles.duplicateSpans,
     "dedup_substring" -> Oracles.dedupSubstring,
-    "corpus_pipeline_full" -> Oracles.corpusPipelineFull)
+    "corpus_pipeline_full" -> Oracles.corpusPipelineFull,
+    "nb_classify" -> Oracles.nbClassify,
+    "dsir_select" -> Oracles.dsirSelect)
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{minhashExprs, TextFunctions}
+
+/** Model-based document classification for corpus curation — the quality /
+  * domain classifier stage of a training-data pipeline (the GPT-3 recipe
+  * filters Common Crawl with a linear classifier trained on a trusted
+  * corpus; CCNet routes documents by a fastText language / quality model)
+  * re-expressed as pure relational algebra: a multinomial Naive Bayes whose
+  * "model" is two count DataFrames, exactly like
+  * [[LanguageModel.bigramLmScore]]'s LM. Train = two hash aggregations over
+  * the labeled corpus; score = one keyed join back. No MLlib, no UDFs, no
+  * driver-side model object.
+  *
+  * Reference scope note: the reference engine (delta-lake-health) has no
+  * classifier surface — this is part of the training-data extension the
+  * build brief asks for alongside dedup/similarity/text analysis.
+  */
+object Classifier {
+
+  /** Multinomial Naive Bayes with add-α likelihood smoothing, trained on
+    * `train` (idCol, labelCol, textCol), scoring `score` (idCol, textCol).
+    *
+    * Model:
+    *   ln P(c)   = ln(docs_c / docs_total)                      (prior)
+    *   ln P(w|c) = ln((count(w,c) + α) / (count(·,c) + α·V))    (likelihood)
+    * where V = distinct training vocabulary size. Score(d,c) = ln P(c) +
+    * Σ_w n_{d,w}·ln P(w|c) over the document's IN-VOCABULARY tokens
+    * (out-of-vocabulary tokens are dropped, the standard multinomial-NB
+    * treatment); a (w,c) pair unseen in training takes the smoothed zero
+    * count. Prediction = argmax_c score, ties broken by ascending label —
+    * a document with no in-vocabulary tokens therefore falls back to the
+    * max-prior class.
+    *
+    * Output: (idCol, label_pred, score) — score is the winning class's
+    * log-posterior (up to the shared evidence constant).
+    *
+    * Determinism across engines: tokenization is the fused
+    * [[minhashExprs.wordGrams]] n=1 kernel over
+    * [[TextFunctions.normalized]] text; each ln is rounded to 9 decimals
+    * BEFORE any weighted sum (IEEE 754 leaves ln's last ulp to the
+    * implementation — the [[LanguageModel]] convention); per-(doc,class)
+    * scores round to 6 so the argmax's equality comparison is
+    * boundary-stable, and the argmax itself is the two-step
+    * max-then-min-label form both engines replay exactly.
+    *
+    * Scale shape (100 TB): the token explode + per-(doc,token) hash
+    * aggregation is the only corpus-volume stage (map-side combined,
+    * keyed by data). Everything model-side is DISTINCT-vocabulary bounded —
+    * `classes` is |C| rows (explicit broadcast), the (class,token)
+    * likelihood table is ≤ |C|·V rows (broadcast when it fits, else the
+    * score join shuffles on the token key the pre-aggregation already
+    * partitioned by), and the class-total / vocab aggregates are one-row
+    * broadcasts. The class fan-out multiplies (doc,token) rows by |C|
+    * before the final per-doc aggregation — bounded, no global windows,
+    * no driver state. */
+  def naiveBayes(train: DataFrame, score: DataFrame, idCol: String,
+                 labelCol: String, textCol: String,
+                 alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    require(!idCol.startsWith("__") && !labelCol.startsWith("__"),
+      s"id/label columns must not use the reserved __ namespace " +
+        s"(got '$idCol', '$labelCol')")
+    val id = col(idCol)
+    val label = col(labelCol)
+
+    def tokens(df: DataFrame) = df.select(df.columns.map(col).toSeq :+
+      explode(minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), 1)).as("__tok"): _*)
+
+    // ---- model: all derived from ONE pass over the train corpus ----
+    val trainTok = tokens(train.select(label, col(textCol)))
+    val clsTok = trainTok.groupBy(label, col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val clsTot = clsTok.groupBy(label).agg(sum(col("__c")).as("__tot"))
+    val vocabSize = clsTok.agg(count_distinct(col("__tok")).as("__v"))
+    val nDocs = train.groupBy(label).agg(count(lit(1)).as("__nd"))
+    val nTotal = train.agg(count(lit(1)).as("__ndtot"))
+    val classes = nDocs.crossJoin(broadcast(nTotal))
+      .select(label,
+        round(log(col("__nd").cast("double") / col("__ndtot")), 9)
+          .as("__lpr"))
+    val trainVocab = clsTok.select(col("__tok")).distinct()
+
+    // ---- score: per-(doc, class) token log-likelihood sums ----
+    val docTok = tokens(score.select(id, col(textCol)))
+      .groupBy(id, col("__tok")).agg(count(lit(1)).as("__n"))
+      .join(trainVocab, "__tok") // drop OOV tokens (standard NB)
+    val tokSums = docTok
+      .crossJoin(broadcast(classes.select(label)))
+      .join(clsTok, Seq(labelCol, "__tok"), "left")
+      .join(clsTot, Seq(labelCol))
+      .crossJoin(broadcast(vocabSize))
+      .withColumn("__lp", round(log(
+        (coalesce(col("__c"), lit(0L)) + alpha) /
+          (col("__tot") + lit(alpha) * col("__v"))), 9))
+      .groupBy(id, label).agg(sum(col("__n") * col("__lp")).as("__tl"))
+
+    // every (doc, class) pair keeps a row — a no-in-vocab-token doc is
+    // scored by priors alone
+    val pairs = score.select(id)
+      .crossJoin(broadcast(classes))
+      .join(tokSums, Seq(idCol, labelCol), "left")
+      .select(id, label,
+        round(col("__lpr") + coalesce(col("__tl"), lit(0.0)), 6)
+          .as("__score"))
+
+    // engine-replayable argmax in ONE bounded aggregation: min over
+    // (−score, label) structs = max score with ties to the MIN label
+    // (round-6 scores make tie equality stable; the DuckDB oracle replays
+    // the equivalent max-then-min-label two-step). A join-back two-step
+    // here would evaluate the whole model+score plan twice.
+    pairs.groupBy(id)
+      .agg(min(struct((-col("__score")).as("__neg"), label.as("__lbl")))
+        .as("__b"))
+      .select(id, col("__b.__lbl").as("label_pred"),
+        (-col("__b.__neg")).as("score"))
+  }
+}

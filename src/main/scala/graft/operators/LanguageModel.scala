@@ -163,4 +163,92 @@ object LanguageModel {
           .when(col("ppl") <= p66, "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** Per-document average unigram log-likelihood under an add-α-smoothed
+    * model trained on `train`:
+    *   P(w) = (c(w) + α) / (N + α·V)
+    * with N = total train tokens, V = distinct train vocabulary. Output
+    * (idCol, n_tokens, avg_ll); OOV tokens of scored docs take the
+    * smoothed zero count (they stay in the denominator token count, unlike
+    * the NB classifier's drop-OOV convention — a likelihood RATIO consumer
+    * needs both models to score the same token multiset). Token-free docs
+    * keep a row: (0, 0.0). Per-token ln rounds to 9 before the weighted
+    * sum, outputs to 6 — the [[bigramLmScore]] determinism discipline.
+    * The model corpora must be non-empty (an empty model has V = 0 and
+    * every likelihood degenerates). */
+  def unigramAvgLl(train: DataFrame, score: DataFrame,
+                   idCol: String, textCol: String,
+                   alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    requireNoReserved(idCol)
+    val id = col(idCol)
+    def toks(df: DataFrame) = df.select(id,
+      explode(minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), 1)).as("__tok"))
+    val model = train
+      .select(explode(minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), 1)).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val totals = model.agg(sum(col("__c")).as("__tot"),
+      count(lit(1)).as("__v"))
+    val docTok = toks(score).groupBy(id, col("__tok"))
+      .agg(count(lit(1)).as("__n"))
+    val scored = docTok
+      .join(model, Seq("__tok"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp", round(log(
+        (coalesce(col("__c"), lit(0L)) + alpha) /
+          (col("__tot") + lit(alpha) * col("__v"))), 9))
+      .groupBy(id)
+      .agg(sum(col("__n")).as("__nt"), sum(col("__n") * col("__lp")).as("__sl"))
+    val nt = coalesce(col("__nt"), lit(0L))
+    score.select(id).join(scored, Seq(idCol), "left")
+      .select(id, nt.as("n_tokens"),
+        when(nt === 0, 0.0)
+          .otherwise(round(col("__sl") / col("__nt"), 6)).as("avg_ll"))
+  }
+
+  /** DSIR-style importance weighting for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): each
+    * candidate document is scored under a TARGET-domain model and a
+    * SOURCE (raw-corpus) model, and the per-token log-likelihood ratio
+    *   weight = avg_ll_target − avg_ll_source
+    * ranks how target-like the document is; the top `selectFraction` of
+    * candidates (weight ≥ the exact interpolated (1−f) percentile over ALL
+    * scored docs, round-6 both sides so the cut is boundary-stable) is
+    * marked selected. DSIR proper resamples with hashed-n-gram features;
+    * unigram models keep the mathematics engine-replayable value-for-value
+    * while preserving the estimator's shape — swap [[unigramAvgLl]] for a
+    * bigram scorer for more context sensitivity.
+    *
+    * Output: (idCol, n_tokens, ll_target, ll_source, weight, selected
+    * 0/1). Token-free docs carry weight 0 and rank with everything else.
+    *
+    * Scale shape (100 TB): both models are distinct-vocabulary-bounded
+    * count tables off one explode each over their (typically small) train
+    * corpora; candidate scoring is the same per-(doc,token) aggregation +
+    * model join as [[bigramLmScore]]. The selection threshold is ONE
+    * interpolated percentile over per-doc weights — exact here for oracle
+    * replay, the KLL sketch ([[graft.functions.exprs.kllQuantiles]]) at
+    * full corpus scale, same note as [[pplBuckets]]. */
+  def dsirWeights(target: DataFrame, source: DataFrame, score: DataFrame,
+                  idCol: String, textCol: String, alpha: Double = 0.5,
+                  selectFraction: Double = 0.25): DataFrame = {
+    require(selectFraction > 0 && selectFraction <= 1.0,
+      s"selectFraction must be in (0,1], got $selectFraction")
+    val tgt = unigramAvgLl(target, score, idCol, textCol, alpha)
+      .withColumnRenamed("avg_ll", "ll_target")
+    val src = unigramAvgLl(source, score, idCol, textCol, alpha)
+      .withColumnRenamed("avg_ll", "ll_source")
+      .withColumnRenamed("n_tokens", "__nt2")
+    val weighted = tgt.join(src, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("ll_target"), col("ll_source"),
+        round(col("ll_target") - col("ll_source"), 6).as("weight"))
+    val th = weighted.agg(round(
+      expr(s"percentile(weight, ${1.0 - selectFraction})"), 6).as("__th"))
+    weighted.crossJoin(broadcast(th))
+      .select(col(idCol), col("n_tokens"), col("ll_target"), col("ll_source"),
+        col("weight"),
+        (col("weight") >= col("__th")).cast("long").as("selected"))
+  }
 }

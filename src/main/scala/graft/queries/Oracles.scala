@@ -296,6 +296,136 @@ object Oracles {
       |FROM vl vd LEFT JOIN scored s ON vd.doc_id = s.doc_id
       |ORDER BY vd.doc_id""".stripMargin
 
+  /** nb_classify: the multinomial Naive Bayes retrained in SQL — md5-bucket
+    * train/val split, per-(class,token) add-0.5-smoothed likelihoods over
+    * the train vocabulary (val OOV tokens dropped, unseen (w,c) pairs
+    * through the smoothed zero), ln rounded to 9 before every weighted
+    * sum, per-(doc,class) scores rounded to 6, argmax as the same
+    * max-then-min-label two-step the Spark side uses. */
+  val nbClassify: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, text,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents),
+      |tr AS (SELECT doc_id, lang, text FROM b WHERE bucket < 204),
+      |vd AS (SELECT doc_id, text FROM b WHERE bucket >= 204 AND bucket < 230),
+      |trtok AS (
+      |  SELECT lang, unnest(list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0)) AS tok
+      |  FROM tr),
+      |cls_tok AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM trtok GROUP BY 1, 2),
+      |cls_tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot
+      |  FROM cls_tok GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT tok) AS vsz FROM cls_tok),
+      |train_vocab AS (SELECT DISTINCT tok FROM cls_tok),
+      |nd AS (SELECT lang, count(*) AS ndc FROM tr GROUP BY 1),
+      |ndt AS (SELECT count(*) AS ndtot FROM tr),
+      |classes AS (
+      |  SELECT lang, round(ln(CAST(ndc AS DOUBLE) / ndtot), 9) AS lpr
+      |  FROM nd CROSS JOIN ndt),
+      |doc_tok AS (
+      |  SELECT doc_id, tok, count(*) AS n FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0)) AS tok
+      |    FROM vd)
+      |  GROUP BY 1, 2),
+      |doc_tok_v AS (SELECT d.* FROM doc_tok d JOIN train_vocab USING (tok)),
+      |tok_sums AS (
+      |  SELECT d.doc_id, c.lang,
+      |    sum(d.n * round(ln((COALESCE(ct.c, 0) + 0.5)
+      |      / (tt.tot + 0.5 * vz.vsz)), 9)) AS tl
+      |  FROM doc_tok_v d
+      |  CROSS JOIN (SELECT lang FROM classes) c
+      |  LEFT JOIN cls_tok ct ON ct.lang = c.lang AND ct.tok = d.tok
+      |  JOIN cls_tot tt ON tt.lang = c.lang
+      |  CROSS JOIN vocab vz
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT v2.doc_id, cl.lang, round(cl.lpr + COALESCE(ts.tl, 0.0), 6) AS score
+      |  FROM (SELECT doc_id FROM vd) v2
+      |  CROSS JOIN classes cl
+      |  LEFT JOIN tok_sums ts ON ts.doc_id = v2.doc_id AND ts.lang = cl.lang),
+      |best AS (SELECT doc_id, max(score) AS best FROM pairs GROUP BY 1)
+      |SELECT p.doc_id, min(p.lang) AS label_pred, max(p.score) AS score
+      |FROM pairs p JOIN best b2 ON p.doc_id = b2.doc_id AND p.score = b2.best
+      |GROUP BY p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
+  /** dsir_select: both unigram models retrained in SQL — target = the
+    * train split's English docs, source = the whole train split — and the
+    * per-token log-likelihood ratio + exact interpolated 75th-percentile
+    * selection cut replayed value-for-value (quantile_cont ≡ Spark
+    * `percentile`, the price_percentiles convention; round-6 both sides of
+    * the cut comparison). OOV tokens keep the smoothed zero count and stay
+    * in the denominator (unlike NB's drop-OOV). */
+  val dsirSelect: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, text,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents),
+      |tr AS (SELECT doc_id, lang, text FROM b WHERE bucket < 204),
+      |vd AS (SELECT doc_id, text FROM b WHERE bucket >= 204 AND bucket < 230),
+      |tgt_model AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(list_filter(
+      |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0)) AS tok
+      |    FROM tr WHERE lang = 'en')
+      |  GROUP BY 1),
+      |tgt_tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+      |  CAST(count(*) AS BIGINT) AS v FROM tgt_model),
+      |src_model AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(list_filter(
+      |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0)) AS tok
+      |    FROM tr)
+      |  GROUP BY 1),
+      |src_tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+      |  CAST(count(*) AS BIGINT) AS v FROM src_model),
+      |doc_tok AS (
+      |  SELECT doc_id, tok, count(*) AS n FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0)) AS tok
+      |    FROM vd)
+      |  GROUP BY 1, 2),
+      |tgt_scored AS (
+      |  SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS nt,
+      |    sum(d.n * round(ln((COALESCE(m.c, 0) + 0.5)
+      |      / (t.tot + 0.5 * t.v)), 9)) AS sl
+      |  FROM doc_tok d LEFT JOIN tgt_model m USING (tok) CROSS JOIN tgt_tot t
+      |  GROUP BY 1),
+      |src_scored AS (
+      |  SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS nt,
+      |    sum(d.n * round(ln((COALESCE(m.c, 0) + 0.5)
+      |      / (t.tot + 0.5 * t.v)), 9)) AS sl
+      |  FROM doc_tok d LEFT JOIN src_model m USING (tok) CROSS JOIN src_tot t
+      |  GROUP BY 1),
+      |weights AS (
+      |  SELECT v2.doc_id,
+      |    COALESCE(ts.nt, 0) AS n_tokens,
+      |    CASE WHEN COALESCE(ts.nt, 0) = 0 THEN 0.0
+      |         ELSE round(ts.sl / ts.nt, 6) END AS ll_target,
+      |    CASE WHEN COALESCE(ss.nt, 0) = 0 THEN 0.0
+      |         ELSE round(ss.sl / ss.nt, 6) END AS ll_source,
+      |    round(CASE WHEN COALESCE(ts.nt, 0) = 0 THEN 0.0
+      |               ELSE round(ts.sl / ts.nt, 6) END
+      |        - CASE WHEN COALESCE(ss.nt, 0) = 0 THEN 0.0
+      |               ELSE round(ss.sl / ss.nt, 6) END, 6) AS weight
+      |  FROM vd v2
+      |  LEFT JOIN tgt_scored ts ON ts.doc_id = v2.doc_id
+      |  LEFT JOIN src_scored ss ON ss.doc_id = v2.doc_id),
+      |th AS (SELECT round(quantile_cont(weight, 0.75), 6) AS t FROM weights)
+      |SELECT doc_id, n_tokens, ll_target, ll_source, weight,
+      |  CAST(weight >= t AS BIGINT) AS selected
+      |FROM weights, th ORDER BY doc_id""".stripMargin
+
   /** ppl_buckets: CCNet's head/middle/tail corpus split by LM perplexity —
     * thresholds are exact interpolated percentiles (Spark `percentile` ≡
     * DuckDB `quantile_cont`, the price_percentiles convention) over docs

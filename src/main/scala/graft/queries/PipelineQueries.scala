@@ -105,6 +105,37 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Model-based document classification (the GPT-3/CCNet quality-routing
+    * stage): multinomial Naive Bayes trained on the md5 hash-split TRAIN
+    * partition's `lang` labels, predicting labels for the held-out val
+    * docs. On this synthetic corpus (shared vocabulary across langs) the
+    * accuracy is near-chance BY CONSTRUCTION — the oracle value-checks the
+    * full train/score mathematics, and ClassifierSpec pins real separation
+    * on a class-distinct-vocabulary fixture. */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = Sampling.hashSplit(t(spark, dir, "documents"), "doc_id")
+    graft.operators.Classifier.naiveBayes(
+        withSplit.where(col("split") === "train"),
+        withSplit.where(col("split") === "val"),
+        "doc_id", "lang", "text", alpha = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR-style importance weighting: target model = the train split's
+    * English docs, source model = the whole train split, val docs scored
+    * by the per-token log-likelihood ratio; top 25% marked selected. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = Sampling.hashSplit(t(spark, dir, "documents"), "doc_id")
+    val train = withSplit.where(col("split") === "train")
+    LanguageModel.dsirWeights(
+        target = train.where(col("lang") === "en"),
+        source = train,
+        score = withSplit.where(col("split") === "val"),
+        idCol = "doc_id", textCol = "text",
+        alpha = 0.5, selectFraction = 0.25)
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet head/middle/tail split of the corpus by LM perplexity. */
   def pplBucketsQ(spark: SparkSession, dir: String): DataFrame =
     LanguageModel.pplBuckets(

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.minhashExprs
+import graft.operators.Dedup
+
+/** Streaming NEAR-duplicate corpus ingestion — the incremental form of
+  * [[graft.operators.Dedup.minhashPairs]]: documents arrive in micro-batches
+  * and a doc is kept only if no already-ingested (or earlier-in-batch) doc
+  * is a verified MinHash near-duplicate of it. The exact streaming dedup
+  * ([[EventStreams.dedupStream]]) drops byte-identical re-arrivals; this
+  * drops NEAR-copies, which is what a crawl re-ingest actually produces.
+  *
+  * Mechanics (foreachBatch — the stream-static-join + upsert production
+  * pattern): the dedup state is two append-only parquet tables under
+  * `stateDir` — `bands` (band, bkey, id) and `sigs` (id, sig) — holding
+  * the LSH band keys and MinHash signatures of every KEPT doc. Each batch:
+  *
+  *  1. signature + band keys for the batch's docs (the same fused kernels
+  *     as the batch operator);
+  *  2. store hits: batch docs sharing any band bucket with a stored doc,
+  *     VERIFIED by signature-estimate ≥ threshold − 0.2 (the batch
+  *     operator's prefilter margin) — candidate-level collisions alone
+  *     don't drop;
+  *  3. within-batch: band self-join candidates, same verification; the
+  *     smallest id of each verified near-dup group survives (first-wins,
+  *     non-recursive: a doc drops iff a verified SMALLER candidate or a
+  *     store hit exists — conservative when that smaller doc itself drops,
+  *     and deterministic);
+  *  4. survivors' text appends to `kept`, their bands/sigs append to the
+  *     state tables.
+  *
+  * State is bounded by KEPT docs (each contributes `bands` rows + one
+  * 64-long signature), not by stream volume — re-ingested duplicates add
+  * nothing. At 100 TB the state tables are ordinary relations: the
+  * band-key join is an equi-join a real deployment would back with a Delta
+  * table compacted by [[graft.operators.Maintenance.optimize]]; the
+  * per-batch work is one broadcast-or-shuffle join per state table, no
+  * driver-side state, no all-pairs stage. Exactly-once: foreachBatch can
+  * re-run a batch on failure — production would write state through the
+  * atomic commit claims of [[graft.deltalog.DeltaFixtureWriter]]
+  * (idempotent by batchId); the parquet-append form here keeps the test
+  * surface minimal and the mechanics identical.
+  */
+final class NearDupIngest(
+    stateDir: String, idCol: String, textCol: String,
+    numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7)
+    extends Serializable {
+  require(numHashes % bands == 0,
+    s"bands ($bands) must divide numHashes ($numHashes)")
+  private val rowsPerBand = numHashes / bands
+
+  private def bandsDir = s"$stateDir/bands"
+  private def sigsDir = s"$stateDir/sigs"
+  def keptDir = s"$stateDir/kept"
+
+  private val bandSchema = StructType(Seq(
+    StructField("band", IntegerType), StructField("bkey", LongType),
+    StructField("sid", LongType)))
+  private val sigSchema = StructType(Seq(
+    StructField("sid", LongType),
+    StructField("ssig", ArrayType(LongType, containsNull = false))))
+
+  private def readOr(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    if (new java.io.File(dir).exists()) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** One micro-batch through the near-dup gate; also directly usable as a
+    * batch-mode incremental ingest step. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val withSig = batch
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashExprs.minhashSig(
+        minhashExprs.wordShingleSet(col("text"), 3), numHashes))
+      .cache()
+    try {
+      val bnd = withSig.select(col("id"),
+          explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+      val storeBands = readOr(spark, bandsDir, bandSchema)
+      val storeSigs = readOr(spark, sigsDir, sigSchema)
+      val storeHits = bnd.join(storeBands, Seq("band", "bkey"))
+        .select(col("id"), col("sid")).distinct()
+        .join(withSig.select(col("id"), col("sig")), Seq("id"))
+        .join(storeSigs, Seq("sid"))
+        .where(Dedup.sigEstimate(col("sig"), col("ssig")) >= threshold - 0.2)
+        .select(col("id")).distinct()
+
+      val a = bnd.alias("a"); val b = bnd.alias("b")
+      val sigOf = withSig.select(col("id"), col("sig"))
+      val batchLosers = a.join(b,
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+        .join(sigOf.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigOf.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .where(Dedup.sigEstimate(col("sig_a"), col("sig_b")) >= threshold - 0.2)
+        .select(col("id_b").as("id")).distinct()
+
+      val kept = withSig
+        .join(storeHits.union(batchLosers).distinct(), Seq("id"), "left_anti")
+        .cache()
+      kept.count() // materialize before appending to the dirs the plan read
+
+      kept.select(col("id").as(idCol), col("text").as(textCol))
+        .write.mode("append").parquet(keptDir)
+      kept.select(col("id").as("sid"), col("sig").as("ssig"))
+        .write.mode("append").parquet(sigsDir)
+      kept.select(col("id"),
+          explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+          col("id").as("sid"))
+        .write.mode("append").parquet(bandsDir)
+      kept.unpersist()
+    } finally withSig.unpersist()
+  }
+
+  /** Drive a document stream through the gate until no more input is
+    * available (Trigger.AvailableNow — the incremental-ingest-job shape). */
+  def ingest(stream: DataFrame, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The corpus that survived ingestion so far. */
+  def kept(spark: SparkSession): DataFrame =
+    readOr(spark, keptDir, StructType(Seq(
+      StructField(idCol, LongType), StructField(textCol, StringType))))
+}

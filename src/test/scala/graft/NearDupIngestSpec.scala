@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.NearDupIngest
+
+/** Streaming near-dup ingestion: cross-batch near-copy suppression,
+  * within-batch first-wins, non-duplicates untouched, and equivalence with
+  * one-doc-per-batch sequential ingestion. */
+class NearDupIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  // long shared bodies so near-copies genuinely collide in MinHash bands
+  private val bodyA = "the quick brown fox jumps over the lazy dog while " +
+    "the corpus pipeline deduplicates long repeated crawl paragraphs " +
+    "token by token across every shard of the training data lake"
+  private val bodyB = "completely different content about relational " +
+    "query engines shuffling partitioned columnar batches through " +
+    "whole stage generated operators with adaptive execution enabled"
+
+  private def nearCopy(base: String, tag: String) = s"$base $tag"
+
+  test("cross-batch near-copies drop; distinct docs survive") {
+    val state = tmpDir("ndi_state")
+    val gate = new NearDupIngest(state, "doc_id", "text")
+    gate.processBatch(Seq((1L, bodyA), (2L, bodyB)).toDF("doc_id", "text"), 0L)
+    // batch 2: near-copies of both kept docs + one genuinely new doc
+    gate.processBatch(Seq(
+      (10L, nearCopy(bodyA, "trailing edit")),
+      (11L, nearCopy(bodyB, "другой suffix")),
+      (12L, "entirely novel third topic discussing winnowing fingerprints " +
+        "and content defined chunk boundaries for substring level dedup " +
+        "across immutable snapshots of the ingested corpus")
+    ).toDF("doc_id", "text"), 1L)
+    val kept = gate.kept(spark).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 12L))
+  }
+
+  test("within-batch: smallest id of a near-dup group wins") {
+    val state = tmpDir("ndi_batchwins")
+    val gate = new NearDupIngest(state, "doc_id", "text")
+    gate.processBatch(Seq(
+      (7L, nearCopy(bodyA, "v seven")),
+      (3L, nearCopy(bodyA, "v three")),
+      (5L, bodyB)
+    ).toDF("doc_id", "text"), 0L)
+    assert(gate.kept(spark).collect().map(_.getLong(0)).toSet === Set(3L, 5L))
+  }
+
+  test("two-batch ingest == one-doc-per-batch sequential ingest") {
+    val docs = Seq(
+      (1L, bodyA), (2L, bodyB),
+      (3L, nearCopy(bodyA, "edited tail")),
+      (4L, nearCopy(bodyB, "another tail")),
+      (5L, "unique fifth document about stratified temperature scaled " +
+        "sampling quotas balancing multilingual corpus mixtures under " +
+        "deterministic md5 bucket assignment for reproducible training runs"))
+    val twoBatch = new NearDupIngest(tmpDir("ndi_two"), "doc_id", "text")
+    twoBatch.processBatch(docs.take(2).toDF("doc_id", "text"), 0L)
+    twoBatch.processBatch(docs.drop(2).toDF("doc_id", "text"), 1L)
+    val seq = new NearDupIngest(tmpDir("ndi_seq"), "doc_id", "text")
+    docs.zipWithIndex.foreach { case (d, i) =>
+      seq.processBatch(Seq(d).toDF("doc_id", "text"), i.toLong)
+    }
+    val a = twoBatch.kept(spark).collect().map(_.getLong(0)).toSet
+    val b = seq.kept(spark).collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a === Set(1L, 2L, 5L))
+  }
+
+  test("foreachBatch stream drive (AvailableNow) matches batch semantics") {
+    val dir = tmpDir("ndi_stream_in")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Seq((1L, bodyA), (2L, bodyB)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Thread.sleep(1100)
+    Seq((10L, nearCopy(bodyA, "stream copy")), (11L, "fresh streaming doc " +
+      "about bounded state stores holding one open session per live user " +
+      "under event time watermarks across micro batch restarts"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b2")
+    val gate = new NearDupIngest(tmpDir("ndi_stream_state"), "doc_id", "text")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val q = gate.ingest(stream, tmpDir("ndi_ckpt"))
+    q.awaitTermination(120000)
+    val kept = gate.kept(spark).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 11L))
+  }
+}
