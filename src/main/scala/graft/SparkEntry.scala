@@ -139,7 +139,10 @@ object SparkEntry {
     // round 10: DSIR-style importance weighting (Xie et al. '23 data
     // selection) — target/source likelihood-ratio weights + top-quantile
     // selection, both unigram models retrained by the oracle in SQL
-    "dsir_select" -> (PipelineQueries.dsirSelect _))
+    "dsir_select" -> (PipelineQueries.dsirSelect _),
+    // round 10: UniMax water-filling language mixing (budget split as
+    // evenly as epoch caps allow; bit-replayable integer/IEEE arithmetic)
+    "unimax_sample" -> (PipelineQueries.unimaxSampleQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -283,5 +286,6 @@ object SparkEntry {
     "dedup_substring" -> Oracles.dedupSubstring,
     "corpus_pipeline_full" -> Oracles.corpusPipelineFull,
     "nb_classify" -> Oracles.nbClassify,
-    "dsir_select" -> Oracles.dsirSelect)
+    "dsir_select" -> Oracles.dsirSelect,
+    "unimax_sample" -> Oracles.unimaxSample)
 }

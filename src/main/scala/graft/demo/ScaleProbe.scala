@@ -295,6 +295,69 @@ object ScaleProbe {
         s"expected only identical-copy pairs at sim=1.0: $fullSim/$simPairs")
       graft.operators.Dedup.unpersistAll()
     }
+    // --- round-10 probes: NB classification, DSIR weighting, and the
+    // streaming near-dup ingest gate at 10x. The 10-copy corpus again
+    // turns into guarantees: ingesting all 50k docs must keep exactly the
+    // 5000 distinct texts (copies are byte-identical -> exact prefilter
+    // in-batch, estimate-1.0 store hits across batches). ---
+    locally {
+      val split = graft.operators.Sampling.hashSplit(docs, "doc_id")
+      val tr = split.where(col("split") === "train")
+      val va = split.where(col("split") === "val")
+      var preds = 0L
+      time("NB classify (5-way lang) over 50k docs, train->val") {
+        preds = graft.operators.Classifier.naiveBayes(
+          tr, va, "doc_id", "lang", "text").count()
+        preds
+      }
+      val nVal = va.count()
+      require(preds == nVal, s"one prediction per val doc: $preds != $nVal")
+      var sel = 0L; var scoredN = 0L
+      time("DSIR weighting (en target vs train source) over 50k docs") {
+        val w = graft.operators.LanguageModel.dsirWeights(
+          tr.where(col("lang") === "en"), tr, va, "doc_id", "text")
+        scoredN = w.count()
+        sel = w.where(col("selected") === 1L).count()
+        scoredN
+      }
+      println(s"  DSIR: $sel/$scoredN val docs selected (top-quantile cut)")
+      require(sel > 0 && sel < scoredN, "selection cut must be non-trivial")
+      // the 50k corpus is 10 exact copies x 5000 base docs (4992 distinct
+      // texts at sf0.1, plus organic near-dups in the small-vocab corpus):
+      // the gate must (a) suppress every exact copy — kept <= distinct
+      // texts — and (b) give the SAME kept set whether the corpus arrives
+      // as one batch or two (copies of a dropped doc hit the store through
+      // the doc that dropped it, so batching cannot change the outcome)
+      def runGate(batches: Seq[org.apache.spark.sql.DataFrame]): Set[Long] = {
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_ndi_probe").toString
+        val gate = new graft.streaming.NearDupIngest(
+          stateDir, "doc_id", "text")
+        batches.zipWithIndex.foreach { case (b, i) =>
+          gate.processBatch(b, i.toLong) }
+        val ids = gate.kept(spark).collect().map(_.getLong(0)).toSet
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(stateDir))
+        ids
+      }
+      var kept2: Set[Long] = Set.empty
+      time("near-dup ingest gate: 50k docs (10 exact copies x 5000) in 2 batches") {
+        kept2 = runGate(Seq(
+          docs.where(col("doc_id") < 500000000L),
+          docs.where(col("doc_id") >= 500000000L)))
+        kept2.size.toLong
+      }
+      val kept1 = runGate(Seq(docs))
+      val distinctTexts = docs.select(
+        graft.functions.TextFunctions.fingerprintMd5(col("text")))
+        .distinct().count()
+      println(s"  ingest gate: ${kept2.size} kept of 50k " +
+        s"($distinctTexts distinct texts; 1-batch run: ${kept1.size})")
+      require(kept2 == kept1,
+        s"batching changed the kept set: ${kept2.size} vs ${kept1.size}")
+      require(kept2.size <= distinctTexts && kept2.size > 1000,
+        s"kept ${kept2.size} outside (1000, $distinctTexts]")
+    }
     // --- round-7 maintenance probes: OPTIMIZE ZORDER (both cell modes) and
     // Change Data Feed over a ~6M-row Delta table ---
     locally {

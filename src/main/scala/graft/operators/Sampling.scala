@@ -169,6 +169,103 @@ object Sampling {
     * survives stage 1, and all rows ordered before it do too — and the
     * output stays layout-independent even though the salt is the physical
     * partition id. Adds `priority` (1-based rank within the group). */
+  /** [[quotaPerGroup]] with PER-GROUP quotas (a `quotas` relation of
+    * (groupCol, quota)) — the primitive under budget-allocating mixers
+    * like [[unimaxSample]]. Same two-stage salted-window shape and the
+    * same md5-priority order; groups absent from `quotas` are dropped
+    * (no quota = no budget). `quotas` is group-cardinality-bounded and
+    * broadcast. */
+  def quotaPerGroups(df: DataFrame, idCol: String, groupCol: String,
+                     quotas: DataFrame): DataFrame = {
+    val ord = Seq(hashBucket(col(idCol)).asc, col(idCol).asc)
+    val partial = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("_graft_salt"))
+      .orderBy(ord: _*)
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(ord: _*)
+    df.join(broadcast(quotas.select(col(groupCol), col("quota"))), Seq(groupCol))
+      .withColumn("_graft_salt", spark_partition_id())
+      .withColumn("_graft_partial", row_number().over(partial))
+      .where(col("_graft_partial") <= col("quota"))
+      .drop("_graft_salt", "_graft_partial")
+      .withColumn("priority", row_number().over(global).cast("long"))
+      .where(col("priority") <= col("quota"))
+      .drop("quota")
+  }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining"):
+    * distribute a total `budget` across groups (languages) as uniformly as
+    * possible, capping each group at `maxEpochs` passes over its `n`
+    * available items — the water-filling allocation that gives every
+    * low-resource language its full (epoch-capped) corpus and splits the
+    * remaining budget evenly among the rest.
+    *
+    * Closed form over groups sorted by cap = maxEpochs·n ascending: with
+    * prefix sums cum_i and r_i = (budget − cum_{i−1}) / (L − i + 1), the
+    * capped groups are exactly the prefix where cap_i ≤ r_i, the water
+    * level t is r at the FIRST uncapped row (equivalently max(r) over
+    * uncapped rows — r is non-decreasing along the capped prefix and
+    * decreasing after it), and alloc_i = least(cap_i, t); if every group
+    * is capped (budget ≥ Σcap) alloc = cap and the budget is deliberately
+    * underused — the epoch cap binds, which is UniMax's whole point.
+    * Cross-engine determinism: prefix sums accumulate the INTEGER counts
+    * and multiply by maxEpochs once (cum_i ≡ (Σ_{j≤i} n_j)·E — the k-means
+    * quantized-integer-sum lesson: float accumulation order never enters),
+    * and the rest is IEEE-correctly-rounded mul/div, so the allocation
+    * replays bit-for-bit in any engine; only the derived epochs rate is
+    * rounded (6).
+    *
+    * Output: (groupCol, n, alloc, quota = floor(alloc), epochs =
+    * round(alloc/n, 6)). The rank/prefix-sum step is a WINDOWLESS
+    * L×L self-join — L is group cardinality (languages), bounded by
+    * construction, and a global window (even one keyed by a constant,
+    * which constant-folding empties back out) would drag the
+    * single-partition WindowExec warning into every consumer's logs. */
+  def unimaxAllocation(counts: DataFrame, groupCol: String,
+                       budget: Long, maxEpochs: Double): DataFrame = {
+    require(budget > 0, s"bad budget $budget")
+    require(maxEpochs > 0, s"bad maxEpochs $maxEpochs")
+    val tot = counts.agg(count(lit(1)).as("__L"))
+    val a = counts.select(col(groupCol), col("n"))
+    val b = counts.select(col(groupCol).as("__g2"), col("n").as("__n2"))
+    val ranked = a.join(broadcast(b),
+        col("__n2") < col("n") ||
+          (col("__n2") === col("n") && col("__g2") <= col(groupCol)))
+      .groupBy(col(groupCol), col("n"))
+      .agg(sum(col("__n2")).as("__cumn"), count(lit(1)).as("__i"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__cap", col("n").cast("double") * maxEpochs)
+      .withColumn("__r",
+        (lit(budget.toDouble)
+          - (col("__cumn") - col("n")).cast("double") * maxEpochs)
+          / (col("__L") - col("__i") + 1))
+      .withColumn("__capped", col("__cap") <= col("__r"))
+    val level = ranked.agg(
+      max(when(!col("__capped"), col("__r"))).as("__t"))
+    ranked.crossJoin(broadcast(level))
+      .select(col(groupCol), col("n"),
+        least(col("__cap"), coalesce(col("__t"), col("__cap"))).as("alloc"))
+      .withColumn("quota", floor(col("alloc")).cast("long"))
+      .withColumn("epochs", round(col("alloc") / col("n"), 6))
+  }
+
+  /** UniMax sampling: [[unimaxAllocation]] over the per-group counts, then
+    * the top-quota rows of each group in md5-priority order
+    * ([[quotaPerGroups]]). With maxEpochs ≤ 1 this is a subset sample;
+    * above 1 the allocation records how many epochs of each group a
+    * repetition-tolerant consumer should take (quota caps at the group's
+    * row count — the relational output never duplicates rows). */
+  def unimaxSample(df: DataFrame, idCol: String, groupCol: String,
+                   budget: Long, maxEpochs: Double = 1.0): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val alloc = unimaxAllocation(counts, groupCol, budget, maxEpochs)
+      .select(col(groupCol),
+        least(col("quota"), col("n")).as("quota"))
+    quotaPerGroups(df, idCol, groupCol, alloc)
+  }
+
   def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
                     quota: Int): DataFrame = {
     require(quota > 0, s"bad quota $quota")

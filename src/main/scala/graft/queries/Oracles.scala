@@ -577,6 +577,46 @@ object Oracles {
       |  FROM documents)
       |WHERE priority <= 8 ORDER BY doc_id""".stripMargin
 
+  /** unimax_sample: the UniMax water-filling allocation replayed in SQL —
+    * per-lang counts, caps sorted ascending with prefix sums, the
+    * r_i = (B − cum_{i−1})/(L−i+1) ladder, water level t = max(r) over
+    * uncapped rows, alloc = least(cap, coalesce(t, cap)) — every step is
+    * integer counts + IEEE division, bit-identical across engines — then
+    * the per-lang floor(alloc) quota applied in the same md5-priority
+    * order as source_quota. Budget 400, maxEpochs 1.0. */
+  val unimaxSample: String =
+    """WITH counts AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+      |ranked AS (
+      |  SELECT lang, n, CAST(n AS DOUBLE) * 1.0 AS cap,
+      |    CAST(row_number() OVER
+      |      (ORDER BY n ASC, lang ASC) AS BIGINT) AS i,
+      |    CAST(sum(n) OVER (ORDER BY n ASC, lang ASC
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn,
+      |    (SELECT count(*) FROM counts) AS L
+      |  FROM counts),
+      |laddered AS (
+      |  SELECT lang, n, cap,
+      |    (400.0 - CAST(cumn - n AS DOUBLE) * 1.0) / (L - i + 1) AS r
+      |  FROM ranked),
+      |lev AS (SELECT max(CASE WHEN NOT (cap <= r) THEN r END) AS t
+      |  FROM laddered),
+      |q AS (
+      |  SELECT lang, n,
+      |    CAST(floor(least(cap, COALESCE(t, cap))) AS BIGINT) AS quota
+      |  FROM laddered CROSS JOIN lev),
+      |sel AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+      |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) ASC,
+      |      doc_id ASC) AS BIGINT) AS priority
+      |  FROM documents)
+      |SELECT s.doc_id, s.lang, s.priority
+      |FROM sel s JOIN q USING (lang)
+      |WHERE s.priority <= least(q.quota, q.n)
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Stratified language mix: en keeps buckets < 76 (~30%), zh < 192
     * (~75%), everything else all 256. */
   val stratifiedSample: String =

@@ -136,6 +136,16 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** UniMax language mixing: water-filling a 400-doc budget across the
+    * five lang strata at maxEpochs=1 — low-resource langs keep their whole
+    * corpus, the surplus splits evenly, selection is md5-priority. */
+  def unimaxSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.unimaxSample(
+        t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", budget = 400L, maxEpochs = 1.0)
+      .select(col("doc_id"), col("lang"), col("priority"))
+      .orderBy(col("doc_id"))
+
   /** CCNet head/middle/tail split of the corpus by LM perplexity. */
   def pplBucketsQ(spark: SparkSession, dir: String): DataFrame =
     LanguageModel.pplBuckets(

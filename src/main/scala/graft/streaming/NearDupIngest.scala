@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.functions.minhashExprs
-import graft.operators.Dedup
+import graft.functions.{minhashExprs, TextFunctions}
+import graft.operators.{Dedup, ScaleOps}
 
 /** Streaming NEAR-duplicate corpus ingestion — the incremental form of
   * [[graft.operators.Dedup.minhashPairs]]: documents arrive in micro-batches
@@ -48,7 +48,8 @@ import graft.operators.Dedup
   */
 final class NearDupIngest(
     stateDir: String, idCol: String, textCol: String,
-    numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7)
+    numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+    bucketCap: Int = 1000)
     extends Serializable {
   require(numHashes % bands == 0,
     s"bands ($bands) must divide numHashes ($numHashes)")
@@ -74,8 +75,18 @@ final class NearDupIngest(
     * batch-mode incremental ingest step. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val withSig = batch
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // EXACT within-batch dedup first (keep-min-id per normalized-text md5,
+    // one hash aggregation): a degenerate batch of identical docs must not
+    // reach the band self-join, whose bucket cap would otherwise skip the
+    // oversized buckets and wave every copy through — the same division of
+    // labor as the batch operator (exactTextGroups catches identical text,
+    // the LSH cap only ever drops what exact dedup already handles)
+    val withSig = Dedup.dedupKeepMin(
+        batch.select(col(idCol).cast("long").as("id"),
+          col(textCol).as("text"),
+          TextFunctions.fingerprintMd5(col(textCol)).as("__fp")),
+        "id", Seq("__fp"))
+      .drop("__fp")
       .withColumn("sig", minhashExprs.minhashSig(
         minhashExprs.wordShingleSet(col("text"), 3), numHashes))
       .cache()
@@ -93,7 +104,14 @@ final class NearDupIngest(
         .where(Dedup.sigEstimate(col("sig"), col("ssig")) >= threshold - 0.2)
         .select(col("id")).distinct()
 
-      val a = bnd.alias("a"); val b = bnd.alias("b")
+      // oversized band buckets are dropped from the SELF-join only (the
+      // exact prefilter above already removed identical text, so a huge
+      // bucket is adversarial near-identical spam — same guard +
+      // drop-metrics as the batch operator); the store-membership check
+      // stays uncapped so nothing sneaks past the already-kept corpus
+      val capped = ScaleOps.capBuckets(bnd, Seq("band", "bkey"),
+        bucketCap, "ingest").cache()
+      val a = capped.alias("a"); val b = capped.alias("b")
       val sigOf = withSig.select(col("id"), col("sig"))
       val batchLosers = a.join(b,
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -119,6 +137,7 @@ final class NearDupIngest(
           col("id").as("sid"))
         .write.mode("append").parquet(bandsDir)
       kept.unpersist()
+      capped.unpersist()
     } finally withSig.unpersist()
   }
 

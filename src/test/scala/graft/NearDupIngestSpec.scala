@@ -69,6 +69,18 @@ class NearDupIngestSpec extends SparkSuite {
     assert(a === Set(1L, 2L, 5L))
   }
 
+  test("degenerate batch: identical-doc flood is caught by the exact " +
+      "prefilter even under a tiny bucket cap") {
+    val gate = new NearDupIngest(tmpDir("ndi_degen"), "doc_id", "text",
+      bucketCap = 5)
+    // 50 identical docs would blow any band bucket past cap=5 — the cap
+    // drops those buckets from the self-join, and the exact keep-min-id
+    // prefilter must be what suppresses the flood
+    val flood = (1L to 50L).map(i => (i, bodyA))
+    gate.processBatch((flood :+ (100L -> bodyB)).toDF("doc_id", "text"), 0L)
+    assert(gate.kept(spark).collect().map(_.getLong(0)).toSet === Set(1L, 100L))
+  }
+
   test("foreachBatch stream drive (AvailableNow) matches batch semantics") {
     val dir = tmpDir("ndi_stream_in")
     val schema = StructType(Seq(

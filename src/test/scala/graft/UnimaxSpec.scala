@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** UniMax water-filling allocation and per-group-quota sampling:
+  * hand-computed mixed capped/uncapped split, budget-exhausted and
+  * epoch-capped regimes, and the variable-quota selection contract. */
+class UnimaxSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def countsDf(m: (String, Long)*) = m.toSeq.toDF("lang", "n")
+
+  test("hand-computed allocation: capped prefix + even split of surplus") {
+    // caps asc: fr 64, de 70, es 73, zh 75, en 218; B=400
+    // r: 80, 84, 88.67, 96.5, 118 -> first four capped, t=118
+    val got = Sampling.unimaxAllocation(
+        countsDf("en" -> 218L, "zh" -> 75L, "es" -> 73L,
+          "de" -> 70L, "fr" -> 64L),
+        "lang", budget = 400L, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got === Map(
+      "fr" -> (64L, 1.0), "de" -> (70L, 1.0), "es" -> (73L, 1.0),
+      "zh" -> (75L, 1.0), "en" -> (118L, 0.541284)))
+    // the allocation exactly exhausts the budget
+    assert(got.values.map(_._1).sum === 400L)
+  }
+
+  test("budget >= total cap: every group fully allocated, budget underused") {
+    val got = Sampling.unimaxAllocation(
+        countsDf("a" -> 10L, "b" -> 20L), "lang",
+        budget = 1000L, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("a" -> 10L, "b" -> 20L))
+  }
+
+  test("maxEpochs > 1 lets low-resource groups repeat; sample caps at rows") {
+    // caps: a=20 (10x2), b=200; B=60: r1=30>=20 capped, t=40
+    val alloc = Sampling.unimaxAllocation(
+        countsDf("a" -> 10L, "b" -> 100L), "lang",
+        budget = 60L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(alloc === Map("a" -> (20L, 2.0), "b" -> (40L, 0.4)))
+    val docs = ((1L to 10L).map(i => (i, "a")) ++
+      (100L to 199L).map(i => (i, "b"))).toDF("doc_id", "lang")
+    val sel = Sampling.unimaxSample(docs, "doc_id", "lang",
+        budget = 60L, maxEpochs = 2.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a's quota 20 caps at its 10 physical rows; b takes its 40
+    assert(sel === Map("a" -> 10L, "b" -> 40L))
+  }
+
+  test("uniform regime: nobody capped, equal shares") {
+    val got = Sampling.unimaxAllocation(
+        countsDf("x" -> 100L, "y" -> 200L, "z" -> 300L), "lang",
+        budget = 150L, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("x" -> 50L, "y" -> 50L, "z" -> 50L))
+  }
+
+  test("quotaPerGroups: per-group quotas enforced, missing groups dropped") {
+    val docs = ((1L to 30L).map(i => (i, "big")) ++
+      (31L to 40L).map(i => (i, "small")) ++
+      (41L to 45L).map(i => (i, "unbudgeted"))).toDF("doc_id", "lang")
+    val quotas = Seq(("big", 5L), ("small", 10L)).toDF("lang", "quota")
+    val got = Sampling.quotaPerGroups(docs, "doc_id", "lang", quotas)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("big" -> 5L, "small" -> 10L))
+    // same md5-priority order as the constant-quota operator
+    val const = Sampling.quotaPerGroup(
+        docs.where(col("lang") === "big"), "doc_id", "lang", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val varq = got.where(col("lang") === "big")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(const === varq)
+  }
+}
