@@ -69,6 +69,9 @@ object SparkEntry {
     // training-data pipeline extensions
     "token_stats" -> (PipelineQueries.tokenStats _),
     "quality_scores" -> (PipelineQueries.qualityScores _),
+    // round 10: Gopher rule filter (Rae et al. '21 A1.1) — per-rule
+    // signals + verdicts, all ratios rounded before their thresholds
+    "gopher_rules" -> (PipelineQueries.gopherRulesQ _),
     "lm_score" -> (PipelineQueries.lmScore _),
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
@@ -198,6 +201,7 @@ object SparkEntry {
     "semantic_dedup" -> Oracles.semanticDedup,
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
+    "gopher_rules" -> Oracles.gopherRules,
     "lm_score" -> Oracles.lmScore,
     "lm_heldout" -> Oracles.lmHeldout,
     "ppl_buckets" -> Oracles.pplBuckets,

@@ -173,6 +173,66 @@ object TextFunctions {
           .as("top_bigram_frac"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A1.1) — the
+    * named per-rule document filter every web-corpus pipeline runs before
+    * training, as opposed to [[qualityScore]]'s single composite number.
+    * Emits each measured signal AND its pass/fail verdict so downstream
+    * audits can see WHY a document dropped:
+    *  - `word_count` in [minWords, maxWords],
+    *  - `mean_word_len` in [3, 10] characters,
+    *  - `symbol_ratio` ('#' and '...' occurrences per word) ≤ 0.1,
+    *  - `bullet_ratio` (non-blank lines starting "- ", "* ", "• ") ≤ 0.9,
+    *  - `ellipsis_ratio` (non-blank lines ending "..." or "…") ≤ 0.3,
+    *  - `alpha_frac` (words containing ≥1 A–Za–z) ≥ 0.8,
+    *  - `stop_hits` (distinct Gopher stopwords present: the, be, to, of,
+    *    and, that, have, with) ≥ 2,
+    * `keep` = all rules hold. Every ratio is an exact integer division
+    * (IEEE-correctly-rounded, bit-identical across engines) rounded to 6
+    * BEFORE its threshold comparison, so the verdicts are boundary-stable
+    * in the DuckDB oracle replay. Pure row-local codegen'd projection —
+    * no aggregation, no shuffle; at 100 TB this is a map-only pass. */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, minWords: Int = 50,
+                  maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines)
+    def frac(num: Column, den: Column): Column =
+      when(den <= 0, 0.0).otherwise(round(num.cast("double") / den, 6))
+    val meanWl = when(nTok === 0, 0.0).otherwise(round(
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nTok,
+      6))
+    val symbolRatio = frac(
+      regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")),
+      nTok)
+    val bulletRatio = frac(size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))),
+      nLines)
+    val ellipsisRatio = frac(size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))), nLines)
+    val alphaFrac = frac(size(filter(toks, t => t.rlike("[A-Za-z]"))), nTok)
+    val stopHits = size(filter(array(GopherStopwords.map(lit(_)): _*),
+      w => array_contains(tokens(lower(text)), w))).cast("long")
+    df.select(col(idCol), nTok.as("word_count"), meanWl.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"), alphaFrac.as("alpha_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("word_count") >= minWords && col("word_count") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 && col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 && col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2L)
+  }
+
+  /** The 8 "must contain ≥2" words of Gopher rule A1.1(7). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Language identification via stopword/character n-gram evidence:
     * per-language stopword hit counts over the token set, CJK-character count
     * as the zh signal, argmax via Spark's struct ordering (greatest compares

@@ -443,6 +443,55 @@ object Oracles {
       |       ELSE 'tail' END AS bucket
       |FROM lmfinal, th ORDER BY doc_id""".stripMargin
 
+  /** gopher_rules: every signal recomputed with DuckDB list/regex
+    * primitives — same whitespace tokens, trimmed non-blank lines,
+    * non-overlapping '#'/'...' counts, rule thresholds on the identically
+    * rounded ratios. */
+  val gopherRules: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                t -> length(t) > 0) AS ltoks,
+      |    list_filter(list_transform(regexp_split_to_array(text, '\n'),
+      |                l -> trim(l)), l -> length(l) > 0) AS lines
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS word_count,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+      |      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |        / len(toks), 6) END AS mean_word_len,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+      |      CAST(len(regexp_extract_all(text, '#'))
+      |         + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+      |        / len(toks), 6) END AS symbol_ratio,
+      |    CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(
+      |      CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+      |         OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+      |        / len(lines), 6) END AS bullet_ratio,
+      |    CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(
+      |      CAST(len(list_filter(lines, l -> ends_with(l, '...')
+      |         OR ends_with(l, '…'))) AS DOUBLE)
+      |        / len(lines), 6) END AS ellipsis_ratio,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+      |      CAST(len(list_filter(toks,
+      |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+      |        / len(toks), 6) END AS alpha_frac,
+      |    CAST(len(list_filter(
+      |      ['the','be','to','of','and','that','have','with'],
+      |      w -> list_contains(ltoks, w))) AS BIGINT) AS stop_hits
+      |  FROM base)
+      |SELECT doc_id, word_count, mean_word_len, symbol_ratio, bullet_ratio,
+      |  ellipsis_ratio, alpha_frac, stop_hits,
+      |  (word_count >= 50 AND word_count <= 100000
+      |   AND mean_word_len >= 3 AND mean_word_len <= 10
+      |   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+      |   AND ellipsis_ratio <= 0.3 AND alpha_frac >= 0.8
+      |   AND stop_hits >= 2) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val qualityScores: String =
     """WITH base AS (
       |  SELECT doc_id, text,

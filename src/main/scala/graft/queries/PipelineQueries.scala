@@ -152,6 +152,11 @@ object PipelineQueries {
       t(spark, dir, "documents"), "doc_id", "text", alpha = 0.5)
       .orderBy(col("doc_id"))
 
+  /** Gopher rule audit over the corpus — per-rule signals + verdicts. */
+  def gopherRulesQ(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.gopherRules(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Composite quality score per document. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
