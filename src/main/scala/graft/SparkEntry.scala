@@ -72,6 +72,9 @@ object SparkEntry {
     // round 10: Gopher rule filter (Rae et al. '21 A1.1) — per-rule
     // signals + verdicts, all ratios rounded before their thresholds
     "gopher_rules" -> (PipelineQueries.gopherRulesQ _),
+    // round 10: Okapi BM25 ranked retrieval (lexical half of hybrid
+    // search) — integer-quantized contributions, BoundedTopK ranking
+    "bm25_search" -> (PipelineQueries.bm25SearchQ _),
     "lm_score" -> (PipelineQueries.lmScore _),
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
@@ -202,6 +205,7 @@ object SparkEntry {
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
     "gopher_rules" -> Oracles.gopherRules,
+    "bm25_search" -> Oracles.bm25Search,
     "lm_score" -> Oracles.lmScore,
     "lm_heldout" -> Oracles.lmHeldout,
     "ppl_buckets" -> Oracles.pplBuckets,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{exprs, TextFunctions}
+
+/** Full-text ranked retrieval over the corpus — the BM25 scoring that
+  * pairs with [[Similarity]]'s vector search for hybrid (lexical +
+  * semantic) retrieval in a training-data / RAG pipeline.
+  *
+  * Reference scope note: the reference engine (delta-lake-health) has no
+  * text-retrieval surface — this is part of the training-data extension
+  * the build brief asks for alongside dedup/similarity/text analysis.
+  */
+object Search {
+
+  /** Okapi BM25 top-`k` (Robertson & Zaragoza 2009, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond"):
+    *
+    *   score(q,d) = Σ_{t ∈ distinct(q)} idf(t) ·
+    *                tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    *   idf(t)     = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))   (Lucene
+    *                form — always positive, so stopword-heavy docs can't
+    *                go negative)
+    *
+    * Terms are [[TextFunctions.normalized]] whitespace tokens; query terms
+    * are DISTINCT (repeated query words don't double-count — the common
+    * search-engine convention).
+    *
+    * Cross-engine determinism (the k-means integer-sum lesson): each ln is
+    * rounded to 9 decimals, each per-term contribution is quantized to a
+    * 1e-9 integer, and the per-(query,doc) sum accumulates LONGS — exact
+    * and order-free — before one final division + round(6). Ranking is
+    * (score desc, doc_id asc) on the already-quantized score, so rank
+    * boundaries replay bit-for-bit in any engine.
+    *
+    * Scale shape (100 TB): one corpus-volume explode → (doc,term) hash
+    * aggregation (map-side combined) — the same stats pass
+    * [[CorpusOps.tfIdfTopTerms]] runs; df and corpus stats aggregate to
+    * vocabulary/one-row frames (broadcast). Query terms broadcast against
+    * the tf table keyed on term — the posting-list join — and ranking is a
+    * [[graft.functions.BoundedTopK]] hash aggregation: O(k) state per
+    * query, no global sort, no windows.
+    *
+    * @param corpus  (idCol, textCol) — ids must be unique LONGs
+    * @param queries (qIdCol, qTextCol) — broadcast-small query set
+    * @return (query_id, doc_id, score, rank), rank 1..k per query */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, qIdCol: String, qTextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"bad k $k")
+    require(k1 >= 0, s"bad k1 $k1")
+    require(b >= 0 && b <= 1, s"bad b $b (want [0,1])")
+    val terms = corpus.select(col(idCol).cast("long").as("doc_id"),
+      explode(TextFunctions.tokens(TextFunctions.normalized(col(textCol))))
+        .as("__t"))
+    val tf = terms.groupBy(col("doc_id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("__tf")).as("__dl"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // N and total token count in ONE one-row aggregate; avgdl = exact
+    // integer division result, identical in any IEEE engine
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
+    val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(
+        TextFunctions.normalized(col(qTextCol))))).as("__t"))
+    val avgdl = col("__tot").cast("double") / col("__n")
+    val idf = round(log(lit(1.0)
+      + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)), 9)
+    val contrib = idf * col("__tf") * (k1 + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * (col("__dl") / avgdl)))
+    val scored = broadcast(qterms)
+      .join(tf, "__t")
+      .join(broadcast(dfreq), "__t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", round(contrib * 1e9, 0).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("__s"))
+      .withColumn("score", round(col("__s").cast("double") / 1e9, 6))
+    scored.groupBy(col("query_id"))
+      .agg(exprs.boundedTopK(col("score"), col("doc_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("query_id"), col("nn.id").as("doc_id"),
+        col("nn.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+}

@@ -443,6 +443,60 @@ object Oracles {
       |       ELSE 'tail' END AS bucket
       |FROM lmfinal, th ORDER BY doc_id""".stripMargin
 
+  /** bm25_search: the whole Okapi BM25 computation replayed — tf, df,
+    * doc lengths, avgdl, the Lucene ln(1 + (N−df+0.5)/(df+0.5)) idf
+    * rounded to 9, per-term contributions quantized to 1e-9 integers and
+    * summed as BIGINTs (order-free), rank = (score desc, doc_id asc).
+    * Every decimal literal is mixed into a DOUBLE before arithmetic so
+    * DuckDB's decimal types never enter the computation. */
+  val bm25Search: String =
+    """WITH q(query_id, qtext) AS (VALUES
+      |  (1, 'spark window merge'), (2, 'fast hash join table'),
+      |  (3, 'stream batch query data'), (4, 'vector column filter')),
+      |terms AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+      |    '\s+'), t -> length(t) > 0)) AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      |  FROM terms GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |  FROM tf GROUP BY 1),
+      |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      |qt AS (
+      |  SELECT query_id, unnest(list_distinct(list_filter(
+      |    regexp_split_to_array(
+      |      trim(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g')),
+      |      '\s+'), t -> length(t) > 0))) AS t
+      |  FROM q),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    CAST(round(
+      |      round(ln(1.0 + (CAST(stats.n - dfreq.df AS DOUBLE) + 0.5)
+      |                     / (CAST(dfreq.df AS DOUBLE) + 0.5)), 9)
+      |      * tf.tf * (1.2 + 1.0)
+      |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75
+      |         * (CAST(dl.dl AS DOUBLE)
+      |            / (CAST(stats.tot AS DOUBLE) / stats.n))))
+      |      * 1e9) AS BIGINT) AS c
+      |  FROM qt JOIN tf USING (t) JOIN dfreq USING (t)
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+      |scored AS (
+      |  SELECT query_id, doc_id,
+      |    round(CAST(sum(c) AS DOUBLE) / 1e9, 6) AS score
+      |  FROM contrib GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id,
+      |    CAST(doc_id AS BIGINT) AS doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT query_id, doc_id, score, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** gopher_rules: every signal recomputed with DuckDB list/regex
     * primitives — same whitespace tokens, trimmed non-blank lines,
     * non-overlapping '#'/'...' counts, rule thresholds on the identically

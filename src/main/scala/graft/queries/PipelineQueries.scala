@@ -152,6 +152,20 @@ object PipelineQueries {
       t(spark, dir, "documents"), "doc_id", "text", alpha = 0.5)
       .orderBy(col("doc_id"))
 
+  /** BM25 ranked retrieval: four fixed lexical queries over the corpus,
+    * top-10 each — the lexical half of hybrid search. */
+  def bm25SearchQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(
+      (1L, "spark window merge"), (2L, "fast hash join table"),
+      (3L, "stream batch query data"), (4L, "vector column filter"))
+      .toDF("qid", "qtext")
+    graft.operators.Search.bm25TopK(
+        t(spark, dir, "documents"), qs, "doc_id", "text", "qid", "qtext",
+        k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Gopher rule audit over the corpus — per-rule signals + verdicts. */
   def gopherRulesQ(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.gopherRules(t(spark, dir, "documents"), "doc_id", "text")
