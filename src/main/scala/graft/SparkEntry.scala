@@ -75,6 +75,8 @@ object SparkEntry {
     // round 10: Okapi BM25 ranked retrieval (lexical half of hybrid
     // search) — integer-quantized contributions, BoundedTopK ranking
     "bm25_search" -> (PipelineQueries.bm25SearchQ _),
+    // round 10: BM25 + vector rankings fused by reciprocal rank (RRF)
+    "hybrid_search" -> (PipelineQueries.hybridSearchQ _),
     "lm_score" -> (PipelineQueries.lmScore _),
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
@@ -206,6 +208,7 @@ object SparkEntry {
     "quality_scores" -> Oracles.qualityScores,
     "gopher_rules" -> Oracles.gopherRules,
     "bm25_search" -> Oracles.bm25Search,
+    "hybrid_search" -> Oracles.hybridSearch,
     "lm_score" -> Oracles.lmScore,
     "lm_heldout" -> Oracles.lmHeldout,
     "ppl_buckets" -> Oracles.pplBuckets,

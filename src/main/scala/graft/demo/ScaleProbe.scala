@@ -358,6 +358,37 @@ object ScaleProbe {
       require(kept2.size <= distinctTexts && kept2.size > 1000,
         s"kept ${kept2.size} outside (1000, $distinctTexts]")
     }
+    // --- round-10 probes: retrieval surface (BM25, hybrid RRF) and the
+    // row-local Gopher filter at 10x ---
+    locally {
+      time("gopher rules (map-only filter) over 50k docs") {
+        graft.functions.TextFunctions.gopherRules(docs, "doc_id", "text")
+          .where(col("keep")).count()
+      }
+      val qs = docs.where(col("doc_id") < 4)
+        .select(col("doc_id"), col("text"))
+      var bm: Array[(Long, Long, Long)] = Array.empty
+      time("BM25 top-10 x 4 queries over 50k docs") {
+        bm = graft.operators.Search.bm25TopK(
+            docs, qs, "doc_id", "text", "doc_id", "text", k = 10)
+          .collect().map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("doc_id"), r.getAs[Long]("rank")))
+        bm.length.toLong
+      }
+      // each query doc contains every query term, its 10 id-shifted exact
+      // copies score identically, and the tie breaks to the lowest id —
+      // so the ORIGINAL query doc must sit at rank 1 of its own list
+      require(bm.count { case (q, d, r) => q == d && r == 1L } == 4,
+        "every query doc must retrieve itself at rank 1")
+      val lex = graft.operators.Search.bm25TopK(
+        docs, qs, "doc_id", "text", "doc_id", "text", k = 20)
+      val vec = graft.operators.Similarity.bruteForceTopK(
+          emb.where(col("vec_id") < 4), emb, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      time("hybrid RRF fuse (BM25 + brute-force cosine over 50k vectors)") {
+        graft.operators.Search.rrfFuse(Seq(lex, vec), k = 10).count()
+      }
+    }
     // --- round-7 maintenance probes: OPTIMIZE ZORDER (both cell modes) and
     // Change Data Feed over a ~6M-row Delta table ---
     locally {

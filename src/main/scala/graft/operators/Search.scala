@@ -86,4 +86,41 @@ object Search {
         col("nn.score").as("score"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * per-query rank lists — the standard way to combine BM25 and vector
+    * rankings into one hybrid result without score calibration:
+    *
+    *   rrf(q,d) = Σ_{lists containing d} 1 / (c + rank_list(q,d))
+    *
+    * Each input frame carries (query_id, doc_id, rank); only RANKS enter
+    * the fusion (the scores of different retrievers are incomparable —
+    * that incomparability is why RRF exists). Contributions are exact
+    * integer-quantized (1e9/(c+rank) rounded to a long) and summed as
+    * LONGS, so fusion of any number of lists is order-free and replays
+    * bit-for-bit in any engine. Output rank = (rrf desc, doc_id asc) via
+    * the same [[graft.functions.BoundedTopK]] O(k)-state aggregation as
+    * every other ranking — input lists are already top-k-bounded per
+    * query, so the fused candidate set is ≤ Σ list sizes per query. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+              c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0, s"bad k $k")
+    require(c >= 0, s"bad c $c")
+    val std = rankings.map(_.select(col("query_id").cast("long"),
+      col("doc_id").cast("long"), col("rank").cast("long")))
+    val unioned = std.reduce(_ unionAll _)
+    val fused = unioned
+      .withColumn("__c",
+        round(lit(1e9) / (lit(c.toDouble) + col("rank")), 0).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("__s"))
+      .withColumn("rrf", round(col("__s").cast("double") / 1e9, 6))
+    fused.groupBy(col("query_id"))
+      .agg(exprs.boundedTopK(col("rrf"), col("doc_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("query_id"), col("nn.id").as("doc_id"),
+        col("nn.score").as("rrf"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

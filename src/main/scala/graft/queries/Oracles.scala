@@ -497,6 +497,91 @@ object Oracles {
       |SELECT query_id, doc_id, score, rank FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** hybrid_search: BM25 (same CTEs as bm25_search, query docs 0–3 as
+    * their own lexical queries, top-20) + brute-force cosine (same CTEs
+    * as knn_bruteforce, top-20) fused by reciprocal rank — contributions
+    * 1e9/(60+rank) as exact BIGINTs, so the fusion is integer arithmetic
+    * end to end. */
+  val hybridSearch: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+      |    '\s+'), t -> length(t) > 0)) AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      |  FROM terms GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |  FROM tf GROUP BY 1),
+      |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      |qt AS (
+      |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
+      |    regexp_split_to_array(
+      |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+      |      '\s+'), t -> length(t) > 0))) AS t
+      |  FROM documents WHERE doc_id < 4),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    CAST(round(
+      |      round(ln(1.0 + (CAST(stats.n - dfreq.df AS DOUBLE) + 0.5)
+      |                     / (CAST(dfreq.df AS DOUBLE) + 0.5)), 9)
+      |      * tf.tf * (1.2 + 1.0)
+      |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75
+      |         * (CAST(dl.dl AS DOUBLE)
+      |            / (CAST(stats.tot AS DOUBLE) / stats.n))))
+      |      * 1e9) AS BIGINT) AS c
+      |  FROM qt JOIN tf USING (t) JOIN dfreq USING (t)
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+      |lexscored AS (
+      |  SELECT query_id, doc_id,
+      |    round(CAST(sum(c) AS DOUBLE) / 1e9, 6) AS score
+      |  FROM contrib GROUP BY 1, 2),
+      |lexranked AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM lexscored),
+      |vq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id < 4),
+      |vscored AS (
+      |  SELECT vq.query_id, e.vec_id AS doc_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS ne
+      |  FROM vq, embeddings e WHERE vq.query_id <> e.vec_id),
+      |vsim AS (
+      |  SELECT query_id, doc_id,
+      |    CASE WHEN nq = 0 OR ne = 0 THEN 0.0
+      |         ELSE dot / (sqrt(nq) * sqrt(ne)) END AS raw_cosine
+      |  FROM vscored),
+      |vranked AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY raw_cosine DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM vsim),
+      |unioned AS (
+      |  SELECT query_id, doc_id, rank FROM lexranked WHERE rank <= 20
+      |  UNION ALL
+      |  SELECT query_id, doc_id, rank FROM vranked WHERE rank <= 20),
+      |rrf AS (
+      |  SELECT query_id, doc_id,
+      |    round(CAST(sum(CAST(round(1e9 / (60 + rank)) AS BIGINT))
+      |      AS DOUBLE) / 1e9, 6) AS rrf
+      |  FROM unioned GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id,
+      |    CAST(doc_id AS BIGINT) AS doc_id, rrf,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM rrf)
+      |SELECT query_id, doc_id, rrf, rank FROM fr
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** gopher_rules: every signal recomputed with DuckDB list/regex
     * primitives — same whitespace tokens, trimmed non-blank lines,
     * non-overlapping '#'/'...' counts, rule thresholds on the identically

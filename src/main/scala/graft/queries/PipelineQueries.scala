@@ -166,6 +166,25 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid retrieval: four query documents retrieve lexically (BM25 over
+    * their own text, top-20) and semantically (brute-force cosine over the
+    * same-id embeddings, top-20); reciprocal-rank fusion (c=60) merges the
+    * two lists into a final top-10. Only ranks enter the fusion, so the
+    * result is integer-exact in both engines. */
+  def hybridSearchQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val lex = graft.operators.Search.bm25TopK(
+      docs,
+      docs.where(col("doc_id") < 4).select(col("doc_id"), col("text")),
+      "doc_id", "text", "doc_id", "text", k = 20)
+    val e = t(spark, dir, "embeddings")
+    val vec = Similarity.bruteForceTopK(e.where(col("vec_id") < 4), e,
+        "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.Search.rrfFuse(Seq(lex, vec), k = 10, c = 60)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Gopher rule audit over the corpus — per-rule signals + verdicts. */
   def gopherRulesQ(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.gopherRules(t(spark, dir, "documents"), "doc_id", "text")

@@ -64,4 +64,27 @@ class SearchSpec extends SparkSuite {
     val plan = bm25(1L -> "apple banana").queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
   }
+
+  test("rrfFuse: doc in both lists sums both reciprocal ranks") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfFuse(Seq(a, b)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("rrf"), r.getAs[Long]("rank"))).toMap
+    // doc 20: round(1e9/62) + round(1e9/61) = 32522475 -> 0.032522
+    assert(got(20L) === (0.032522, 1L))
+    assert(got(10L) === (0.016393, 2L))
+    assert(got(30L) === (0.016129, 3L))
+  }
+
+  test("rrfFuse: k bound and doc_id tie-break") {
+    // same single list twice -> all rrf doubled, ties impossible here;
+    // two docs at the same rank in different queries stay independent
+    val a = Seq((1L, 10L, 1L), (2L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1L), (2L, 12L, 1L)).toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("doc_id")).toMap
+    // per query both docs tie at 1/61 -> lower doc_id wins rank 1
+    assert(got === Map(1L -> 10L, 2L -> 10L))
+  }
 }
