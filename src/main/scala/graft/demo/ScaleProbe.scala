@@ -361,32 +361,65 @@ object ScaleProbe {
     // --- round-10 probes: retrieval surface (BM25, hybrid RRF) and the
     // row-local Gopher filter at 10x ---
     locally {
-      time("gopher rules (map-only filter) over 50k docs") {
-        graft.functions.TextFunctions.gopherRules(docs, "doc_id", "text")
-          .where(col("keep")).count()
-      }
-      val qs = docs.where(col("doc_id") < 4)
-        .select(col("doc_id"), col("text"))
-      var bm: Array[(Long, Long, Long)] = Array.empty
-      time("BM25 top-10 x 4 queries over 50k docs") {
+      // Gopher rules at 10x: this corpus carries only 'the' of the eight
+      // A1.1 stopwords, so the stopword rule correctly blocks everything —
+      // the PROBE guarantee is the named-rule audit itself: the emitted
+      // keep flag must equal the conjunction of the emitted signals'
+      // thresholds on all 50k rows (the boundary-rounding consistency a
+      // 500-row gate can't stress), and each signal rule must individually
+      // pass for a non-trivial slice
+      val g = graft.functions.TextFunctions
+        .gopherRules(docs, "doc_id", "text").cache()
+      time("gopher rules (map-only filter) over 50k docs") { g.count() }
+      val inconsistent = g.where(col("keep") =!= (
+        col("word_count") >= 50 && col("word_count") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 && col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 && col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2L)).count()
+      val passWc = g.where(col("word_count") >= 50).count()
+      val passStop = g.where(col("stop_hits") >= 2L).count()
+      println(s"  gopher audit: keep==AND(signals) violated on " +
+        s"$inconsistent/50000 rows; word-count rule passes $passWc, " +
+        s"stopword rule passes $passStop (sole blocker on this corpus)")
+      require(inconsistent == 0, "keep flag diverged from emitted signals")
+      require(passWc > 20000 && passStop == 0,
+        s"unexpected rule profile: wc=$passWc stop=$passStop")
+      g.unpersist()
+      // BM25 retrieval guarantee needs a term with KNOWN postings: plant a
+      // 10-copy family carrying tokens that exist nowhere else — only docs
+      // containing a query term can score, so the result must be exactly
+      // the family, ties broken by ascending id
+      // ids clear of the x10 copies' shifted ranges (copy 9 owns 9e8+...)
+      val family = (0 until 10).map(i => 5000000000L + i)
+      val planted = docs.select(col("doc_id"), col("text")).unionByName(
+        spark.createDataFrame(family.map(id =>
+          (id, "zzqalpha zzqbeta zzqgamma corpus sentinel words")))
+          .toDF("doc_id", "text"))
+      val qs = spark.createDataFrame(
+        Seq((999L, "zzqalpha zzqbeta"))).toDF("qid", "qtext")
+      var bm: Array[(Long, Long)] = Array.empty
+      time("BM25 top-10 over 50k docs + planted 10-copy unique-term family") {
         bm = graft.operators.Search.bm25TopK(
-            docs, qs, "doc_id", "text", "doc_id", "text", k = 10)
-          .collect().map(r => (r.getAs[Long]("query_id"),
-            r.getAs[Long]("doc_id"), r.getAs[Long]("rank")))
+            planted, qs, "doc_id", "text", "qid", "qtext", k = 10)
+          .collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[Long]("rank")))
         bm.length.toLong
       }
-      // each query doc contains every query term, its 10 id-shifted exact
-      // copies score identically, and the tie breaks to the lowest id —
-      // so the ORIGINAL query doc must sit at rank 1 of its own list
-      require(bm.count { case (q, d, r) => q == d && r == 1L } == 4,
-        "every query doc must retrieve itself at rank 1")
+      require(bm.sortBy(_._2).map(_._1).toSeq == family,
+        s"expected exactly the planted family in id order, got ${bm.toSeq}")
+      val qdocs = docs.where(col("doc_id") < 4)
+        .select(col("doc_id"), col("text"))
       val lex = graft.operators.Search.bm25TopK(
-        docs, qs, "doc_id", "text", "doc_id", "text", k = 20)
+        docs, qdocs, "doc_id", "text", "doc_id", "text", k = 20)
       val vec = graft.operators.Similarity.bruteForceTopK(
           emb.where(col("vec_id") < 4), emb, "vec_id", "embedding", k = 20)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       time("hybrid RRF fuse (BM25 + brute-force cosine over 50k vectors)") {
-        graft.operators.Search.rrfFuse(Seq(lex, vec), k = 10).count()
+        val fused = graft.operators.Search.rrfFuse(Seq(lex, vec), k = 10)
+          .collect()
+        require(fused.length == 40, s"expected 4x10 fused rows, got ${fused.length}")
+        fused.length.toLong
       }
     }
     // --- round-7 maintenance probes: OPTIMIZE ZORDER (both cell modes) and
