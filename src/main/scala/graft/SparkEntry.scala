@@ -77,6 +77,9 @@ object SparkEntry {
     "bm25_search" -> (PipelineQueries.bm25SearchQ _),
     // round 10: BM25 + vector rankings fused by reciprocal rank (RRF)
     "hybrid_search" -> (PipelineQueries.hybridSearchQ _),
+    // round 10: BPE vocabulary induction (Sennrich '16) — greedy
+    // most-frequent-pair merges, fully unrolled in the oracle
+    "bpe_merges" -> (PipelineQueries.bpeMergesQ _),
     "lm_score" -> (PipelineQueries.lmScore _),
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
@@ -209,6 +212,7 @@ object SparkEntry {
     "gopher_rules" -> Oracles.gopherRules,
     "bm25_search" -> Oracles.bm25Search,
     "hybrid_search" -> Oracles.hybridSearch,
+    "bpe_merges" -> Oracles.bpeMerges,
     "lm_score" -> Oracles.lmScore,
     "lm_heldout" -> Oracles.lmHeldout,
     "ppl_buckets" -> Oracles.pplBuckets,

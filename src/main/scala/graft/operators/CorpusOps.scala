@@ -159,4 +159,76 @@ object CorpusOps {
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** BPE vocabulary induction (Sennrich, Haddow & Birch, ACL 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"): the
+    * ranked merge list that IS a byte-pair-encoding tokenizer's training
+    * artifact. Words are [[TextFunctions.normalized]] whitespace tokens
+    * with corpus frequencies; each word starts as its character sequence
+    * plus an end-of-word marker, and every iteration merges the globally
+    * most frequent adjacent symbol pair (count desc, pair-string asc on
+    * ties — a total order, so the merge sequence is deterministic).
+    *
+    * Merging uses literal left-to-right non-overlapping string replace on
+    * the space-delimited symbol string (" l l l " under merge (l,l)
+    * becomes " ll l " — exactly BPE's greedy left-to-right pairing), with
+    * identical semantics in DuckDB's `replace`, so the whole induction
+    * replays in the oracle. Symbols stay space-free by construction
+    * (normalized words are [a-z0-9]+; the end marker is charset-checked).
+    *
+    * Scale shape (100 TB): ONE corpus-volume aggregation builds the
+    * (word, freq) vocabulary; all `numMerges` iterations run on that
+    * vocabulary-sized frame — per iteration one map-side-combined pair
+    * count plus a single-row argmax collect (driver state = the merge
+    * list, k rows). Lineage is cut with localCheckpoint every 16 merges
+    * so the plan doesn't accrete one replace per iteration. Real
+    * pipelines induce vocab on a corpus SAMPLE ([[Sampling.hashSample]])
+    * — merge quality converges long before corpus-scale counts matter.
+    *
+    * @return (rank, left_sym, right_sym, pair_count), rank 1..numMerges
+    *         (fewer if the vocabulary runs out of adjacent pairs) */
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+                endMarker: String = "</w>"): DataFrame = {
+    require(numMerges > 0 && numMerges <= 4096, s"bad numMerges $numMerges")
+    require(endMarker.nonEmpty && endMarker.matches("[A-Za-z0-9_</>]+"),
+      s"end marker must be space/quote-free, got '$endMarker'")
+    val spark = df.sparkSession
+    val words = df.select(explode(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol)))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    // " c h a r s </w> " — leading/trailing spaces so every symbol is
+    // space-delimited on BOTH sides and literal " a b "→" ab " replace
+    // can never match across symbol boundaries
+    var syms = words.select(col("__f"),
+      concat(lit(" "),
+        array_join(filter(split(col("__w"), ""), s => length(s) > 0), " "),
+        lit(" " + endMarker + " ")).as("__s"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val toks = split(trim(col("__s")), " ")
+      val top = syms.select(col("__f"),
+          explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("__p"))
+        .groupBy(col("__p")).agg(sum(col("__f")).as("__c"))
+        .orderBy(col("__c").desc, col("__p").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(l, r) = top.head.getString(0).split(" ", 2)
+        merges += ((i + 1L, l, r, top.head.getLong(1)))
+        // symbols are [a-z0-9] + the charset-checked marker: safe to
+        // inline in the literal (non-regex) replace
+        syms = syms.withColumn("__s",
+          expr(s"replace(__s, ' $l $r ', ' $l$r ')"))
+        if ((i + 1) % 16 == 0) syms = syms.localCheckpoint(true)
+        i += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
 }

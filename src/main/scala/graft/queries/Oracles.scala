@@ -443,6 +443,50 @@ object Oracles {
       |       ELSE 'tail' END AS bucket
       |FROM lmfinal, th ORDER BY doc_id""".stripMargin
 
+  /** bpe_merges: the BPE induction fully unrolled — one CTE pair per merge
+    * rank. w0 is the (word, freq, " c h a r s </w> ") vocabulary; each
+    * iteration counts adjacent symbol pairs (weighted by word freq), picks
+    * argmax (count desc, pair asc), and applies the literal " a b "→" ab "
+    * replace — DuckDB's left-to-right non-overlapping `replace` matches
+    * Spark's exactly, so greedy pairing like " l l l "→" ll l " agrees. */
+  val bpeMerges: String = {
+    val n = 8
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS freq,
+      |    ' ' || array_to_string(
+      |      list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+      |    || ' </w> ' AS sym
+      |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+      |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+      |      '\s+'), t -> length(t) > 0)) AS w FROM documents)
+      |  GROUP BY w)""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s""",
+      |p$i AS (
+      |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      |      j -> syms[j] || ' ' || syms[j + 1])) AS pr
+      |    FROM (SELECT freq, list_filter(
+      |      regexp_split_to_array(trim(sym), ' '),
+      |      s -> length(s) > 0) AS syms FROM w${i - 1}))
+      |  GROUP BY pr),
+      |b$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr ASC LIMIT 1),
+      |w$i AS (
+      |  SELECT freq, replace(sym, ' ' || pr || ' ',
+      |    ' ' || replace(pr, ' ', '') || ' ') AS sym
+      |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+    }
+    sb ++= s""",
+      |merges AS (${(1 to n).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, split_part(pr, ' ', 1) AS left_sym, " +
+          s"split_part(pr, ' ', 2) AS right_sym, cnt AS pair_count FROM b$i")
+        .mkString(" UNION ALL ")})
+      |SELECT rank, left_sym, right_sym, pair_count FROM merges
+      |ORDER BY rank""".stripMargin
+    sb.toString
+  }
+
   /** bm25_search: the whole Okapi BM25 computation replayed — tf, df,
     * doc lengths, avgdl, the Lucene ln(1 + (N−df+0.5)/(df+0.5)) idf
     * rounded to 9, per-term contributions quantized to 1e-9 integers and

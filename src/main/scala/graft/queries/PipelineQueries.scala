@@ -185,6 +185,12 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BPE vocabulary induction: the first 8 merge ranks over the corpus
+    * vocabulary (greedy most-frequent-adjacent-pair, ties by pair string). */
+  def bpeMergesQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.bpeMerges(t(spark, dir, "documents"), "text", numMerges = 8)
+      .orderBy(col("rank"))
+
   /** Gopher rule audit over the corpus — per-rule signals + verdicts. */
   def gopherRulesQ(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.gopherRules(t(spark, dir, "documents"), "doc_id", "text")

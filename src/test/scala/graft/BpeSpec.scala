@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.CorpusOps
+
+/** BPE merge induction: the Sennrich et al. '16 example corpus
+  * hand-computed through 8 merges (with end-of-word markers), greedy
+  * left-to-right pairing, early stop, and determinism. */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def merges(docs: Seq[String], n: Int) =
+    CorpusOps.bpeMerges(docs.toDF("text"), "text", numMerges = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+
+  test("Sennrich example: first 8 merges, counts and tie order exact") {
+    // low x5, lower x2, newest x6, widest x3 — the ACL'16 running example
+    val corpus = Seq(
+      (("low " * 5) + ("lower " * 2)).trim,
+      (("newest " * 6) + ("widest " * 3)).trim)
+    val got = merges(corpus, 8)
+    assert(got === Seq(
+      (1L, "e", "s", 9L),          // es/st/t</w> tie at 9 -> 'e s' first
+      (2L, "es", "t", 9L),
+      (3L, "est", "</w>", 9L),
+      (4L, "l", "o", 7L),          // lo/ow tie at 7 -> 'l o' first
+      (5L, "lo", "w", 7L),
+      (6L, "e", "w", 6L),          // ew/ne/w-est tie at 6 -> 'e w' first
+      (7L, "ew", "est</w>", 6L),
+      (8L, "n", "ewest</w>", 6L)))
+  }
+
+  test("greedy left-to-right pairing: 'a a a' pairs once, not twice") {
+    val got = merges(Seq("aaa aaa"), 1)
+    // two 'aaa' words: 2 adjacent (a,a) positions x freq 2 = 4; the merge
+    // must then rewrite ' a a a ' as ' aa a ' (non-overlapping greedy)
+    assert(got === Seq((1L, "a", "a", 4L)))
+    val two = merges(Seq("aaa aaa"), 2)
+    // after ' aa a </w> ': pairs are 'a </w>' and 'aa a' -> 'a </w>' wins
+    // the tie at 2 by string order (space sorts before 'a')
+    assert(two(1) === ((2L, "a", "</w>", 2L)))
+  }
+
+  test("early stop: vocabulary runs out of pairs before numMerges") {
+    val got = merges(Seq("ab"), 10)
+    assert(got === Seq(
+      (1L, "a", "b", 1L),
+      (2L, "ab", "</w>", 1L)))
+  }
+
+  test("deterministic across runs and layouts") {
+    val corpus = (1 to 50).map(i => s"tok${i % 7} tok${i % 3} shared words")
+    val a = merges(corpus, 6)
+    val b = merges(corpus.reverse, 6)
+    assert(a === b && a.length === 6)
+  }
+}
