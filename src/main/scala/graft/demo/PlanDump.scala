@@ -11,8 +11,13 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // --exec: run each query first and dump the FINAL plan, i.e. after
+    // AQE's runtime re-planning (static plans show SortMergeJoins that
+    // AQE converts to broadcast once the built side's true size is known)
+    val exec = args.contains("--exec")
+    val rest = args.filterNot(_ == "--exec")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
     val spark = graft.GraftSession.localBuilder(4, "graft-plandump")
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,9 +27,12 @@ object PlanDump {
       graft.SparkEntry.queries.get(n) match {
         case Some(q) =>
           println(s"\n========== $n ==========")
-          try println(q(spark, sfDir).queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode))
-          catch { case e: Throwable =>
+          try {
+            val df = q(spark, sfDir)
+            if (exec) df.count()
+            println(df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          } catch { case e: Throwable =>
             println(s"[plandump] $n failed: ${e.getMessage}")
           }
         case None => println(s"[plandump] unknown query: $n")
