@@ -80,6 +80,9 @@ object SparkEntry {
     // round 10: BPE vocabulary induction (Sennrich '16) — greedy
     // most-frequent-pair merges, fully unrolled in the oracle
     "bpe_merges" -> (PipelineQueries.bpeMergesQ _),
+    // round 10: BPE train-then-encode — per-doc token counts under the
+    // induced merges (encode runs once per distinct word, not occurrence)
+    "bpe_encode" -> (PipelineQueries.bpeEncodeQ _),
     "lm_score" -> (PipelineQueries.lmScore _),
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
@@ -213,6 +216,7 @@ object SparkEntry {
     "bm25_search" -> Oracles.bm25Search,
     "hybrid_search" -> Oracles.hybridSearch,
     "bpe_merges" -> Oracles.bpeMerges,
+    "bpe_encode" -> Oracles.bpeEncode,
     "lm_score" -> Oracles.lmScore,
     "lm_heldout" -> Oracles.lmHeldout,
     "ppl_buckets" -> Oracles.pplBuckets,

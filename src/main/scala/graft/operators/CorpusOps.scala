@@ -231,4 +231,51 @@ object CorpusOps {
     import spark.implicits._
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
+
+  /** Apply a learned BPE merge list ([[bpeMerges]] output, rank order) to
+    * tokenize the corpus — the "real tokenizer" token count that
+    * [[graft.functions.TextFunctions.subwordCount]] approximates. Each
+    * merge is one literal replace on the space-delimited symbol string
+    * (identical semantics to training, so train-then-encode of a training
+    * word reproduces its final training segmentation exactly).
+    *
+    * Scale shape: the replace chain runs once per DISTINCT word (the
+    * vocabulary frame), not per occurrence — documents join their
+    * per-word counts to the encoded vocabulary on the word key and sum
+    * `occurrences × symbols`. The merge list is driver-held and bounded
+    * (≤4096 by [[bpeMerges]]); it compiles into a chain of codegen'd
+    * literal replaces.
+    *
+    * @param merges (left, right) pairs in rank order
+    * @return (idCol, bpe_tokens) — total BPE token count per document
+    *         (0 for token-empty docs) */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)],
+                endMarker: String = "</w>"): DataFrame = {
+    require(merges.size <= 4096, s"merge list too long: ${merges.size}")
+    require(endMarker.nonEmpty && endMarker.matches("[A-Za-z0-9_</>]+"),
+      s"end marker must be space/quote-free, got '$endMarker'")
+    merges.foreach { case (l, r) =>
+      require((l + r).matches("[A-Za-z0-9_</>]+"),
+        s"merge symbols must be space/quote-free, got ('$l', '$r')") }
+    val docWords = df.select(col(idCol),
+      explode(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol)))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__n"))
+    val initSym = concat(lit(" "),
+      array_join(filter(split(col("__w"), ""), s => length(s) > 0), " "),
+      lit(" " + endMarker + " "))
+    val encoded = merges.foldLeft(initSym) { case (sym, (l, r)) =>
+      call_function("replace", sym, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val vocab = docWords.select(col("__w")).distinct()
+      .withColumn("__syms",
+        size(filter(split(trim(encoded), " "), s => length(s) > 0)).cast("long"))
+      .select(col("__w"), col("__syms"))
+    df.select(col(idCol))
+      .join(docWords.join(vocab, "__w")
+        .groupBy(col(idCol))
+        .agg(sum(col("__n") * col("__syms")).as("__t")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__t"), lit(0L)).as("bpe_tokens"))
+  }
 }

@@ -487,6 +487,57 @@ object Oracles {
     sb.toString
   }
 
+  /** bpe_encode: the same unrolled induction chain (word column kept
+    * through the iterations), then per-document token counts = Σ
+    * occurrences × final symbol count per word, 0 for token-empty docs. */
+  val bpeEncode: String = {
+    val n = 8
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+      |    ' ' || array_to_string(
+      |      list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+      |    || ' </w> ' AS sym
+      |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+      |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+      |      '\s+'), t -> length(t) > 0)) AS w FROM documents)
+      |  GROUP BY w)""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s""",
+      |p$i AS (
+      |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      |      j -> syms[j] || ' ' || syms[j + 1])) AS pr
+      |    FROM (SELECT freq, list_filter(
+      |      regexp_split_to_array(trim(sym), ' '),
+      |      s -> length(s) > 0) AS syms FROM w${i - 1}))
+      |  GROUP BY pr),
+      |b$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr ASC LIMIT 1),
+      |w$i AS (
+      |  SELECT word, freq, replace(sym, ' ' || pr || ' ',
+      |    ' ' || replace(pr, ' ', '') || ' ') AS sym
+      |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+    }
+    sb ++= s""",
+      |v AS (
+      |  SELECT word, CAST(len(list_filter(
+      |    regexp_split_to_array(trim(sym), ' '),
+      |    s -> length(s) > 0)) AS BIGINT) AS nsym FROM w$n),
+      |dw AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+      |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+      |      '\\s+'), t -> length(t) > 0)) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT dw.doc_id, CAST(sum(dw.n * v.nsym) AS BIGINT) AS t
+      |  FROM dw JOIN v ON dw.w = v.word GROUP BY 1)
+      |SELECT doc_id, COALESCE(t, CAST(0 AS BIGINT)) AS bpe_tokens
+      |FROM documents LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   /** bm25_search: the whole Okapi BM25 computation replayed — tf, df,
     * doc lengths, avgdl, the Lucene ln(1 + (N−df+0.5)/(df+0.5)) idf
     * rounded to 9, per-term contributions quantized to 1e-9 integers and

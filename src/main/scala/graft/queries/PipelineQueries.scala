@@ -191,6 +191,17 @@ object PipelineQueries {
     CorpusOps.bpeMerges(t(spark, dir, "documents"), "text", numMerges = 8)
       .orderBy(col("rank"))
 
+  /** BPE train-then-encode: induce the 8 merges, then tokenize every
+    * document under them — per-doc BPE token counts. */
+  def bpeEncodeQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val learned = CorpusOps.bpeMerges(docs, "text", numMerges = 8)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    CorpusOps.bpeEncode(docs, "doc_id", "text", learned)
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher rule audit over the corpus — per-rule signals + verdicts. */
   def gopherRulesQ(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.gopherRules(t(spark, dir, "documents"), "doc_id", "text")

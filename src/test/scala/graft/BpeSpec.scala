@@ -49,6 +49,32 @@ class BpeSpec extends SparkSuite {
       (2L, "ab", "</w>", 1L)))
   }
 
+  test("encode under the Sennrich merges: classic segmentations") {
+    val corpus = Seq(
+      (("low " * 5) + ("lower " * 2)).trim,
+      (("newest " * 6) + ("widest " * 3)).trim)
+    val learned = merges(corpus, 8).map(m => (m._2, m._3)).toSeq
+    // 'lowest' -> low + est</w> (2); 'newest' -> newest</w> (1);
+    // 'low' -> low + </w>? no: ' low </w> ' stays 2 symbols (low, </w>)
+    // since (low,</w>) was never merged; unseen chars stay singletons
+    val docs = Seq((1L, "lowest newest"), (2L, "low"), (3L, "xyz"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = CorpusOps.bpeEncode(docs, "doc_id", "text", learned)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 3L, // low + est</w> (2) ++ newest</w> (1)
+      2L -> 2L, // low + </w>
+      3L -> 4L, // x y z </w> untouched
+      4L -> 0L))
+  }
+
+  test("encode with empty merge list = character count + end marker") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val got = CorpusOps.bpeEncode(docs, "doc_id", "text", Seq.empty)
+      .collect().head.getLong(1)
+    assert(got === 6L) // (a b </w>) + (c d </w>)
+  }
+
   test("deterministic across runs and layouts") {
     val corpus = (1 to 50).map(i => s"tok${i % 7} tok${i % 3} shared words")
     val a = merges(corpus, 6)
