@@ -421,6 +421,24 @@ object ScaleProbe {
         require(fused.length == 40, s"expected 4x10 fused rows, got ${fused.length}")
         fused.length.toLong
       }
+      // BPE: 32 merges over the 50k-doc corpus (vocabulary-sized
+      // iterations after ONE corpus pass; localCheckpoint cuts lineage at
+      // merge 16), then encode the corpus under the learned merges
+      var learned: Seq[(String, String)] = Seq.empty
+      time("BPE induction: 32 merges over 50k docs") {
+        learned = graft.operators.CorpusOps.bpeMerges(docs, "text", 32)
+          .collect().sortBy(_.getLong(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        learned.size.toLong
+      }
+      require(learned.size == 32, s"expected 32 merges, got ${learned.size}")
+      time("BPE encode (vocabulary-deduped replace chain) over 50k docs") {
+        val enc = graft.operators.CorpusOps.bpeEncode(
+          docs, "doc_id", "text", learned)
+        val n = enc.count()
+        require(n == 50000, s"one row per doc: $n")
+        n
+      }
     }
     // --- round-7 maintenance probes: OPTIMIZE ZORDER (both cell modes) and
     // Change Data Feed over a ~6M-row Delta table ---
