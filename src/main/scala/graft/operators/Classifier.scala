@@ -97,7 +97,15 @@ object Classifier {
       .withColumn("__lp", round(log(
         (coalesce(col("__c"), lit(0L)) + alpha) /
           (col("__tot") + lit(alpha) * col("__v"))), 9))
-      .groupBy(id, label).agg(sum(col("__n") * col("__lp")).as("__tl"))
+      // token log-likelihoods sum as EXACT 1e-9-grid integers (the k-means
+      // quantized-sum lesson): a plain double sum is partition-order
+      // dependent on Spark AND evaluation-order dependent in the oracle —
+      // DuckDB inlines the pairs CTE into both the max() and the
+      // join-back, and a last-ulp difference between those two evaluations
+      // dropped a row at sf0.1 (caught by the full-gate run, round 10)
+      .withColumn("__lpq", round(col("__lp") * 1e9, 0).cast("long"))
+      .groupBy(id, label).agg(sum(col("__n") * col("__lpq")).as("__tlq"))
+      .withColumn("__tl", col("__tlq").cast("double") / 1e9)
 
     // every (doc, class) pair keeps a row — a no-in-vocab-token doc is
     // scored by priors alone

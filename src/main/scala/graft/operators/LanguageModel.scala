@@ -67,8 +67,14 @@ object LanguageModel {
       .crossJoin(broadcast(vocab))
       .withColumn("__lp", round(
         log((col("__c12") + alpha) / (col("__c1") + lit(alpha) * col("__v"))), 9))
+      // 1e-9-quantized EXACT integer sum: order-free across partitions
+      // and engines, and immune to the oracle-side double-evaluation
+      // hazard the round-10 full gate caught in nb_classify (ppl_buckets
+      // compares ppl against percentiles of a re-evaluated CTE)
+      .withColumn("__lpq", round(col("__lp") * 1e9, 0).cast("long"))
       .groupBy(id)
-      .agg(sum(col("__n")).as("__nb"), sum(col("__n") * col("__lp")).as("__slp"))
+      .agg(sum(col("__n")).as("__nb"), sum(col("__n") * col("__lpq")).as("__slq"))
+      .withColumn("__slp", col("__slq").cast("double") / 1e9)
     val nb = coalesce(col("__nb"), lit(0L))
     df.select(id).join(scored, Seq(idCol), "left")
       .select(id,
@@ -122,8 +128,11 @@ object LanguageModel {
       .withColumn("__lp", round(log(
         (coalesce(col("__c12"), lit(0L)) + alpha) /
           (coalesce(col("__c1"), lit(0L)) + lit(alpha) * col("__v"))), 9))
+      // quantized exact sum — see bigramLmScore
+      .withColumn("__lpq", round(col("__lp") * 1e9, 0).cast("long"))
       .groupBy(id)
-      .agg(sum(col("__n")).as("__nb"), sum(col("__n") * col("__lp")).as("__slp"))
+      .agg(sum(col("__n")).as("__nb"), sum(col("__n") * col("__lpq")).as("__slq"))
+      .withColumn("__slp", col("__slq").cast("double") / 1e9)
     val nb = coalesce(col("__nb"), lit(0L))
     score.select(id).join(scored, Seq(idCol), "left")
       .select(id,
@@ -199,8 +208,14 @@ object LanguageModel {
       .withColumn("__lp", round(log(
         (coalesce(col("__c"), lit(0L)) + alpha) /
           (col("__tot") + lit(alpha) * col("__v"))), 9))
+      // 1e-9-quantized EXACT integer sum (order-free across partitions
+      // and engines — the round-10 nb_classify lesson: the dsir oracle
+      // compares weights against a percentile computed from a second
+      // evaluation of the same CTE, so the sum must be bit-stable)
+      .withColumn("__lpq", round(col("__lp") * 1e9, 0).cast("long"))
       .groupBy(id)
-      .agg(sum(col("__n")).as("__nt"), sum(col("__n") * col("__lp")).as("__sl"))
+      .agg(sum(col("__n")).as("__nt"), sum(col("__n") * col("__lpq")).as("__slq"))
+      .withColumn("__sl", col("__slq").cast("double") / 1e9)
     val nt = coalesce(col("__nt"), lit(0L))
     score.select(id).join(scored, Seq(idCol), "left")
       .select(id, nt.as("n_tokens"),

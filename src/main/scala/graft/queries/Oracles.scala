@@ -224,7 +224,9 @@ object Oracles {
       |  SELECT count(DISTINCT string_split(bigram, ' ')[2]) AS v FROM model_big),
       |scored AS (
       |  SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS nb,
-      |    sum(d.n * round(ln((b.c12 + 0.5) / (u.c1 + 0.5 * v.v)), 9)) AS slp
+      |    CAST(sum(d.n * CAST(round(round(ln((b.c12 + 0.5)
+      |      / (u.c1 + 0.5 * v.v)), 9) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+      |      AS slp
       |  FROM doc_bg d
       |  JOIN model_big b USING (bigram)
       |  JOIN model_uni u ON string_split(d.bigram, ' ')[1] = u.w1
@@ -280,8 +282,9 @@ object Oracles {
       |doc_bg AS (SELECT doc_id, bigram, count(*) AS n FROM vbg GROUP BY 1, 2),
       |scored AS (
       |  SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS nb,
-      |    sum(d.n * round(ln((COALESCE(m.c12, 0) + 0.5)
-      |      / (COALESCE(u.c1, 0) + 0.5 * v.v)), 9)) AS slp
+      |    CAST(sum(d.n * CAST(round(round(ln((COALESCE(m.c12, 0) + 0.5)
+      |      / (COALESCE(u.c1, 0) + 0.5 * v.v)), 9) * 1e9) AS BIGINT))
+      |      AS DOUBLE) / 1e9 AS slp
       |  FROM doc_bg d
       |  LEFT JOIN model_big m USING (bigram)
       |  LEFT JOIN model_uni u ON string_split(d.bigram, ' ')[1] = u.w1
@@ -336,8 +339,9 @@ object Oracles {
       |doc_tok_v AS (SELECT d.* FROM doc_tok d JOIN train_vocab USING (tok)),
       |tok_sums AS (
       |  SELECT d.doc_id, c.lang,
-      |    sum(d.n * round(ln((COALESCE(ct.c, 0) + 0.5)
-      |      / (tt.tot + 0.5 * vz.vsz)), 9)) AS tl
+      |    CAST(sum(d.n * CAST(round(round(ln((COALESCE(ct.c, 0) + 0.5)
+      |      / (tt.tot + 0.5 * vz.vsz)), 9) * 1e9) AS BIGINT))
+      |      AS DOUBLE) / 1e9 AS tl
       |  FROM doc_tok_v d
       |  CROSS JOIN (SELECT lang FROM classes) c
       |  LEFT JOIN cls_tok ct ON ct.lang = c.lang AND ct.tok = d.tok
@@ -397,14 +401,16 @@ object Oracles {
       |  GROUP BY 1, 2),
       |tgt_scored AS (
       |  SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS nt,
-      |    sum(d.n * round(ln((COALESCE(m.c, 0) + 0.5)
-      |      / (t.tot + 0.5 * t.v)), 9)) AS sl
+      |    CAST(sum(d.n * CAST(round(round(ln((COALESCE(m.c, 0) + 0.5)
+      |      / (t.tot + 0.5 * t.v)), 9) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+      |      AS sl
       |  FROM doc_tok d LEFT JOIN tgt_model m USING (tok) CROSS JOIN tgt_tot t
       |  GROUP BY 1),
       |src_scored AS (
       |  SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS nt,
-      |    sum(d.n * round(ln((COALESCE(m.c, 0) + 0.5)
-      |      / (t.tot + 0.5 * t.v)), 9)) AS sl
+      |    CAST(sum(d.n * CAST(round(round(ln((COALESCE(m.c, 0) + 0.5)
+      |      / (t.tot + 0.5 * t.v)), 9) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+      |      AS sl
       |  FROM doc_tok d LEFT JOIN src_model m USING (tok) CROSS JOIN src_tot t
       |  GROUP BY 1),
       |weights AS (
