@@ -72,6 +72,9 @@ object SparkEntry {
     // round 10: Gopher rule filter (Rae et al. '21 A1.1) — per-rule
     // signals + verdicts, all ratios rounded before their thresholds
     "gopher_rules" -> (PipelineQueries.gopherRulesQ _),
+    // round 10: markup stripping (web-corpus text extraction) over a
+    // constructed HTML shell — RE2-safe patterns, entity decode
+    "strip_markup" -> (PipelineQueries.stripMarkupQ _),
     // round 10: Okapi BM25 ranked retrieval (lexical half of hybrid
     // search) — integer-quantized contributions, BoundedTopK ranking
     "bm25_search" -> (PipelineQueries.bm25SearchQ _),
@@ -213,6 +216,7 @@ object SparkEntry {
     "token_stats" -> Oracles.tokenStats,
     "quality_scores" -> Oracles.qualityScores,
     "gopher_rules" -> Oracles.gopherRules,
+    "strip_markup" -> Oracles.stripMarkup,
     "bm25_search" -> Oracles.bm25Search,
     "hybrid_search" -> Oracles.hybridSearch,
     "bpe_merges" -> Oracles.bpeMerges,

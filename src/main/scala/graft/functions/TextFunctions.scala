@@ -233,6 +233,30 @@ object TextFunctions {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Markup stripping — the text-extraction stage of a web-corpus
+    * pipeline: drop script/style/comment blocks wholesale, strip
+    * remaining tags, decode the five standard HTML entities, collapse
+    * whitespace. Pure chained `regexp_replace`/`replace` (codegen'd,
+    * row-local) with RE2-compatible patterns — lazy `.*?` and inline
+    * `(?is)` flags, NO backreferences (RE2, hence the DuckDB oracle,
+    * has none: script and style need separate passes) — so the exact
+    * same patterns run in the oracle. `&amp;` decodes LAST, the
+    * standard order that keeps `&amp;lt;` a literal `&lt;` instead of
+    * double-decoding. */
+  def stripMarkup(text: Column): Column = {
+    val noScript =
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) =>
+        call_function("replace", c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Language identification via stopword/character n-gram evidence:
     * per-language stopword hit counts over the token set, CJK-character count
     * as the zh signal, argmax via Spark's struct ordering (greatest compares

@@ -683,6 +683,32 @@ object Oracles {
       |SELECT query_id, doc_id, rrf, rank FROM fr
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** strip_markup: identical RE2-safe pattern chain (script/style/comment
+    * blocks, tags, entity decode with &amp; last, whitespace collapse)
+    * over the same constructed HTML shell. */
+  val stripMarkup: String =
+    """SELECT doc_id, trim(regexp_replace(
+      |  replace(replace(replace(replace(replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |        '(?s)<!--.*?-->', ' ', 'g'),
+      |      '<[^>]+>', ' ', 'g'),
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |    '&amp;', '&'),
+      |  '\s+', ' ', 'g')) AS stripped
+      |FROM (
+      |  SELECT doc_id,
+      |    '<html><head><style>p { color: red }</style>'
+      |    || '<script type="text/js">var x = 1 < 2;</script></head>'
+      |    || '<body><!-- doc ' || CAST(doc_id AS VARCHAR)
+      |    || ' --><h1>Q&amp;A &lt;' || lang || '&gt;</h1><p>'
+      |    || text || '</p></body></html>' AS html
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** gopher_rules: every signal recomputed with DuckDB list/regex
     * primitives — same whitespace tokens, trimmed non-blank lines,
     * non-overlapping '#'/'...' counts, rule thresholds on the identically

@@ -202,6 +202,20 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Markup stripping: wrap every document in a deterministic HTML shell
+    * (script + style + comment + tags + entities) and extract the text
+    * back out — the web-corpus text-extraction stage, round-trippable by
+    * construction. */
+  def stripMarkupQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+        TextFunctions.stripMarkup(concat(
+          lit("<html><head><style>p { color: red }</style>"),
+          lit("<script type=\"text/js\">var x = 1 < 2;</script></head>"),
+          lit("<body><!-- doc "), col("doc_id"),
+          lit(" --><h1>Q&amp;A &lt;"), col("lang"), lit("&gt;</h1><p>"),
+          col("text"), lit("</p></body></html>"))).as("stripped"))
+      .orderBy(col("doc_id"))
+
   /** Gopher rule audit over the corpus — per-rule signals + verdicts. */
   def gopherRulesQ(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.gopherRules(t(spark, dir, "documents"), "doc_id", "text")
