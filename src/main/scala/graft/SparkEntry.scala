@@ -75,6 +75,9 @@ object SparkEntry {
     // round 10: markup stripping (web-corpus text extraction) over a
     // constructed HTML shell — RE2-safe patterns, entity decode
     "strip_markup" -> (PipelineQueries.stripMarkupQ _),
+    // round 10: per-language dataset card (volumes, dup rate, quality
+    // mean via exact integer sums, discrete median length)
+    "corpus_card" -> (PipelineQueries.corpusCardQ _),
     // round 10: Okapi BM25 ranked retrieval (lexical half of hybrid
     // search) — integer-quantized contributions, BoundedTopK ranking
     "bm25_search" -> (PipelineQueries.bm25SearchQ _),
@@ -217,6 +220,7 @@ object SparkEntry {
     "quality_scores" -> Oracles.qualityScores,
     "gopher_rules" -> Oracles.gopherRules,
     "strip_markup" -> Oracles.stripMarkup,
+    "corpus_card" -> Oracles.corpusCard,
     "bm25_search" -> Oracles.bm25Search,
     "hybrid_search" -> Oracles.hybridSearch,
     "bpe_merges" -> Oracles.bpeMerges,

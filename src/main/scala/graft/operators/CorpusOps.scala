@@ -160,6 +160,43 @@ object CorpusOps {
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Per-language dataset card — the one-frame corpus summary a curation
+    * run publishes: document/token volumes, exact-duplicate rate (distinct
+    * normalized-text fingerprints vs docs), mean composite quality, and
+    * the DISCRETE median document length.
+    *
+    * Engine discipline: the quality mean sums 1e-6-quantized scores as
+    * EXACT longs (order-free — [[TextFunctions.qualityScore]] is already
+    * round-6, so quantization is lossless); the median is
+    * [[graft.functions.exprs.kllQuantiles]] in its exact regime (≡ SQL
+    * `quantile_disc` while a language's row count fits the 8192 budget —
+    * beyond that it degrades gracefully to the mergeable approximate
+    * sketch, the documented 100-TB path). One hash aggregation keyed by
+    * language; `count_distinct` of fingerprints shuffles per-lang text
+    * fingerprints — swap for the KMV sketch when exactness can yield. */
+  def corpusCard(df: DataFrame, textCol: String,
+                 langCol: String): DataFrame = {
+    val base = df.select(col(langCol).as("lang"),
+      TextFunctions.tokenCount(col(textCol)).as("__nt"),
+      TextFunctions.fingerprintMd5(col(textCol)).as("__fp"),
+      TextFunctions.qualityScore(col(textCol)).as("__q"))
+    base.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        count_distinct(col("__fp")).as("distinct_texts"),
+        sum(round(col("__q") * 1e6, 0).cast("long")).as("__qsum"),
+        graft.functions.exprs.kllQuantiles(col("__nt"), 8192, Seq(0.5))
+          .as("__med"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("distinct_texts"),
+        round(lit(1.0)
+          - col("distinct_texts").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        round(col("__qsum").cast("double") / 1e6 / col("n_docs"), 6)
+          .as("avg_quality"),
+        element_at(col("__med"), 1).cast("long").as("p50_tokens"))
+  }
+
   /** BPE vocabulary induction (Sennrich, Haddow & Birch, ACL 2016,
     * "Neural Machine Translation of Rare Words with Subword Units"): the
     * ranked merge list that IS a byte-pair-encoding tokenizer's training

@@ -709,6 +709,49 @@ object Oracles {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** corpus_card: per-lang volumes + exact-dup rate + quantized-mean
+    * quality (same formula as quality_scores, 1e-6 integer sum) +
+    * quantile_disc median length (≡ the KLL exact regime). */
+  val corpusCard: String =
+    """WITH base AS (
+      |  SELECT lang, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                t -> length(t) > 0) AS ltoks,
+      |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, fp, CAST(len(toks) AS BIGINT) AS nt,
+      |    round(
+      |      least(CAST(len(toks) AS DOUBLE) / 50, CAST(1 AS DOUBLE)) * 0.3
+      |      + (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+      |           ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |                / len(toks) END) >= 3
+      |          AND (CASE WHEN len(toks) = 0 THEN 0.0
+      |           ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |                / len(toks) END) <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      |      + (CASE WHEN length(text) = 0 THEN 0.0
+      |          ELSE 1 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 5,
+      |                         CAST(1 AS DOUBLE)) END) * 0.25
+      |      + least((CASE WHEN len(ltoks) = 0 THEN 0.0
+      |          ELSE CAST(len(list_filter(ltoks, t -> list_contains(
+      |            ['the','a','an','and','or','but','of','to','in','on','at','is',
+      |             'are','was','were','be','been','it','this','that','with','for',
+      |             'as','by','from','not','no','so','if','then','than','too'], t)))
+      |          AS DOUBLE) / len(ltoks) END) * 4, CAST(1 AS DOUBLE)) * 0.25,
+      |      6) AS q
+      |  FROM base)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT fp) AS BIGINT) AS distinct_texts,
+      |  round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+      |  round(CAST(sum(CAST(round(q * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+      |    / count(*), 6) AS avg_quality,
+      |  CAST(quantile_disc(nt, 0.5) AS BIGINT) AS p50_tokens
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   /** gopher_rules: every signal recomputed with DuckDB list/regex
     * primitives — same whitespace tokens, trimmed non-blank lines,
     * non-overlapping '#'/'...' counts, rule thresholds on the identically

@@ -216,6 +216,11 @@ object PipelineQueries {
           col("text"), lit("</p></body></html>"))).as("stripped"))
       .orderBy(col("doc_id"))
 
+  /** Per-language dataset card over the corpus. */
+  def corpusCardQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.corpusCard(t(spark, dir, "documents"), "text", "lang")
+      .orderBy(col("lang"))
+
   /** Gopher rule audit over the corpus — per-rule signals + verdicts. */
   def gopherRulesQ(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.gopherRules(t(spark, dir, "documents"), "doc_id", "text")
