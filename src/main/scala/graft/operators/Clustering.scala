@@ -95,6 +95,27 @@ object Clustering {
     * same bound the LSH band-bucket paths rely on — and skew-capping a hot
     * cell composes via [[ScaleOps.truncateBuckets]] upstream if a corpus
     * needs it. */
+  /** [[semanticDedupPairs]] with k SIZED TO THE MEASURED CORPUS —
+    * k = clamp(ceil(n / cellTarget), 1, kMax) — the deployment form that
+    * keeps the within-cell pairwise bound LINEAR (n × cellTarget) as the
+    * corpus grows. The round-10 sf1 bench made the need concrete: the
+    * oracle-pinned fixed-k=8 contract entry went 15× on 10× the vectors
+    * (cell size ∝ n ⇒ quadratic cells), exactly what this facade
+    * prevents. One count() over the input buys the measurement — the
+    * decontaminate-facade discipline of routing by measured size, not by
+    * caller guesswork. */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        tau: Double = 0.95, cellTarget: Int = 1000,
+                        iters: Int = 1, kMax: Int = 65536): DataFrame = {
+    require(cellTarget >= 1, s"cellTarget must be >= 1, got $cellTarget")
+    require(kMax >= 1, s"kMax must be >= 1, got $kMax")
+    val n = df.count()
+    require(n > 0, "semanticDedupAuto needs a non-empty corpus")
+    val k = math.max(1L, math.min(kMax.toLong,
+      (n + cellTarget - 1) / cellTarget)).toInt
+    semanticDedupPairs(df, idCol, vecCol, k = k, iters = iters, tau = tau)
+  }
+
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                          k: Int, iters: Int = 1,
                          tau: Double = 0.95): DataFrame = {

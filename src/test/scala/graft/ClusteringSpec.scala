@@ -75,6 +75,29 @@ class ClusteringSpec extends SparkSuite {
     }
   }
 
+  test("semanticDedupAuto: measured-k facade == explicit k; k tracks n") {
+    val e = table("embeddings")
+    val n = e.count()
+    // cellTarget 50 over this corpus: k = ceil(n/50)
+    val expectK = ((n + 49) / 50).toInt
+    val auto = Clustering.semanticDedupAuto(e, "vec_id", "embedding",
+        tau = 0.4, cellTarget = 50)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val explicit = Clustering.semanticDedupPairs(e, "vec_id", "embedding",
+        k = expectK, iters = 1, tau = 0.4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(auto === explicit)
+    // cellTarget >= n degenerates to one cell == brute force within corpus
+    val one = Clustering.semanticDedupAuto(e, "vec_id", "embedding",
+      tau = 0.4, cellTarget = n.toInt + 1)
+    assert(one.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(0))
+    // kMax caps the growth
+    val capped = Clustering.semanticDedupAuto(e, "vec_id", "embedding",
+      tau = 0.99, cellTarget = 1, kMax = 2)
+    assert(capped.select(col("cell")).distinct().count() <= 2)
+  }
+
   test("embedding outliers: planted anomalies flagged, tight blob is not") {
     // an extreme vector captures its own centroid under Lloyd updates
     // (self-distance ~0) — the tiny-cell rule must catch it anyway
