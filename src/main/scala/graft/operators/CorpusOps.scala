@@ -168,24 +168,47 @@ object CorpusOps {
     * Engine discipline: the quality mean sums 1e-6-quantized scores as
     * EXACT longs (order-free — [[TextFunctions.qualityScore]] is already
     * round-6, so quantization is lossless); the median is
-    * [[graft.functions.exprs.kllQuantiles]] in its exact regime (≡ SQL
-    * `quantile_disc` while a language's row count fits the 8192 budget —
-    * beyond that it degrades gracefully to the mergeable approximate
-    * sketch, the documented 100-TB path). One hash aggregation keyed by
-    * language; `count_distinct` of fingerprints shuffles per-lang text
-    * fingerprints — swap for the KMV sketch when exactness can yield. */
-  def corpusCard(df: DataFrame, textCol: String,
-                 langCol: String): DataFrame = {
+    * [[graft.functions.exprs.kllQuantiles]] with its budget SIZED TO THE
+    * MEASURED corpus (the [[graft.operators.Clustering.semanticDedupAuto]]
+    * discipline): a cheap `limit(budget+1).count()` probe keeps the
+    * default 8192 when the whole corpus fits it; otherwise one lang-only
+    * count aggregate measures the largest language and the budget grows to
+    * cover it up to `exactMedianCap`, so the sketch stays in its exact
+    * regime (≡ SQL `quantile_disc`) — and therefore oracle-replayable — at
+    * ANY sf below the cap instead of silently leaving it past 8192 rows
+    * per language. Beyond the cap (the true 100-TB regime, where exactness
+    * would mean an O(n)-state sketch) it degrades gracefully to the
+    * mergeable approximate sketch — the documented scale path, no longer a
+    * silent one. One hash aggregation keyed by language (plus at most the
+    * one measurement aggregate); `count_distinct` of fingerprints shuffles
+    * per-lang text fingerprints — swap for the KMV sketch when exactness
+    * can yield. */
+  def corpusCard(df: DataFrame, textCol: String, langCol: String,
+                 kllBudget: Int = 8192,
+                 exactMedianCap: Int = 1 << 20): DataFrame = {
+    require(kllBudget >= 8, s"bad kllBudget $kllBudget")
+    require(exactMedianCap >= kllBudget,
+      s"exactMedianCap ($exactMedianCap) must be >= kllBudget ($kllBudget)")
     val base = df.select(col(langCol).as("lang"),
       TextFunctions.tokenCount(col(textCol)).as("__nt"),
       TextFunctions.fingerprintMd5(col(textCol)).as("__fp"),
       TextFunctions.qualityScore(col(textCol)).as("__q"))
+    // measured exact-regime budget (probe first: limit() short-circuits the
+    // scan, so small corpora never pay the per-language count aggregate)
+    val budget =
+      if (df.limit(kllBudget + 1).count() <= kllBudget) kllBudget
+      else {
+        val maxLang = base.groupBy(col("lang")).count()
+          .agg(max(col("count"))).collect()(0).getLong(0)
+        math.min(math.max(kllBudget.toLong, maxLang), exactMedianCap.toLong)
+          .toInt
+      }
     base.groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("__nt")).as("n_tokens"),
         count_distinct(col("__fp")).as("distinct_texts"),
         sum(round(col("__q") * 1e6, 0).cast("long")).as("__qsum"),
-        graft.functions.exprs.kllQuantiles(col("__nt"), 8192, Seq(0.5))
+        graft.functions.exprs.kllQuantiles(col("__nt"), budget, Seq(0.5))
           .as("__med"))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         col("distinct_texts"),
@@ -206,12 +229,19 @@ object CorpusOps {
     * most frequent adjacent symbol pair (count desc, pair-string asc on
     * ties — a total order, so the merge sequence is deterministic).
     *
-    * Merging uses literal left-to-right non-overlapping string replace on
-    * the space-delimited symbol string (" l l l " under merge (l,l)
-    * becomes " ll l " — exactly BPE's greedy left-to-right pairing), with
-    * identical semantics in DuckDB's `replace`, so the whole induction
-    * replays in the oracle. Symbols stay space-free by construction
-    * (normalized words are [a-z0-9]+; the end marker is charset-checked).
+    * Merging applies the literal " l r "→" lr " replace TWICE per merge:
+    * a single left-to-right pass skips every second occurrence in a run
+    * (the trailing space of one match is the leading space of the next, so
+    * " a b a b " yields " ab a b ", not BPE's " ab ab "), but the pass-1
+    * survivors are then isolated between already-merged symbols — never
+    * adjacent to another occurrence — so one more identical pass merges
+    * them all, and replacing (l,r) with the space-free symbol `lr` can
+    * never create a new " l r " occurrence. Two passes IS the fixpoint,
+    * which matches Sennrich's merge-everywhere semantics exactly, and the
+    * same double replace replays in DuckDB's `replace`, so the whole
+    * induction replays in the oracle. Symbols stay space-free by
+    * construction (normalized words are [a-z0-9]+; the end marker is
+    * charset-checked).
     *
     * Scale shape (100 TB): ONE corpus-volume aggregation builds the
     * (word, freq) vocabulary; all `numMerges` iterations run on that
@@ -258,9 +288,10 @@ object CorpusOps {
         val Array(l, r) = top.head.getString(0).split(" ", 2)
         merges += ((i + 1L, l, r, top.head.getLong(1)))
         // symbols are [a-z0-9] + the charset-checked marker: safe to
-        // inline in the literal (non-regex) replace
+        // inline in the literal (non-regex) replace; applied twice —
+        // pass 2 reaches the fixpoint (see the docblock)
         syms = syms.withColumn("__s",
-          expr(s"replace(__s, ' $l $r ', ' $l$r ')"))
+          expr(s"replace(replace(__s, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')"))
         if ((i + 1) % 16 == 0) syms = syms.localCheckpoint(true)
         i += 1
       }
@@ -272,9 +303,10 @@ object CorpusOps {
   /** Apply a learned BPE merge list ([[bpeMerges]] output, rank order) to
     * tokenize the corpus — the "real tokenizer" token count that
     * [[graft.functions.TextFunctions.subwordCount]] approximates. Each
-    * merge is one literal replace on the space-delimited symbol string
-    * (identical semantics to training, so train-then-encode of a training
-    * word reproduces its final training segmentation exactly).
+    * merge is the same DOUBLE literal replace as training (two passes = the
+    * merge-everywhere fixpoint — see [[bpeMerges]]), so train-then-encode
+    * of a training word reproduces its final training segmentation
+    * exactly.
     *
     * Scale shape: the replace chain runs once per DISTINCT word (the
     * vocabulary frame), not per occurrence — documents join their
@@ -303,7 +335,9 @@ object CorpusOps {
       array_join(filter(split(col("__w"), ""), s => length(s) > 0), " "),
       lit(" " + endMarker + " "))
     val encoded = merges.foldLeft(initSym) { case (sym, (l, r)) =>
-      call_function("replace", sym, lit(s" $l $r "), lit(s" $l$r "))
+      call_function("replace",
+        call_function("replace", sym, lit(s" $l $r "), lit(s" $l$r ")),
+        lit(s" $l $r "), lit(s" $l$r "))
     }
     val vocab = docWords.select(col("__w")).distinct()
       .withColumn("__syms",

@@ -259,8 +259,16 @@ object LanguageModel {
     val weighted = tgt.join(src, Seq(idCol))
       .select(col(idCol), col("n_tokens"), col("ll_target"), col("ll_source"),
         round(col("ll_target") - col("ll_source"), 6).as("weight"))
+    // the percentile fraction is formatted as an exact DECIMAL literal:
+    // interpolating the double `1.0 - selectFraction` prints artifacts
+    // like 0.09999999999999998 (selectFraction = 0.9), a subtly different
+    // fraction from the oracle's hand-written decimal. BigDecimal.valueOf
+    // uses the double's shortest decimal form and the subtraction is exact
+    // in decimal, so any selectFraction replays digit-for-digit.
+    val frac = java.math.BigDecimal.valueOf(1.0)
+      .subtract(java.math.BigDecimal.valueOf(selectFraction)).toPlainString
     val th = weighted.agg(round(
-      expr(s"percentile(weight, ${1.0 - selectFraction})"), 6).as("__th"))
+      expr(s"percentile(weight, $frac)"), 6).as("__th"))
     weighted.crossJoin(broadcast(th))
       .select(col(idCol), col("n_tokens"), col("ll_target"), col("ll_source"),
         col("weight"),

@@ -88,14 +88,26 @@ object Sampling {
     * the derived rates are bit-identical in every engine (`pow` carries no
     * such guarantee for other exponents). */
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
-                     alpha: Double = 0.5): DataFrame = {
+                     alpha: Double = 0.5,
+                     maxStrata: Int = 100000): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"bad temperature alpha $alpha")
+    require(maxStrata >= 1, s"bad maxStrata $maxStrata")
     // NULL strata are excluded from the rate derivation: they cannot be
     // keyed in `rates` (and must not set c_min, deflating every real
-    // stratum); null-stratum rows keep stratifiedHashSample's defaultRate 1
-    val counts = df.where(col(strataCol).isNotNull)
+    // stratum); null-stratum rows keep stratifiedHashSample's defaultRate 1.
+    // Stratum-cardinality guard (the fitsExactNgram measured-size
+    // discipline): the per-stratum rate table is DRIVER state, so a caller
+    // passing a high-cardinality column (doc ids, URLs) must fail loudly,
+    // not OOM the driver — take(maxStrata + 1) bounds the fetch itself, so
+    // even the probe never materializes an unbounded collect.
+    val rows = df.where(col(strataCol).isNotNull)
       .groupBy(col(strataCol)).count()
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .take(maxStrata + 1)
+    require(rows.length <= maxStrata,
+      s"temperatureMix: > $maxStrata distinct values in '$strataCol' — " +
+        "temperature mixing is for bounded strata (languages, sources); " +
+        "raise maxStrata only if the rate table genuinely fits the driver")
+    val counts = rows.map(r => String.valueOf(r.get(0)) -> r.getLong(1))
     if (counts.isEmpty) return df
     val cMin = counts.map(_._2).min.toDouble
     val rates = counts.map { case (s, c) =>
@@ -224,9 +236,20 @@ object Sampling {
     * which constant-folding empties back out) would drag the
     * single-partition WindowExec warning into every consumer's logs. */
   def unimaxAllocation(counts: DataFrame, groupCol: String,
-                       budget: Long, maxEpochs: Double): DataFrame = {
+                       budget: Long, maxEpochs: Double,
+                       maxGroups: Int = 10000): DataFrame = {
     require(budget > 0, s"bad budget $budget")
     require(maxEpochs > 0, s"bad maxEpochs $maxEpochs")
+    require(maxGroups >= 1, s"bad maxGroups $maxGroups")
+    // group-cardinality guard: the rank step below is a deliberate L×L
+    // broadcast self-join (windowless — see the docblock), which is only
+    // the right trade while L is group-bounded (languages). A caller
+    // feeding a high-cardinality key must fail loudly before the broadcast
+    // — the limit(+1) probe never counts past the cap.
+    require(counts.limit(maxGroups + 1).count() <= maxGroups,
+      s"unimaxAllocation: > $maxGroups groups in '$groupCol' — UniMax " +
+        "allocation is for bounded group sets (languages); raise " +
+        "maxGroups only if the L x L rank join genuinely stays tractable")
     val tot = counts.agg(count(lit(1)).as("__L"))
     val a = counts.select(col(groupCol), col("n"))
     val b = counts.select(col(groupCol).as("__g2"), col("n").as("__n2"))

@@ -37,8 +37,11 @@ object Search {
     *
     * Scale shape (100 TB): one corpus-volume explode → (doc,term) hash
     * aggregation (map-side combined) — the same stats pass
-    * [[CorpusOps.tfIdfTopTerms]] runs; df and corpus stats aggregate to
-    * vocabulary/one-row frames (broadcast). Query terms broadcast against
+    * [[CorpusOps.tfIdfTopTerms]] runs; corpus stats aggregate to a one-row
+    * frame (broadcast), and the vocabulary-sized df table is semi-joined to
+    * the distinct query terms BEFORE its broadcast, so the broadcast is
+    * query-set-bounded regardless of vocabulary size. Query terms broadcast
+    * against
     * the tf table keyed on term — the posting-list join — and ranking is a
     * [[graft.functions.BoundedTopK]] hash aggregation: O(k) state per
     * query, no global sort, no windows.
@@ -65,6 +68,15 @@ object Search {
     val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
       explode(array_distinct(TextFunctions.tokens(
         TextFunctions.normalized(col(qTextCol))))).as("__t"))
+    // df stats for QUERY terms only: dfreq is VOCABULARY-sized (billions of
+    // distinct terms on a web corpus — URLs, typos, code identifiers), so
+    // broadcasting it whole is a driver/executor OOM at scale. The scored
+    // stream is already restricted to query terms by the qterms join below,
+    // so semi-joining dfreq to the distinct query terms first is provably
+    // output-neutral and bounds the broadcast by the QUERY SET (small by
+    // contract), not the vocabulary.
+    val qdfreq = dfreq.join(
+      broadcast(qterms.select(col("__t")).distinct()), Seq("__t"), "left_semi")
     val avgdl = col("__tot").cast("double") / col("__n")
     val idf = round(log(lit(1.0)
       + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)), 9)
@@ -72,7 +84,7 @@ object Search {
       (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * (col("__dl") / avgdl)))
     val scored = broadcast(qterms)
       .join(tf, "__t")
-      .join(broadcast(dfreq), "__t")
+      .join(broadcast(qdfreq), "__t")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("__c", round(contrib * 1e9, 0).cast("long"))

@@ -453,8 +453,12 @@ object Oracles {
     * rank. w0 is the (word, freq, " c h a r s </w> ") vocabulary; each
     * iteration counts adjacent symbol pairs (weighted by word freq), picks
     * argmax (count desc, pair asc), and applies the literal " a b "→" ab "
-    * replace — DuckDB's left-to-right non-overlapping `replace` matches
-    * Spark's exactly, so greedy pairing like " l l l "→" ll l " agrees. */
+    * replace TWICE — a single left-to-right pass skips every second
+    * occurrence in a run (shared boundary space), and the survivors are
+    * isolated, so the second identical pass is the merge-everywhere
+    * fixpoint. DuckDB's `replace` has identical left-to-right
+    * non-overlapping semantics, so the double pass agrees with the engine
+    * ([[graft.operators.CorpusOps.bpeMerges]]) pass-for-pass. */
   val bpeMerges: String = {
     val n = 8
     val sb = new StringBuilder
@@ -479,7 +483,8 @@ object Oracles {
       |  GROUP BY pr),
       |b$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr ASC LIMIT 1),
       |w$i AS (
-      |  SELECT freq, replace(sym, ' ' || pr || ' ',
+      |  SELECT freq, replace(replace(sym, ' ' || pr || ' ',
+      |    ' ' || replace(pr, ' ', '') || ' '), ' ' || pr || ' ',
       |    ' ' || replace(pr, ' ', '') || ' ') AS sym
       |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
     }
@@ -520,7 +525,8 @@ object Oracles {
       |  GROUP BY pr),
       |b$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr ASC LIMIT 1),
       |w$i AS (
-      |  SELECT word, freq, replace(sym, ' ' || pr || ' ',
+      |  SELECT word, freq, replace(replace(sym, ' ' || pr || ' ',
+      |    ' ' || replace(pr, ' ', '') || ' '), ' ' || pr || ' ',
       |    ' ' || replace(pr, ' ', '') || ' ') AS sym
       |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
     }

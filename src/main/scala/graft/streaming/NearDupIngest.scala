@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -20,23 +20,27 @@ import graft.operators.{Dedup, ScaleOps}
   * `stateDir` — `bands` (band, bkey, id) and `sigs` (id, sig) — holding
   * the LSH band keys and MinHash signatures of every KEPT doc. Each batch:
   *
-  *  1. signature + band keys for the batch's docs (the same fused kernels
-  *     as the batch operator);
+  *  1. shingle set + signature + band keys for the batch's docs (the same
+  *     fused kernels as the batch operator);
   *  2. store hits: batch docs sharing any band bucket with a stored doc,
-  *     VERIFIED by signature-estimate ≥ threshold − 0.2 (the batch
-  *     operator's prefilter margin) — candidate-level collisions alone
-  *     don't drop;
-  *  3. within-batch: band self-join candidates, same verification; the
-  *     smallest id of each verified near-dup group survives (first-wins,
-  *     non-recursive: a doc drops iff a verified SMALLER candidate or a
-  *     store hit exists — conservative when that smaller doc itself drops,
-  *     and deterministic);
-  *  4. survivors' text appends to `kept`, their bands/sigs append to the
-  *     state tables.
+  *     verified EXACTLY like the batch operator's two-stage check —
+  *     signature-estimate ≥ threshold − 0.2 as the recall-preserving
+  *     PREFILTER, then exact shingle-set Jaccard ≥ threshold as the
+  *     decision (the stored shingle sets live in the state table for
+  *     this) — candidate-level collisions alone don't drop, and neither
+  *     does a sub-threshold estimate alone;
+  *  3. within-batch: band self-join candidates, same two-stage
+  *     verification; the smallest id of each verified near-dup group
+  *     survives (first-wins, non-recursive: a doc drops iff a verified
+  *     SMALLER candidate or a store hit exists — conservative when that
+  *     smaller doc itself drops, and deterministic);
+  *  4. survivors' text appends to `kept`, their bands/sigs/shingles append
+  *     to the state tables.
   *
   * State is bounded by KEPT docs (each contributes `bands` rows + one
-  * 64-long signature), not by stream volume — re-ingested duplicates add
-  * nothing. At 100 TB the state tables are ordinary relations: the
+  * 64-long signature + its distinct word-3-shingle hash set, ∝ kept
+  * tokens — the same order as the kept text itself), not by stream volume
+  * — re-ingested duplicates add nothing. At 100 TB the state tables are ordinary relations: the
   * band-key join is an equi-join a real deployment would back with a Delta
   * table compacted by [[graft.operators.Maintenance.optimize]]; the
   * per-batch work is one broadcast-or-shuffle join per state table, no
@@ -64,7 +68,8 @@ final class NearDupIngest(
     StructField("sid", LongType)))
   private val sigSchema = StructType(Seq(
     StructField("sid", LongType),
-    StructField("ssig", ArrayType(LongType, containsNull = false))))
+    StructField("ssig", ArrayType(LongType, containsNull = false)),
+    StructField("ssh", ArrayType(LongType, containsNull = false))))
 
   private def readOr(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     if (new java.io.File(dir).exists()) spark.read.schema(schema).parquet(dir)
@@ -87,8 +92,8 @@ final class NearDupIngest(
           TextFunctions.fingerprintMd5(col(textCol)).as("__fp")),
         "id", Seq("__fp"))
       .drop("__fp")
-      .withColumn("sig", minhashExprs.minhashSig(
-        minhashExprs.wordShingleSet(col("text"), 3), numHashes))
+      .withColumn("sh", minhashExprs.wordShingleSet(col("text"), 3))
+      .withColumn("sig", minhashExprs.minhashSig(col("sh"), numHashes))
       .cache()
     try {
       val bnd = withSig.select(col("id"),
@@ -97,11 +102,26 @@ final class NearDupIngest(
 
       val storeBands = readOr(spark, bandsDir, bandSchema)
       val storeSigs = readOr(spark, sigsDir, sigSchema)
+      // two-stage verification, IDENTICAL semantics to the batch operator
+      // (Dedup.verifiedPairs): the −0.2 estimate margin is only the
+      // recall-preserving PREFILTER; the drop decision is exact shingle-set
+      // Jaccard ≥ threshold. Gating on the estimate alone would silently
+      // lower the effective threshold by the margin (≈0.5 at the default
+      // 0.7) and permanently discard merely-related documents.
+      def exactJaccard(a: Column, b: Column): Column = {
+        val inter = minhashExprs.sortedIntersectCount(a, b)
+        when(size(a) + size(b) - inter === 0, 0.0)
+          .otherwise(inter.cast("double") / (size(a) + size(b) - inter))
+      }
+      def prefilter(sa: Column, sb: Column): Column =
+        minhashExprs.arrayAgreeCount(sa, sb).cast("double") / numHashes >=
+          threshold - 0.2
       val storeHits = bnd.join(storeBands, Seq("band", "bkey"))
         .select(col("id"), col("sid")).distinct()
-        .join(withSig.select(col("id"), col("sig")), Seq("id"))
+        .join(withSig.select(col("id"), col("sig"), col("sh")), Seq("id"))
         .join(storeSigs, Seq("sid"))
-        .where(Dedup.sigEstimate(col("sig"), col("ssig")) >= threshold - 0.2)
+        .where(prefilter(col("sig"), col("ssig")))
+        .where(exactJaccard(col("sh"), col("ssh")) >= threshold)
         .select(col("id")).distinct()
 
       // oversized band buckets are dropped from the SELF-join only (the
@@ -112,14 +132,17 @@ final class NearDupIngest(
       val capped = ScaleOps.capBuckets(bnd, Seq("band", "bkey"),
         bucketCap, "ingest").cache()
       val a = capped.alias("a"); val b = capped.alias("b")
-      val sigOf = withSig.select(col("id"), col("sig"))
+      val sigOf = withSig.select(col("id"), col("sig"), col("sh"))
       val batchLosers = a.join(b,
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-        .join(sigOf.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-        .join(sigOf.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-        .where(Dedup.sigEstimate(col("sig_a"), col("sig_b")) >= threshold - 0.2)
+        .join(sigOf.select(col("id").as("id_a"), col("sig").as("sig_a"),
+          col("sh").as("sh_a")), "id_a")
+        .join(sigOf.select(col("id").as("id_b"), col("sig").as("sig_b"),
+          col("sh").as("sh_b")), "id_b")
+        .where(prefilter(col("sig_a"), col("sig_b")))
+        .where(exactJaccard(col("sh_a"), col("sh_b")) >= threshold)
         .select(col("id_b").as("id")).distinct()
 
       val kept = withSig
@@ -129,7 +152,8 @@ final class NearDupIngest(
 
       kept.select(col("id").as(idCol), col("text").as(textCol))
         .write.mode("append").parquet(keptDir)
-      kept.select(col("id").as("sid"), col("sig").as("ssig"))
+      kept.select(col("id").as("sid"), col("sig").as("ssig"),
+          col("sh").as("ssh"))
         .write.mode("append").parquet(sigsDir)
       kept.select(col("id"),
           explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))

@@ -81,4 +81,23 @@ class BpeSpec extends SparkSuite {
     val b = merges(corpus.reverse, 6)
     assert(a === b && a.length === 6)
   }
+
+  test("fixpoint replace: consecutive occurrences all merge ('abab' case)") {
+    // a single left-to-right replace pass of ' a b ' shares the boundary
+    // space between consecutive occurrences, turning 'abab' into
+    // [ab, a, b] instead of BPE's merge-everywhere [ab, ab]; the double
+    // pass must reach the fixpoint
+    val got = merges(Seq("abab abab abab"), 2)
+    // per word: pairs (a,b) x2, (b,a) x1, (b,</w>) x1 -> (a,b) = 6 wins
+    assert(got(0) === ((1L, "a", "b", 6L)))
+    // ' a b a b </w> ' -> ' ab ab </w> ': merge 2 sees (ab,ab) x3 and
+    // (ab,</w>) x3; 'ab </w>' < 'ab ab' by string order ('<' < 'a')
+    assert(got(1) === ((2L, "ab", "</w>", 3L)))
+    // encode under [(a,b)]: abab -> [ab, ab, </w>] = 3 symbols
+    val enc = CorpusOps.bpeEncode(
+        Seq((1L, "abab"), (2L, "ababab")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("a", "b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(enc === Map(1L -> 3L, 2L -> 4L))
+  }
 }

@@ -43,4 +43,26 @@ class CorpusCardSpec extends SparkSuite {
       .collect().head.getAs[Double]("avg_quality")
     assert(got === expected)
   }
+
+  test("median stays exact past the default budget: measured sizing") {
+    // 300 docs in one language with a tiny kllBudget: the probe must
+    // detect the overflow, grow the budget to the measured max language,
+    // and keep p50 == quantile_disc (lengths 1..300 words -> disc median
+    // is the 150th order statistic = 150)
+    val big = (1 to 300).map(i => ("xx", ("w " * i).trim)).toDF("lang", "text")
+    val got = CorpusOps.corpusCard(big, "text", "lang", kllBudget = 64)
+      .collect().head
+    assert(got.getAs[Long]("n_docs") === 300L)
+    assert(got.getAs[Long]("p50_tokens") === 150L)
+  }
+
+  test("beyond exactMedianCap the sketch degrades without failing") {
+    val big = (1 to 300).map(i => ("xx", ("w " * i).trim)).toDF("lang", "text")
+    val got = CorpusOps.corpusCard(big, "text", "lang",
+        kllBudget = 64, exactMedianCap = 128)
+      .collect().head
+    val p50 = got.getAs[Long]("p50_tokens")
+    // approximate regime: still a plausible element of the multiset
+    assert(p50 >= 1L && p50 <= 300L)
+  }
 }

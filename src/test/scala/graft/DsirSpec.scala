@@ -63,4 +63,28 @@ class DsirSpec extends SparkSuite {
       .collect().map(r => (r.getDouble(4), r.getLong(5)))
     assert(rows.forall { case (w, s) => w === 0.0 && s === 1L })
   }
+
+  test("dsirWeights: selectFraction 0.9 cuts at the exact 0.1 percentile") {
+    // 0.9 is the literal-formatting hazard: 1.0 - 0.9 in double arithmetic
+    // prints 0.09999999999999998; the threshold must be the decimal-exact
+    // percentile(weight, 0.1) — verified against a driver-side replay of
+    // Spark's interpolated-percentile formula at fraction exactly 0.1
+    val target = Seq((100L, "alpha alpha alpha")).toDF("id", "text")
+    val source = Seq((200L, "zeta zeta zeta")).toDF("id", "text")
+    val score = (1L to 20L).map(i =>
+      (i, (("alpha " * i.toInt) + ("zeta " * (20 - i).toInt)).trim))
+      .toDF("id", "text")
+    val rows = LanguageModel.dsirWeights(target, source, score, "id", "text",
+      selectFraction = 0.9).collect()
+    val ws = rows.map(_.getDouble(4)).sorted
+    assert(ws.distinct.length === ws.length, "fixture needs distinct weights")
+    val idx = 0.1 * (ws.length - 1)
+    val lo = idx.toInt
+    val th = BigDecimal(ws(lo) + (idx - lo) * (ws(lo + 1) - ws(lo)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = rows.filter(_.getDouble(4) >= th).map(_.getLong(0)).toSet
+    val selected = rows.filter(_.getLong(5) == 1L).map(_.getLong(0)).toSet
+    assert(selected === expect)
+    assert(selected.size >= 17 && selected.size <= 19)
+  }
 }

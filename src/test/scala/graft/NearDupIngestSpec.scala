@@ -103,4 +103,37 @@ class NearDupIngestSpec extends SparkSuite {
     val kept = gate.kept(spark).collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 2L, 11L))
   }
+
+  test("estimate prefilter alone never drops: exact Jaccard is the gate") {
+    import graft.functions.minhashExprs
+    // a moderate edit whose exact Jaccard sits INSIDE the prefilter window
+    // [threshold - 0.2, threshold): the old estimate-only gate dropped it,
+    // the batch-equivalent two-stage check must keep it
+    val edited = bodyA.replace("lazy", "sleepy")
+    val th = 0.95
+    val inter = minhashExprs.sortedIntersectCount(col("sa"), col("sb"))
+    val Array(jac, est) = Seq((bodyA, edited)).toDF("a", "b")
+      .select(minhashExprs.wordShingleSet(col("a"), 3).as("sa"),
+        minhashExprs.wordShingleSet(col("b"), 3).as("sb"))
+      .select(
+        (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
+          .as("jac"),
+        (minhashExprs.arrayAgreeCount(
+          minhashExprs.minhashSig(col("sa"), 64),
+          minhashExprs.minhashSig(col("sb"), 64)).cast("double") / 64)
+          .as("est"))
+      .collect().map(r => Array(r.getDouble(0), r.getDouble(1))).head
+    // fixture self-check: the pair must genuinely exercise the window
+    assert(jac >= th - 0.2 && jac < th, s"fixture drifted: jac=$jac")
+    assert(est >= th - 0.2, s"fixture drifted: est=$est")
+    val gate = new NearDupIngest(tmpDir("ndi_exactgate"), "doc_id", "text",
+      threshold = th)
+    gate.processBatch(Seq((1L, bodyA)).toDF("doc_id", "text"), 0L)
+    gate.processBatch(Seq((2L, edited)).toDF("doc_id", "text"), 1L)
+    // sub-threshold exact similarity -> KEPT despite the estimate hit
+    assert(gate.kept(spark).collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // an at-threshold copy (identical text, new id) still drops cross-batch
+    gate.processBatch(Seq((3L, bodyA)).toDF("doc_id", "text"), 2L)
+    assert(gate.kept(spark).collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
 }

@@ -529,6 +529,20 @@ class PipelineSpec extends SparkSuite {
       s"α=0 equalizes expected stratum sizes, got $equalized")
   }
 
+  test("temperatureMix: stratum-cardinality guard trips before the driver collect") {
+    val docs = spark.range(0, 500).select(col("id"),
+      concat(lit("s"), col("id")).as("lang"))   // 500 distinct strata
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sampling
+        .temperatureMix(docs, "id", "lang", alpha = 0.5, maxStrata = 100)
+    }
+    assert(e.getMessage.contains("maxStrata"))
+    // exactly-at-cap cardinality still works
+    assert(graft.operators.Sampling
+      .temperatureMix(docs, "id", "lang", alpha = 1.0, maxStrata = 500)
+      .count() === 500L)
+  }
+
   test("temperatureMix: NULL strata neither set c_min nor downsample; kept whole") {
     // 1000 en, 100 sw, 10 null-stratum rows: if nulls were counted they
     // would become c_min=10 and deflate sw's rate below 1

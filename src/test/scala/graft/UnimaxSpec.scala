@@ -79,4 +79,17 @@ class UnimaxSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(const === varq)
   }
+
+  test("group-cardinality guard: high-cardinality key fails loudly") {
+    val many = (1L to 50L).map(i => (s"g$i", 10L)).toDF("lang", "n")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.unimaxAllocation(many, "lang", budget = 100L,
+        maxEpochs = 1.0, maxGroups = 10).collect()
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // at-the-cap cardinality still works
+    val ok = Sampling.unimaxAllocation(many, "lang", budget = 100L,
+      maxEpochs = 1.0, maxGroups = 50)
+    assert(ok.count() === 50L)
+  }
 }
