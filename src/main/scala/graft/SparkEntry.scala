@@ -186,7 +186,13 @@ object SparkEntry {
     "dedup_ngram_lsh" -> ((s: SparkSession, d: String) =>
       graft.operators.Dedup.ngramJaccardPairs(
         PipelineQueries.docsWithPlants(s, d), "doc_id", "text",
-        n = 3, threshold = 0.6)))
+        n = 3, threshold = 0.6)),
+    // round 11: ANN-backed hybrid retrieval — the hybrid_search
+    // composition with the vector leg on the memoized IVF index at
+    // SELECTIVE nprobe (4/16) instead of brute force: the 100-TB shape.
+    // Approximate by design, so bench-only; fused-top-10 recall vs the
+    // brute twin is spec-pinned in PipelineSpec
+    "hybrid_search_ann" -> (PipelineQueries.hybridSearchAnnQ _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -185,6 +185,31 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN-backed hybrid retrieval: the [[hybridSearchQ]] composition with
+    * the vector leg served by the memoized IVF index at SELECTIVE probing
+    * (nprobe 4 of nlist 16) instead of brute force — the corpus-scale
+    * shape, where the vector leg touches ~nprobe/nlist of the corpus per
+    * query instead of all of it. Approximate by design (a true neighbor
+    * in an unprobed cell is missed), so this is a BENCH twin, not an
+    * oracle entry; its fused-top-10 recall against the brute-force
+    * [[hybridSearchQ]] is spec-pinned in PipelineSpec the same way
+    * dedup_ngram_lsh's banding recall is. */
+  def hybridSearchAnnQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val lex = graft.operators.Search.bm25TopK(
+      docs,
+      docs.where(col("doc_id") < 4).select(col("doc_id"), col("text")),
+      "doc_id", "text", "doc_id", "text", k = 20)
+    val e = t(spark, dir, "embeddings")
+    val vec = liveMemo(ivfIndexes, dir, (_: Similarity.IvfIndex).isLive,
+        (_: Similarity.IvfIndex).unpersist(),
+        Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16))
+      .topK(e.where(col("vec_id") < 4), k = 20, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.Search.rrfFuse(Seq(lex, vec), k = 10, c = 60)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** BPE vocabulary induction: the first 8 merge ranks over the corpus
     * vocabulary (greedy most-frequent-adjacent-pair, ties by pair string). */
   def bpeMergesQ(spark: SparkSession, dir: String): DataFrame =

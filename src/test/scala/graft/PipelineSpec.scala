@@ -341,6 +341,38 @@ class PipelineSpec extends SparkSuite {
       s"banding recall regressed: caught ${caught.size}/19 planted pairs")
   }
 
+  test("hybrid_search_ann: selective-probe fusion recall vs brute twin pinned (sf0.01)") {
+    // the ANN-backed hybrid entry serves the vector leg from the IVF index
+    // at nprobe 4/16 — approximate BY DESIGN (a true neighbor in an
+    // unprobed cell is missed). Pin the measured fused-top-10 overlap
+    // against the brute-force hybrid so a silent recall regression fails
+    // loudly, the dedup_ngram_lsh discipline.
+    val dir = sf("sf0.01")
+    def fusedSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val brute = fusedSets(PipelineQueries.hybridSearchQ(spark, dir))
+    val ann = fusedSets(PipelineQueries.hybridSearchAnnQ(spark, dir))
+    assert(ann.keySet === brute.keySet, "every query must produce a fusion")
+    // measured at 4/16 probing on this fixture: overlaps (5, 9, 8, 7),
+    // 29/40 in aggregate — pin the floor so regressions fail loudly
+    val overlaps = brute.keySet.toSeq.sorted
+      .map(q => ann(q).intersect(brute(q)).size)
+    assert(overlaps.forall(_ >= 5) && overlaps.sum >= 29,
+      s"fused top-10 recall regressed: per-query overlap $overlaps / 10")
+    // rank-1 fusion agreement (the lexical leg is identical; the vector
+    // leg's unprobed-cell misses can reshuffle a close fusion): measured 3
+    // of 4 queries agree on this fixture — pin that floor
+    val b1 = PipelineQueries.hybridSearchQ(spark, dir)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a1 = PipelineQueries.hybridSearchAnnQ(spark, dir)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = b1.count { case (q, d) => a1.get(q).contains(d) }
+    assert(agree >= 3, s"rank-1 fusion agreement regressed: $agree/4")
+  }
+
   test("ngramJaccardJoin: prefix-filtered join equals brute force exactly") {
     // completeness certificate for the graduated dedup_ngram contract
     // entry: the prefix filter may generate extra candidates but can never
