@@ -77,8 +77,15 @@ final class NearDupIngest(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** One micro-batch through the near-dup gate; also directly usable as a
-    * batch-mode incremental ingest step. */
-  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    * batch-mode incremental ingest step.
+    *
+    * `onKept` is the downstream-composition hook: it receives this batch's
+    * SURVIVORS (idCol, textCol) while they are still cached, so a curation
+    * pipeline can chain its next stages (quality/Gopher filters, sketch
+    * monitors, curated sinks) per micro-batch without re-reading `keptDir`
+    * or guessing which rows a batch appended. */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   onKept: DataFrame => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
     // EXACT within-batch dedup first (keep-min-id per normalized-text md5,
     // one hash aggregation): a degenerate batch of identical docs must not
@@ -145,10 +152,18 @@ final class NearDupIngest(
         .where(exactJaccard(col("sh_a"), col("sh_b")) >= threshold)
         .select(col("id_b").as("id")).distinct()
 
+      // EAGER localCheckpoint, not cache: appending to sigsDir/bandsDir
+      // below invalidates any cached plan that READS those dirs (Spark
+      // refreshes path-dependent caches on write), and a recompute after
+      // the appends would see this batch's own sigs/bands in the store —
+      // every doc then "hits" itself and the batch silently evaluates to
+      // empty for late consumers (the onKept hook; plus a hidden full
+      // recompute between the state writes). Checkpointing cuts the
+      // lineage to the state dirs, so the survivors are computed exactly
+      // once and stay stable through the appends.
       val kept = withSig
         .join(storeHits.union(batchLosers).distinct(), Seq("id"), "left_anti")
-        .cache()
-      kept.count() // materialize before appending to the dirs the plan read
+        .localCheckpoint(true)
 
       kept.select(col("id").as(idCol), col("text").as(textCol))
         .write.mode("append").parquet(keptDir)
@@ -160,16 +175,18 @@ final class NearDupIngest(
         .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
           col("id").as("sid"))
         .write.mode("append").parquet(bandsDir)
-      kept.unpersist()
+      onKept(kept.select(col("id").as(idCol), col("text").as(textCol)))
       capped.unpersist()
     } finally withSig.unpersist()
   }
 
   /** Drive a document stream through the gate until no more input is
-    * available (Trigger.AvailableNow — the incremental-ingest-job shape). */
-  def ingest(stream: DataFrame, checkpointDir: String): StreamingQuery =
+    * available (Trigger.AvailableNow — the incremental-ingest-job shape).
+    * `onKept` composes downstream per-batch stages (see [[processBatch]]). */
+  def ingest(stream: DataFrame, checkpointDir: String,
+             onKept: DataFrame => Unit = _ => ()): StreamingQuery =
     stream.writeStream
-      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id, onKept))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
