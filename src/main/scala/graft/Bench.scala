@@ -45,7 +45,17 @@ object Bench {
     // contract queries + bench-only twins (production-kernel variants of
     // entries whose oracle form is deliberately engine-portable)
     val allQueries = SparkEntry.queries ++ SparkEntry.benchQueries
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named entries —
+    // for targeted drift/regression adjudication on an idle host without
+    // paying the full contract wall (the headline driver run never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- allQueries.keySet
+      require(unknown.isEmpty, s"unknown bench entries: ${unknown.mkString(",")}")
+    }
     val names = allQueries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // per-query wall cap: a runaway query gets CANCELLED and NAMED instead
     // of silently eating the driver's whole bench budget — r8's rc-124
     // produced no numbers at all because one quadratic query ran 888 s × 5
