@@ -17,14 +17,15 @@ object PlanDump {
     val exec = args.contains("--exec")
     val rest = args.filterNot(_ == "--exec")
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+    val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchQueries
     val names = if (rest.length > 1) rest.drop(1).toSeq
-      else graft.SparkEntry.queries.keys.toSeq.sorted
+      else all.keys.toSeq.sorted
     val spark = graft.GraftSession.localBuilder(4, "graft-plandump")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      graft.SparkEntry.queries.get(n) match {
+      all.get(n) match {
         case Some(q) =>
           println(s"\n========== $n ==========")
           try {

@@ -304,14 +304,20 @@ object Queries {
       .orderBy(col("l_returnflag"))
 
   /** Broadcast-join aggregation: revenue per nation (engine-breadth join
-    * path; nation/customer sides broadcast, lineitem side streams). */
+    * path). Only NATION (25 rows, a true dimension) carries a broadcast
+    * hint; customer is CORPUS-SCALE in TPC-H (15B rows at 100 TB), so its
+    * join stays unhinted — a shuffle join on custkey at scale, while AQE
+    * still converts it to broadcast at runtime whenever the measured side
+    * fits (it does at every test sf). Force-broadcasting customer was the
+    * same vocabulary-broadcast class of flaw the round-11 BM25 fix
+    * removed. */
   def joinRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
