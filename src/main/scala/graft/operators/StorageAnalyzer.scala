@@ -77,19 +77,26 @@ object StorageAnalyzer {
       .unionByName(topLevel.toDF("path", "size"))
   }
 
-  /** J1: files on disk not referenced by the manifest — a broadcast
-    * left-anti join on the scheme-stripped, AUTHORITY-KEEPING full path
+  /** J1: files on disk not referenced by the manifest — a left-anti join
+    * on the scheme-stripped, AUTHORITY-KEEPING full path
     * ([[graft.deltalog.DeltaLog.pathKey]]): both frames are caller-supplied,
     * so equal paths on different buckets/namenodes must not silently match.
     * (The reference differences basename *sets*, delta_python_analyzer.py:
     * 125-126,264-266; full paths are strictly safer since Spark-written
-    * tables repeat basenames across partition directories.) */
+    * tables repeat basenames across partition directories.)
+    *
+    * No broadcast hint on the manifest side: a 100-TB Delta table's active
+    * manifest runs to millions of files, and a FORCED broadcast of it is
+    * the same unbounded-table hazard as the round-11 BM25/customer fixes —
+    * AQE broadcasts at runtime whenever the measured manifest fits (every
+    * test sf), and degrades to a manifest-sized shuffle join, never an
+    * OOM, when it doesn't. */
   def orphanFiles(folder: DataFrame, manifest: DataFrame): DataFrame = {
     val f = folder.select(
       graft.deltalog.DeltaLog.pathKey(col("path")).as("file_key"), col("size"))
     val m = manifest.select(
       graft.deltalog.DeltaLog.pathKey(col("path")).as("file_key"))
-    f.join(broadcast(m), Seq("file_key"), "left_anti")
+    f.join(m, Seq("file_key"), "left_anti")
   }
 
   /** One-pass manifest + folder storage aggregate. Returns a one-row frame:
