@@ -91,6 +91,7 @@ object SparkEntry {
     "bpe_encode" -> (PipelineQueries.bpeEncodeQ _),
     "lm_score" -> (PipelineQueries.lmScore _),
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
+    "lm_backoff" -> (PipelineQueries.lmBackoff _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
     "span_similarity" -> (PipelineQueries.spanSimilarity _),
     "cdc_chunks" -> (PipelineQueries.cdcChunksQ _),
@@ -233,6 +234,7 @@ object SparkEntry {
     "bpe_encode" -> Oracles.bpeEncode,
     "lm_score" -> Oracles.lmScore,
     "lm_heldout" -> Oracles.lmHeldout,
+    "lm_backoff" -> Oracles.lmBackoff,
     "ppl_buckets" -> Oracles.pplBuckets,
     "span_similarity" -> Oracles.spanSimilarity,
     "cdc_chunks" -> Oracles.cdcChunks,

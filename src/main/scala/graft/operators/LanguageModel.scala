@@ -274,4 +274,105 @@ object LanguageModel {
         col("weight"),
         (col("weight") >= col("__th")).cast("long").as("selected"))
   }
+
+  /** Stupid-backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the n-gram smoothing scheme DESIGNED
+    * for distributed corpora: scores are relative frequencies with a fixed
+    * backoff factor λ, never normalized, so the "model" stays three count
+    * DataFrames built by plain hash aggregation — no held-out discounting
+    * pass, no global normalization, which is exactly why Google used it at
+    * trillion-token scale. Per trigram occurrence w₁w₂w₃ of a scored doc:
+    *
+    *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)                 if c(w₁w₂w₃) > 0
+    *              = λ · c(w₂w₃)/c(w₂)                 else if c(w₂w₃) > 0
+    *              = λ² · (c(w₃)+α)/(N+α·V)            otherwise
+    *
+    * The unigram base is add-α smoothed (Brants' bare f(w)/N is 0 for OOV
+    * words and ln would diverge; α keeps every path finite — deviation
+    * documented here, spec-pinned). When a trigram is seen its context
+    * bigram necessarily is too (c(w₁w₂) ≥ c(w₁w₂w₃)), and likewise
+    * c(w₂) ≥ c(w₂w₃), so no branch divides by zero. Output per scored doc:
+    * (idCol, n_trigrams, avg_logscore = mean ln S over trigram occurrences,
+    * score_ppl = exp(−avg_logscore) — a PSEUDO-perplexity, since backoff
+    * scores are unnormalized). Docs with < 3 tokens keep a row (0, 0.0,
+    * 1.0), the [[bigramLmScore]] convention.
+    *
+    * Determinism across engines: λ and λ² enter as the DECIMAL literals of
+    * `BigDecimal.valueOf(λ)` (λ² computed in decimal — the double product
+    * 0.4*0.4 = 0.16000000000000003 would NOT equal the oracle's 0.16);
+    * each ln rounds to 9 before the 1e-9-quantized exact integer sum, the
+    * whole-family discipline.
+    *
+    * Scale shape (100 TB): three model tables off one tokenize+gram pass
+    * each over `train`, all DISTINCT-n-gram bounded (the trigram table is
+    * the big one — Brants' sharding answer is the same hash partitioning
+    * every join here already keys by); scoring is one per-(doc,trigram)
+    * aggregation joined against the model tables on gram keys. The one-row
+    * totals aggregate is an explicit broadcast. No windows, no driver
+    * state. */
+  def stupidBackoffScore(train: DataFrame, score: DataFrame,
+                         idCol: String, textCol: String,
+                         lambda: Double = 0.4,
+                         alpha: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"backoff lambda must be in (0,1), got $lambda")
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    requireNoReserved(idCol)
+    val id = col(idCol)
+    val lamD = java.math.BigDecimal.valueOf(lambda)
+    val lam = lamD.doubleValue
+    val lam2 = lamD.pow(2).doubleValue
+    def grams(df: DataFrame, n: Int, as: String) = df.select(id,
+      explode(minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), n)).as(as))
+
+    // ---- model: three count tables, one grams pass each over train ----
+    val modelTri = grams(train, 3, "__tri")
+      .groupBy(col("__tri")).agg(count(lit(1)).as("__c123"))
+    val modelBig = grams(train, 2, "__big")
+      .groupBy(col("__big")).agg(count(lit(1)).as("__c12"))
+    val modelUni = grams(train, 1, "__tok")
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
+    val totals = modelUni.agg(sum(col("__c1")).as("__ntot"),
+      count(lit(1)).as("__v"))
+
+    // ---- score: per-(doc, trigram) counts joined on derived gram keys ----
+    val docTg = grams(score, 3, "__tri")
+      .groupBy(id, col("__tri")).agg(count(lit(1)).as("__n"))
+    val keyed = docTg
+      .withColumn("__ctx", substring_index(col("__tri"), " ", 2))
+      .withColumn("__suf", substring_index(col("__tri"), " ", -2))
+      .withColumn("__w2", substring_index(col("__suf"), " ", 1))
+      .withColumn("__w3", substring_index(col("__tri"), " ", -1))
+    val scored = keyed
+      .join(modelTri, Seq("__tri"), "left")
+      .join(modelBig.select(col("__big").as("__ctx"),
+        col("__c12").as("__cctx")), Seq("__ctx"), "left")
+      .join(modelBig.select(col("__big").as("__suf"),
+        col("__c12").as("__csuf")), Seq("__suf"), "left")
+      .join(modelUni.select(col("__tok").as("__w2"),
+        col("__c1").as("__cw2")), Seq("__w2"), "left")
+      .join(modelUni.select(col("__tok").as("__w3"),
+        col("__c1").as("__cw3")), Seq("__w3"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp", round(
+        when(col("__c123").isNotNull,
+          log(col("__c123").cast("double") / col("__cctx")))
+        .when(col("__csuf").isNotNull,
+          log(lit(lam) * col("__csuf").cast("double") / col("__cw2")))
+        .otherwise(log(lit(lam2) * (coalesce(col("__cw3"), lit(0L)) + alpha) /
+          (col("__ntot") + lit(alpha) * col("__v")))), 9))
+      // 1e-9-quantized EXACT integer sum — see bigramLmScore
+      .withColumn("__lpq", round(col("__lp") * 1e9, 0).cast("long"))
+      .groupBy(id)
+      .agg(sum(col("__n")).as("__ng"), sum(col("__n") * col("__lpq")).as("__slq"))
+      .withColumn("__slp", col("__slq").cast("double") / 1e9)
+    val ng = coalesce(col("__ng"), lit(0L))
+    score.select(id).join(scored, Seq(idCol), "left")
+      .select(id,
+        ng.as("n_trigrams"),
+        when(ng === 0, 0.0)
+          .otherwise(round(col("__slp") / col("__ng"), 6)).as("avg_logscore"),
+        when(ng === 0, 1.0)
+          .otherwise(round(exp(-col("__slp") / col("__ng")), 6)).as("score_ppl"))
+  }
 }

@@ -299,6 +299,88 @@ object Oracles {
       |FROM vl vd LEFT JOIN scored s ON vd.doc_id = s.doc_id
       |ORDER BY vd.doc_id""".stripMargin
 
+  /** lm_backoff: the Brants '07 stupid-backoff trigram scorer retrained in
+    * SQL — trigram/bigram/unigram count tables off the md5-bucket TRAIN
+    * partition, val-doc trigram occurrences routed through the same 3-way
+    * CASE (seen trigram → relative frequency against its context bigram;
+    * unseen → 0.4 · suffix-bigram relative frequency; fully unseen →
+    * 0.16 · add-0.5-smoothed unigram base), ln rounded to 9 before the
+    * 1e-9-quantized exact integer sum. The λ/λ² literals are the decimal
+    * forms the Spark side derives via BigDecimal (0.4 / 0.16). */
+  val lmBackoff: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents),
+      |trl AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l
+      |  FROM b WHERE bucket < 204),
+      |vl AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l
+      |  FROM b WHERE bucket >= 204 AND bucket < 230),
+      |model_tri AS (
+      |  SELECT tri, CAST(count(*) AS BIGINT) AS c123 FROM (
+      |    SELECT unnest(list_transform(range(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tri
+      |    FROM trl)
+      |  GROUP BY 1),
+      |model_big AS (
+      |  SELECT big, CAST(count(*) AS BIGINT) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(l)),
+      |      i -> l[i] || ' ' || l[i+1])) AS big
+      |    FROM trl)
+      |  GROUP BY 1),
+      |model_uni AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM (
+      |    SELECT unnest(l) AS tok FROM trl)
+      |  GROUP BY 1),
+      |totals AS (SELECT CAST(sum(c1) AS BIGINT) AS ntot,
+      |  CAST(count(*) AS BIGINT) AS v FROM model_uni),
+      |doc_tg AS (
+      |  SELECT doc_id, tri, count(*) AS n FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tri
+      |    FROM vl)
+      |  GROUP BY 1, 2),
+      |keyed AS (
+      |  SELECT doc_id, tri, n,
+      |    string_split(tri, ' ')[1] || ' ' || string_split(tri, ' ')[2] AS ctx,
+      |    string_split(tri, ' ')[2] || ' ' || string_split(tri, ' ')[3] AS suf,
+      |    string_split(tri, ' ')[2] AS w2,
+      |    string_split(tri, ' ')[3] AS w3
+      |  FROM doc_tg),
+      |scored AS (
+      |  SELECT k.doc_id, CAST(sum(k.n) AS BIGINT) AS ng,
+      |    CAST(sum(k.n * CAST(round(
+      |      CASE WHEN t.c123 IS NOT NULL
+      |             THEN round(ln(CAST(t.c123 AS DOUBLE) / cb.c12), 9)
+      |           WHEN sb.c12 IS NOT NULL
+      |             THEN round(ln(0.4 * CAST(sb.c12 AS DOUBLE) / u2.c1), 9)
+      |           ELSE round(ln(0.16 * (COALESCE(u3.c1, 0) + 0.5)
+      |             / (tt.ntot + 0.5 * tt.v)), 9) END * 1e9) AS BIGINT))
+      |      AS DOUBLE) / 1e9 AS slp
+      |  FROM keyed k
+      |  LEFT JOIN model_tri t ON t.tri = k.tri
+      |  LEFT JOIN model_big cb ON cb.big = k.ctx
+      |  LEFT JOIN model_big sb ON sb.big = k.suf
+      |  LEFT JOIN model_uni u2 ON u2.tok = k.w2
+      |  LEFT JOIN model_uni u3 ON u3.tok = k.w3
+      |  CROSS JOIN totals tt
+      |  GROUP BY 1)
+      |SELECT vd.doc_id,
+      |  COALESCE(s.ng, 0) AS n_trigrams,
+      |  CASE WHEN COALESCE(s.ng, 0) = 0 THEN 0.0
+      |       ELSE round(s.slp / s.ng, 6) END AS avg_logscore,
+      |  CASE WHEN COALESCE(s.ng, 0) = 0 THEN 1.0
+      |       ELSE round(exp(-s.slp / s.ng), 6) END AS score_ppl
+      |FROM vl vd LEFT JOIN scored s ON vd.doc_id = s.doc_id
+      |ORDER BY vd.doc_id""".stripMargin
+
   /** nb_classify: the multinomial Naive Bayes retrained in SQL — md5-bucket
     * train/val split, per-(class,token) add-0.5-smoothed likelihoods over
     * the train vocabulary (val OOV tokens dropped, unseen (w,c) pairs

@@ -105,6 +105,20 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Stupid-backoff trigram scoring (Brants '07): model trained on the md5
+    * hash-split TRAIN partition, val docs scored under it — the held-out
+    * composition makes all three backoff branches live (unseen trigrams
+    * fall to the bigram path, unseen bigrams to the smoothed unigram
+    * base). */
+  def lmBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = Sampling.hashSplit(t(spark, dir, "documents"), "doc_id")
+    LanguageModel.stupidBackoffScore(
+        withSplit.where(col("split") === "train"),
+        withSplit.where(col("split") === "val"),
+        "doc_id", "text", lambda = 0.4, alpha = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Model-based document classification (the GPT-3/CCNet quality-routing
     * stage): multinomial Naive Bayes trained on the md5 hash-split TRAIN
     * partition's `lang` labels, predicting labels for the held-out val

@@ -121,4 +121,56 @@ class LmSpec extends SparkSuite {
       LanguageModel.bigramLmScore(docs, "doc_id", "text", alpha = 0.0)
     }
   }
+
+  test("stupid backoff: all three branches hand-computed") {
+    // train: "a b c a b d", "a b c"
+    //   trigrams: {a b c: 2, b c a: 1, c a b: 1, a b d: 1}
+    //   bigrams:  {a b: 3, b c: 2, c a: 1, b d: 1}
+    //   unigrams: {a: 3, b: 3, c: 2, d: 1}; N = 9, V = 4
+    val train = Seq((1L, "a b c a b d"), (2L, "a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"),   // seen trigram:   S = c(abc)/c(ab) = 2/3
+      (11L, "x b c"),   // bigram backoff: S = 0.4 * c(bc)/c(b) = 0.4*2/3
+      (12L, "a b z"),   // unigram base, OOV w3: 0.16*(0+0.5)/(9+0.5*4)
+      (13L, "c a d"),   // unigram base, in-vocab w3: 0.16*(1+0.5)/11
+      (14L, "a b"),     // < 3 tokens: degenerate row
+      (15L, "a b c a")  // two trigrams: abc (2/3) and bca (1/2)
+    ).toDF("doc_id", "text")
+    val lpAbc = round9(math.log(2.0 / 3))
+    val lpXbc = round9(math.log(0.4 * 2.0 / 3))
+    val lpAbz = round9(math.log(0.16 * (0 + 0.5) / (9 + 0.5 * 4)))
+    val lpCad = round9(math.log(0.16 * (1 + 0.5) / (9 + 0.5 * 4)))
+    val lpBca = round9(math.log(1.0 / 2))
+    // mirror the engine: the per-doc avg rounds to 6 for output, but ppl
+    // is exp of the UNROUNDED quantized-sum average
+    def avgRaw(lps: Seq[Double]): Double =
+      lps.map(lp => math.round(lp * 1e9)).sum.toDouble / 1e9 / lps.size
+    def row(id: Long, lps: Double*): Row =
+      Row(id, lps.size.toLong, round6(avgRaw(lps)),
+        round6(math.exp(-avgRaw(lps))))
+    val got = LanguageModel.stupidBackoffScore(
+        train, score, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.toSeq === Seq(
+      row(10L, lpAbc), row(11L, lpXbc), row(12L, lpAbz), row(13L, lpCad),
+      Row(14L, 0L, 0.0, 1.0), row(15L, lpAbc, lpBca)))
+  }
+
+  test("stupid backoff: self-scoring stays on the trigram branch; params validated") {
+    // scoring the training corpus under itself: every doc trigram is in the
+    // model, so scores are pure relative frequencies — all finite, and a
+    // doc of repeated text scores ln(1)=0 exactly when its trigram count
+    // equals its context count
+    val docs = Seq((1L, "p q r p q r p q r"), (2L, "u v w x")).toDF("doc_id", "text")
+    val got = LanguageModel.stupidBackoffScore(docs, docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+    assert(got.map(_.getLong(1)).toSeq === Seq(7L, 2L))
+    intercept[IllegalArgumentException] {
+      LanguageModel.stupidBackoffScore(docs, docs, "doc_id", "text", lambda = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.stupidBackoffScore(docs, docs, "doc_id", "text", alpha = 0.0)
+    }
+  }
 }
