@@ -92,6 +92,7 @@ object SparkEntry {
     "lm_score" -> (PipelineQueries.lmScore _),
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "lm_backoff" -> (PipelineQueries.lmBackoff _),
+    "lr_classify" -> (PipelineQueries.lrClassify _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
     "span_similarity" -> (PipelineQueries.spanSimilarity _),
     "cdc_chunks" -> (PipelineQueries.cdcChunksQ _),
@@ -235,6 +236,7 @@ object SparkEntry {
     "lm_score" -> Oracles.lmScore,
     "lm_heldout" -> Oracles.lmHeldout,
     "lm_backoff" -> Oracles.lmBackoff,
+    "lr_classify" -> Oracles.lrClassify,
     "ppl_buckets" -> Oracles.pplBuckets,
     "span_similarity" -> Oracles.spanSimilarity,
     "cdc_chunks" -> Oracles.cdcChunks,

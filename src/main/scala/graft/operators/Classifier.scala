@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{minhashExprs, TextFunctions}
@@ -126,5 +126,91 @@ object Classifier {
         .as("__b"))
       .select(id, col("__b.__lbl").as("label_pred"),
         (-col("__b.__neg")).as("score"))
+  }
+
+  /** Binary logistic-regression quality classifier trained by full-batch
+    * gradient descent — the linear-classifier quality filter of the GPT-3 /
+    * LLaMA recipes (a fastText-style model scoring "is this document like
+    * the trusted corpus?") as pure relational algebra plus a driver loop
+    * over BOUNDED scalars: each GD iteration is one map over the persisted
+    * per-doc feature frame and one exact-integer gradient aggregate (4
+    * longs + a count — the engine's bounded-scalar-collect class, like the
+    * k-means centroid collect), and the weights re-enter the next pass as
+    * literals. No MLlib, no driver-resident data.
+    *
+    * Features per document, all derived from the normalized token array in
+    * one kernel pass (no explode) and engine-replayable exactly:
+    *   f0 = 1 (bias)
+    *   f1 = round(min(n_tok, 100)/100, 6)             — length signal
+    *   f2 = round(n_distinct_tok/n_tok, 6)            — lexical diversity
+    *   f3 = round(min(mean_tok_len, 20)/20, 6)        — word-length signal
+    * (token-free docs take 0.0 for f1..f3 and are scored by the bias
+    * alone). Training: w ← w − lr·∇, ∇_j = Σ_d (p_d − y_d)·f_{d,j} / n with
+    * p = σ(w·f); iterations run to a fixed count — the deterministic
+    * contract form; real deployments add a convergence check on ‖∇‖.
+    *
+    * Determinism across engines: features round to 6; σ rounds to 9 before
+    * the residual; each per-doc gradient contribution quantizes to the
+    * 1e-9 grid and sums as EXACT longs (order-free — the LM-family
+    * discipline); weights round to 9 after every update (driver-side
+    * BigDecimal HALF_UP ≡ both engines' round); the dot product is the
+    * same fixed-order expression tree in Spark and the oracle SQL. Output:
+    * (idCol, prob round-6, label_pred = 1 when prob ≥ 0.5).
+    *
+    * Scale shape (100 TB): the feature frame is 4 doubles + a label per
+    * doc, persisted once (one tokenize pass; array kernels, not explode);
+    * each of the `iters` passes is map + exact-integer aggregate —
+    * map-side combined, no shuffle of doc rows at all, no windows. The
+    * model IS 4 doubles: scoring any corpus is a stateless projection. */
+  def logisticQuality(train: DataFrame, score: DataFrame, idCol: String,
+                      labelCol: String, textCol: String,
+                      iters: Int = 3, lr: Double = 1.0): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
+    require(lr > 0, s"learning rate must be > 0, got $lr")
+    require(!idCol.startsWith("__") && !labelCol.startsWith("__"),
+      s"id/label columns must not use the reserved __ namespace")
+    val id = col(idCol)
+
+    def features(df: DataFrame, extra: Seq[Column]): DataFrame = {
+      val arr = minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), 1)
+      val nt = size(arr)
+      df.select((Seq(id) ++ extra ++ Seq(
+        round(least(nt, lit(100)) / lit(100.0), 6).as("__f1"),
+        when(nt === 0, 0.0).otherwise(
+          round(size(array_distinct(arr)).cast("double") / nt, 6)).as("__f2"),
+        when(nt === 0, 0.0).otherwise(
+          round(least(aggregate(arr, lit(0L), (acc, x) => acc + length(x))
+            .cast("double") / nt, lit(20.0)) / lit(20.0), 6)).as("__f3"))): _*)
+    }
+
+    val feats = features(train,
+        Seq(col(labelCol).cast("double").as("__y")))
+      .persist()
+    try {
+      val n = feats.count()
+      require(n > 0, "training corpus must be non-empty")
+      val round9 = (x: Double) => java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      def z(w: Array[Double]): Column =
+        lit(w(0)) + lit(w(1)) * col("__f1") +
+          lit(w(2)) * col("__f2") + lit(w(3)) * col("__f3")
+      for (_ <- 1 to iters) {
+        val p = round(lit(1.0) / (lit(1.0) + exp(-z(w))), 9)
+        val r = p - col("__y")
+        def gq(f: Column) = sum(round(r * f * 1e9, 0).cast("long"))
+        val g = feats.agg(gq(lit(1.0)), gq(col("__f1")), gq(col("__f2")),
+          gq(col("__f3"))).collect()(0)
+        w = w.indices.map(j =>
+          round9(w(j) - lr * (g.getLong(j).toDouble / 1e9 / n))).toArray
+      }
+      // the scored plan depends only on the final weights (literals), not
+      // on the persisted train features — safe to unpersist on return
+      features(score, Seq.empty)
+        .withColumn("__p", round(lit(1.0) / (lit(1.0) + exp(-z(w))), 6))
+        .select(id, col("__p").as("prob"),
+          (col("__p") >= 0.5).cast("long").as("label_pred"))
+    } finally feats.unpersist()
   }
 }

@@ -441,6 +441,69 @@ object Oracles {
       |GROUP BY p.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** lr_classify: the 3-iteration full-batch GD logistic regression
+    * replayed in SQL — the same 4 round-6 text features, sigma rounded to
+    * 9 before the residual, per-doc gradient contributions quantized to
+    * the 1e-9 grid and summed as exact BIGINTs, weights rounded to 9 after
+    * each unrolled update CTE, final probs rounded to 6 and thresholded at
+    * 0.5. Every arithmetic expression mirrors the Spark side's tree shape
+    * (left-assoc dot product, (g/1e9)/n gradient average). */
+  val lrClassify: String = {
+    val feats = (src: String) =>
+      s"""SELECT doc_id,${if (src == "tr") " y," else ""}
+        |    round(least(len(l), 100) / 100.0, 6) AS f1,
+        |    CASE WHEN len(l) = 0 THEN 0.0
+        |         ELSE round(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) END AS f2,
+        |    CASE WHEN len(l) = 0 THEN 0.0
+        |         ELSE round(least(CAST(list_sum(list_transform(l, x -> len(x))) AS DOUBLE)
+        |           / len(l), 20.0) / 20.0, 6) END AS f3
+        |  FROM (SELECT doc_id,${if (src == "tr") " y," else ""} list_filter(
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |    x -> len(x) > 0) AS l FROM $src)""".stripMargin
+    val grad = (wsrc: String, gname: String) =>
+      s"""$gname AS (
+        |  SELECT
+        |    sum(CAST(round((round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3))), 9) - y) * 1.0 * 1e9) AS BIGINT)) AS g0,
+        |    sum(CAST(round((round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3))), 9) - y) * f1 * 1e9) AS BIGINT)) AS g1,
+        |    sum(CAST(round((round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3))), 9) - y) * f2 * 1e9) AS BIGINT)) AS g2,
+        |    sum(CAST(round((round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3))), 9) - y) * f3 * 1e9) AS BIGINT)) AS g3
+        |  FROM trf CROSS JOIN $wsrc w)""".stripMargin
+    val step = (gsrc: String, wname: String, wprev: String) =>
+      s"""$wname AS (
+        |  SELECT
+        |    round(w.w0 - 1.0 * (CAST(g.g0 AS DOUBLE) / 1e9 / n.n), 9) AS w0,
+        |    round(w.w1 - 1.0 * (CAST(g.g1 AS DOUBLE) / 1e9 / n.n), 9) AS w1,
+        |    round(w.w2 - 1.0 * (CAST(g.g2 AS DOUBLE) / 1e9 / n.n), 9) AS w2,
+        |    round(w.w3 - 1.0 * (CAST(g.g3 AS DOUBLE) / 1e9 / n.n), 9) AS w3
+        |  FROM $gsrc g CROSS JOIN $wprev w CROSS JOIN n)""".stripMargin
+    s"""WITH b AS (
+      |  SELECT doc_id, lang, text,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents),
+      |tr AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, text
+      |  FROM b WHERE bucket < 204),
+      |vd AS (SELECT doc_id, text FROM b WHERE bucket >= 204 AND bucket < 230),
+      |trf AS (
+      |  ${feats("tr")}),
+      |n AS (SELECT count(*) AS n FROM trf),
+      |w0t AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+      |${grad("w0t", "g1t")},
+      |${step("g1t", "w1t", "w0t")},
+      |${grad("w1t", "g2t")},
+      |${step("g2t", "w2t", "w1t")},
+      |${grad("w2t", "g3t")},
+      |${step("g3t", "w3t", "w2t")},
+      |vf AS (
+      |  ${feats("vd")}),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3))), 6) AS prob
+      |  FROM vf CROSS JOIN w3t w)
+      |SELECT doc_id, prob, CAST(prob >= 0.5 AS BIGINT) AS label_pred
+      |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   /** dsir_select: both unigram models retrained in SQL — target = the
     * train split's English docs, source = the whole train split — and the
     * per-token log-likelihood ratio + exact interpolated 75th-percentile

@@ -135,6 +135,23 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Logistic-regression quality classifier (the GPT-3/LLaMA linear-filter
+    * recipe): 3 full-batch GD iterations on the train split's "is this an
+    * English doc" label over 4 exact text features, val docs scored under
+    * the learned weights. Like nb_classify, separation on this synthetic
+    * corpus is weak by construction — the oracle value-checks the whole
+    * GD mathematics; ClassifierSpec pins real separation on a separable
+    * fixture. */
+  def lrClassify(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = Sampling.hashSplit(t(spark, dir, "documents"), "doc_id")
+    graft.operators.Classifier.logisticQuality(
+        withSplit.where(col("split") === "train")
+          .withColumn("label", (col("lang") === "en").cast("long")),
+        withSplit.where(col("split") === "val"),
+        "doc_id", "label", "text", iters = 3, lr = 1.0)
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR-style importance weighting: target model = the train split's
     * English docs, source model = the whole train split, val docs scored
     * by the per-token log-likelihood ratio; top 25% marked selected. */

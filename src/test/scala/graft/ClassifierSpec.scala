@@ -102,4 +102,45 @@ class ClassifierSpec extends SparkSuite {
       Classifier.naiveBayes(df, df, "__id", "cls", "text")
     }
   }
+
+  test("logistic regression separates length-distinct classes") {
+    import spark.implicits._
+    // class 1: long docs (many tokens), class 0: two-token docs — the f1
+    // length feature alone is fully separable, so 3 GD steps must push
+    // every prediction to the right side of 0.5
+    val longDoc = (1 to 60).map(i => s"w$i").mkString(" ")
+    val train = ((1L to 20L).map(i => (i, 1L, s"$longDoc extra$i")) ++
+      (21L to 40L).map(i => (i, 0L, s"short one$i"))).toDF("id", "label", "text")
+    val score = Seq((100L, (1 to 50).map(i => s"v$i").mkString(" ")),
+      (101L, "tiny doc")).toDF("id", "text")
+    val out = Classifier.logisticQuality(train, score, "id", "label", "text",
+        iters = 8, lr = 2.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out(100L)._2 === 1L, s"long doc should classify 1, got ${out(100L)}")
+    assert(out(101L)._2 === 0L, s"short doc should classify 0, got ${out(101L)}")
+    assert(out(100L)._1 > out(101L)._1)
+  }
+
+  test("logistic regression: determinism, degenerate docs, validation") {
+    import spark.implicits._
+    val train = ((1L to 10L).map(i => (i, (i % 2), s"alpha beta doc $i")) :+
+      (11L, 1L, "")).toDF("id", "label", "text")
+    val score = Seq((50L, ""), (51L, "alpha beta")).toDF("id", "text")
+    def run() = Classifier.logisticQuality(train, score, "id", "label", "text")
+      .orderBy("id").collect().toSeq
+    val a = run()
+    assert(a === run(), "two runs must be bit-identical")
+    // empty doc is scored by bias alone: prob present, in [0,1]
+    assert(a.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    assert(a.map(_.getLong(0)) === Seq(50L, 51L))
+    intercept[IllegalArgumentException] {
+      Classifier.logisticQuality(train, score, "id", "label", "text", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.logisticQuality(train, score, "id", "label", "text", lr = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.logisticQuality(train.limit(0), score, "id", "label", "text")
+    }
+  }
 }
