@@ -93,6 +93,7 @@ object SparkEntry {
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "lm_backoff" -> (PipelineQueries.lmBackoff _),
     "lr_classify" -> (PipelineQueries.lrClassify _),
+    "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
     "span_similarity" -> (PipelineQueries.spanSimilarity _),
     "cdc_chunks" -> (PipelineQueries.cdcChunksQ _),
@@ -237,6 +238,7 @@ object SparkEntry {
     "lm_heldout" -> Oracles.lmHeldout,
     "lm_backoff" -> Oracles.lmBackoff,
     "lr_classify" -> Oracles.lrClassify,
+    "train_shuffle" -> Oracles.trainShuffle,
     "ppl_buckets" -> Oracles.pplBuckets,
     "span_similarity" -> Oracles.spanSimilarity,
     "cdc_chunks" -> Oracles.cdcChunks,

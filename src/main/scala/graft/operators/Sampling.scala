@@ -306,4 +306,43 @@ object Sampling {
       .withColumn("priority", row_number().over(global).cast("long"))
       .where(col("priority") <= quota)
   }
+
+  /** Deterministic global training-order shuffle: assign every record a
+    * (shard, pos) so that reading shards in pos order is a seeded
+    * pseudo-random permutation of the corpus — the "shuffle the dataset
+    * before training" stage, made a pure function of (seed, id) like every
+    * other assignment in this object (re-running on a re-partitioned or
+    * grown corpus never reorders existing epochs' prefixes arbitrarily;
+    * any engine can recompute the order for audit; no RNG stream, no
+    * `orderBy(rand())`).
+    *
+    *   hex   = md5(seed || ':' || id)
+    *   shard = int(hex[0:4]) mod shards          (first 4 hex digits)
+    *   pos   = row_number within shard, ordered by (hex, id) — 1-based
+    *
+    * Because the md5 ordering is independent of every data attribute, each
+    * shard is an unbiased sample of the corpus and any prefix of a shard's
+    * order is an unbiased sample of the shard — sources/languages arrive
+    * interleaved, which is what training ingestion wants.
+    *
+    * Scale shape (100 TB): the only non-map operation is the PER-SHARD
+    * row_number window — shards is chosen ≈ cluster write parallelism
+    * (hundreds to thousands), so each window partition is corpus/shards
+    * rows, the same bound as the output file a writer would produce for
+    * that shard; there is no global window and no driver state. A writer
+    * follows with repartition(col("shard")) + sortWithinPartitions(pos),
+    * giving one ready-to-stream file per shard. */
+  def trainOrder(df: DataFrame, idCol: String, shards: Int,
+                 seed: Long): DataFrame = {
+    require(shards >= 1 && shards <= 65536,
+      s"shards must be in [1, 65536] (4 hex digits of spread), got $shards")
+    val hex = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__hex").asc, col(idCol).asc)
+    df.select(col(idCol), hex.as("__hex"))
+      .withColumn("shard",
+        (conv(substring(col("__hex"), 1, 4), 16, 10).cast("long") % shards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__hex")
+  }
 }

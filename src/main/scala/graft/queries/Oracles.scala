@@ -441,6 +441,27 @@ object Oracles {
       |GROUP BY p.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** train_shuffle: the seeded md5 (shard, pos) assignment replayed — the
+    * 4-hex-digit shard bucket via the strpos digit formula (≡ Spark's
+    * conv(hex[0:4], 16, 10)), pos as the per-shard row_number over the
+    * same (hex, id) order. */
+  val trainShuffle: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, hx,
+      |    CAST((((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16
+      |      + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16
+      |      + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT)
+      |      % 8 AS shard
+      |  FROM h)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+      |    AS BIGINT) AS pos
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** lr_classify: the 3-iteration full-batch GD logistic regression
     * replayed in SQL — the same 4 round-6 text features, sigma rounded to
     * 9 before the residual, per-doc gradient contributions quantized to

@@ -177,6 +177,15 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic training-order shuffle: every document assigned a
+    * (shard, pos) — 8 shards, seed 42 — such that reading shards in pos
+    * order is a seeded pseudo-random interleave of the corpus. */
+  def trainShuffle(spark: SparkSession, dir: String): DataFrame =
+    Sampling.trainOrder(
+        t(spark, dir, "documents").select(col("doc_id")),
+        "doc_id", shards = 8, seed = 42L)
+      .orderBy(col("doc_id"))
+
   /** CCNet head/middle/tail split of the corpus by LM perplexity. */
   def pplBucketsQ(spark: SparkSession, dir: String): DataFrame =
     LanguageModel.pplBuckets(

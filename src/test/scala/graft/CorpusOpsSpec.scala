@@ -153,4 +153,37 @@ class CorpusOpsSpec extends SparkSuite {
       (1L, 1L, "apple", apple), (1L, 2L, "banana", 1.0),
       (2L, 1L, "cherry", single), (2L, 2L, "banana", 1.0)))
   }
+
+  test("trainOrder: dense per-shard positions, determinism, seed sensitivity") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "web" else "books")).toDF("doc_id", "src")
+    val out = Sampling.trainOrder(docs, "doc_id", shards = 8, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc exactly once; shard in [0,8); per-shard pos dense 1..n
+    assert(out.length === 400)
+    assert(out.map(_._1).distinct.length === 400)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // pure function of (seed, id): re-run identical, other seed differs
+    val again = Sampling.trainOrder(docs, "doc_id", shards = 8, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val other = Sampling.trainOrder(docs, "doc_id", shards = 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq !== other.sortBy(_._1).toSeq)
+    // interleave: the md5 order ignores data attributes, so every shard
+    // mixes both sources (a pure shard has probability ~2^-50 here)
+    val bySrc = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      val srcs = rows.map(t => bySrc(t._1)).distinct
+      assert(srcs.length === 2, s"shard $sh is source-pure: $srcs")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.trainOrder(docs, "doc_id", shards = 0, seed = 1L)
+    }
+  }
 }
