@@ -94,6 +94,7 @@ object SparkEntry {
     "lm_backoff" -> (PipelineQueries.lmBackoff _),
     "lr_classify" -> (PipelineQueries.lrClassify _),
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
+    "gram_novelty" -> (PipelineQueries.gramNovelty _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
     "span_similarity" -> (PipelineQueries.spanSimilarity _),
     "cdc_chunks" -> (PipelineQueries.cdcChunksQ _),
@@ -239,6 +240,7 @@ object SparkEntry {
     "lm_backoff" -> Oracles.lmBackoff,
     "lr_classify" -> Oracles.lrClassify,
     "train_shuffle" -> Oracles.trainShuffle,
+    "gram_novelty" -> Oracles.gramNovelty,
     "ppl_buckets" -> Oracles.pplBuckets,
     "span_similarity" -> Oracles.spanSimilarity,
     "cdc_chunks" -> Oracles.cdcChunks,

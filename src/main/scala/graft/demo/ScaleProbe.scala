@@ -358,6 +358,39 @@ object ScaleProbe {
       require(kept2.size <= distinctTexts && kept2.size > 1000,
         s"kept ${kept2.size} outside (1000, $distinctTexts]")
     }
+    // --- round-11 probes: stupid-backoff trigram LM, batch-GD logistic
+    // regression, and the deterministic training-order shuffle at 10x ---
+    locally {
+      val split = graft.operators.Sampling.hashSplit(docs, "doc_id")
+      val tr = split.where(col("split") === "train")
+      val va = split.where(col("split") === "val")
+      var scored = 0L
+      time("stupid-backoff trigram LM over 50k docs, train->val") {
+        scored = graft.operators.LanguageModel.stupidBackoffScore(
+          tr, va, "doc_id", "text").count()
+        scored
+      }
+      require(scored == va.count(), "one score row per val doc")
+      var preds = 0L
+      time("logistic regression (3 GD iters, 4 features) over 50k docs") {
+        preds = graft.operators.Classifier.logisticQuality(
+          tr.withColumn("label", (col("lang") === "en").cast("long")),
+          va, "doc_id", "label", "text").count()
+        preds
+      }
+      require(preds == va.count(), "one prediction per val doc")
+      var sharded = 0L
+      time("trainOrder shuffle: 50k docs into 64 shards") {
+        val t = graft.operators.Sampling.trainOrder(
+          docs.select(col("doc_id")), "doc_id", shards = 64, seed = 42L)
+        sharded = t.count()
+        val worst = t.groupBy(col("shard")).count()
+          .agg(max(col("count"))).collect().head.getLong(0)
+        require(worst < 50000 / 64 * 2, s"shard skew: worst $worst")
+        sharded
+      }
+      require(sharded == 50000L, s"every doc sharded once: $sharded")
+    }
     // --- round-10 probes: retrieval surface (BM25, hybrid RRF) and the
     // row-local Gopher filter at 10x ---
     locally {

@@ -349,4 +349,46 @@ object CorpusOps {
         .agg(sum(col("__n") * col("__syms")).as("__t")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__t"), lit(0L)).as("bpe_tokens"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word n-grams whose corpus-wide first owner (minimum id) is this
+    * document. The corpus-redundancy curve of a crawl: plot novelty over
+    * ingestion order and you see the "new data is running out" signal the
+    * data-constrained-scaling literature measures (late documents
+    * contribute ever fewer first-seen n-grams); a near-duplicate scores
+    * ~0 against the copy that beat it in id order. Output: (idCol,
+    * n_grams, n_novel, novelty round-6); docs with < n tokens keep a row
+    * (0, 0, 0.0).
+    *
+    * Attribution is by MIN ID, not arrival time — deterministic under any
+    * layout and engine-replayable, matching the keep-min convention of
+    * every dedup keeper choice in [[Dedup]].
+    *
+    * Scale shape (100 TB): one corpus-volume distinct over (doc, gram)
+    * (map-side combined), one gram-keyed min aggregation over it — the
+    * gram join back reuses the partitioning the distinct already
+    * established, so AQE plans a single shuffle family; the per-doc
+    * rollup shuffles on the id key. No windows, no broadcasts needed, no
+    * driver state. */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, s"gram order must be in [1,8], got $n")
+    val id = col(idCol)
+    val tg = df.select(id,
+        explode(graft.functions.minhashExprs.wordGrams(
+          TextFunctions.normalized(col(textCol)), n)).as("__g"))
+      .distinct()
+    val first = tg.groupBy(col("__g")).agg(min(id).as("__fd"))
+    val per = tg.join(first, "__g")
+      .groupBy(id)
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col("__fd") === id, 1L).otherwise(0L)).as("__nn"))
+    val ng = coalesce(col("__ng"), lit(0L))
+    df.select(id).join(per, Seq(idCol), "left")
+      .select(id, ng.as("n_grams"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"),
+        when(ng === 0, 0.0)
+          .otherwise(round(col("__nn").cast("double") / col("__ng"), 6))
+          .as("novelty"))
+  }
 }

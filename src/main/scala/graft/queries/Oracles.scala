@@ -441,6 +441,33 @@ object Oracles {
       |GROUP BY p.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** gram_novelty: the min-id first-owner attribution replayed — distinct
+    * (doc, trigram) pairs, gram-keyed min, per-doc novel fraction. */
+  val gramNovelty: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l
+      |  FROM documents),
+      |tg AS (
+      |  SELECT DISTINCT doc_id, tri FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tri
+      |    FROM base)),
+      |firsts AS (SELECT tri, min(doc_id) AS fd FROM tg GROUP BY 1),
+      |per AS (
+      |  SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS ng,
+      |    CAST(sum(CASE WHEN f.fd = tg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      |  FROM tg JOIN firsts f USING (tri)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(p.ng, 0) AS n_grams,
+      |  COALESCE(p.nn, 0) AS n_novel,
+      |  CASE WHEN COALESCE(p.ng, 0) = 0 THEN 0.0
+      |       ELSE round(CAST(p.nn AS DOUBLE) / p.ng, 6) END AS novelty
+      |FROM documents d LEFT JOIN per p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** train_shuffle: the seeded md5 (shard, pos) assignment replayed — the
     * 4-hex-digit shard bucket via the strpos digit formula (≡ Spark's
     * conv(hex[0:4], 16, 10)), pos as the per-shard row_number over the

@@ -177,6 +177,14 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Per-document trigram novelty: fraction of each doc's distinct
+    * trigrams first owned (min doc_id) by that doc — the corpus-redundancy
+    * curve metric. */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.gramNovelty(
+        t(spark, dir, "documents"), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+
   /** Deterministic training-order shuffle: every document assigned a
     * (shard, pos) — 8 shards, seed 42 — such that reading shards in pos
     * order is a seeded pseudo-random interleave of the corpus. */

@@ -186,4 +186,29 @@ class CorpusOpsSpec extends SparkSuite {
       Sampling.trainOrder(docs, "doc_id", shards = 0, seed = 1L)
     }
   }
+
+  test("gramNovelty: min-id first-owner attribution, hand-computed") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val docs = Seq(
+      (1L, "a b c d"),   // {a b c, b c d} — both first here: 1.0
+      (2L, "a b c x"),   // {a b c (first=1), b c x (first=2)}: 1/2
+      (3L, "a b"),       // no trigrams: (0, 0, 0.0)
+      (4L, "a b c d"),   // exact copy of doc 1: both grams owned by 1: 0.0
+      (5L, "a b c a b c")// {a b c, b c a, c a b} — distinct: abc owned by 1
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.gramNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 1.0),
+      (2L, 2L, 1L, 0.5),
+      (3L, 0L, 0L, 0.0),
+      (4L, 2L, 0L, 0.0),
+      (5L, 3L, 2L, BigDecimal(2.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    intercept[IllegalArgumentException] {
+      CorpusOps.gramNovelty(docs, "doc_id", "text", n = 0)
+    }
+  }
 }
