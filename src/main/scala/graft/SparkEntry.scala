@@ -95,6 +95,7 @@ object SparkEntry {
     "lr_classify" -> (PipelineQueries.lrClassify _),
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "gram_novelty" -> (PipelineQueries.gramNovelty _),
+    "token_fertility" -> (PipelineQueries.tokenFertilityQ _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
     "span_similarity" -> (PipelineQueries.spanSimilarity _),
     "cdc_chunks" -> (PipelineQueries.cdcChunksQ _),
@@ -241,6 +242,7 @@ object SparkEntry {
     "lr_classify" -> Oracles.lrClassify,
     "train_shuffle" -> Oracles.trainShuffle,
     "gram_novelty" -> Oracles.gramNovelty,
+    "token_fertility" -> Oracles.tokenFertility,
     "ppl_buckets" -> Oracles.pplBuckets,
     "span_similarity" -> Oracles.spanSimilarity,
     "cdc_chunks" -> Oracles.cdcChunks,

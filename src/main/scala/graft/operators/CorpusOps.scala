@@ -350,6 +350,50 @@ object CorpusOps {
       .select(col(idCol), coalesce(col("__t"), lit(0L)).as("bpe_tokens"))
   }
 
+  /** Per-language tokenizer fertility under a learned BPE merge list — the
+    * tokenizer-efficiency audit a multilingual pipeline publishes next to
+    * its dataset card: `tokens_per_word` (fertility; ~1 means whole words
+    * survive as single tokens, high values mean the language is being
+    * shredded into characters and will pay more sequence length per
+    * sentence) and `chars_per_token` (compression). Volumes are exact
+    * integer sums; the two ratios round to 6.
+    *
+    * Output: (langCol, n_docs, words, chars, bpe_tokens, tokens_per_word,
+    * chars_per_token), one row per language; a language whose docs are all
+    * token-free keeps a row with zero volumes and 0.0 ratios.
+    *
+    * Scale shape (100 TB): per-doc token counts come from [[bpeEncode]]
+    * (cost on the VOCABULARY, one corpus pass); word/char volumes are one
+    * array-kernel projection (no explode) + a languages-sized hash
+    * aggregation. Nothing here is corpus-held: the output is |languages|
+    * rows. */
+  def tokenFertility(df: DataFrame, idCol: String, textCol: String,
+                     langCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val id = col(idCol)
+    val arr = graft.functions.minhashExprs.wordGrams(
+      TextFunctions.normalized(col(textCol)), 1)
+    val stats = df.select(col(langCol), id,
+      size(arr).cast("long").as("__w"),
+      aggregate(arr, lit(0L), (a, x) => a + length(x)).as("__ch"))
+    val enc = bpeEncode(df, idCol, textCol, merges)
+    val words = col("words")
+    val toks = col("bpe_tokens")
+    stats.join(enc, Seq(idCol))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("words"),
+        sum(col("__ch")).as("chars"),
+        sum(col("bpe_tokens")).as("bpe_tokens"))
+      .select(col(langCol), col("n_docs"), words, col("chars"), toks,
+        when(words === 0, 0.0)
+          .otherwise(round(toks.cast("double") / words, 6))
+          .as("tokens_per_word"),
+        when(toks === 0, 0.0)
+          .otherwise(round(col("chars").cast("double") / toks, 6))
+          .as("chars_per_token"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * word n-grams whose corpus-wide first owner (minimum id) is this
     * document. The corpus-redundancy curve of a crawl: plot novelty over

@@ -691,10 +691,10 @@ object Oracles {
     sb.toString
   }
 
-  /** bpe_encode: the same unrolled induction chain (word column kept
-    * through the iterations), then per-document token counts = Σ
-    * occurrences × final symbol count per word, 0 for token-empty docs. */
-  val bpeEncode: String = {
+  /** Shared CTE chain for bpe_encode-family oracles: the unrolled 8-merge
+    * induction (word column kept through the iterations) carried to `agg`
+    * = per-document BPE token counts. */
+  private def bpeEncodeChain: String = {
     val n = 8
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (
@@ -736,12 +736,46 @@ object Oracles {
       |  GROUP BY 1, 2),
       |agg AS (
       |  SELECT dw.doc_id, CAST(sum(dw.n * v.nsym) AS BIGINT) AS t
-      |  FROM dw JOIN v ON dw.w = v.word GROUP BY 1)
-      |SELECT doc_id, COALESCE(t, CAST(0 AS BIGINT)) AS bpe_tokens
-      |FROM documents LEFT JOIN agg USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
+      |  FROM dw JOIN v ON dw.w = v.word GROUP BY 1)""".stripMargin
     sb.toString
   }
+
+  /** bpe_encode: the shared induction chain, then per-document token
+    * counts = Σ occurrences × final symbol count per word, 0 for
+    * token-empty docs. */
+  val bpeEncode: String = bpeEncodeChain + "\n" +
+    // the chain is interpolated AFTER its own stripMargin — stripping the
+    // combined string again would eat the '||' concatenations at its line
+    // starts, so only the tail is margin-stripped
+    """SELECT doc_id, COALESCE(t, CAST(0 AS BIGINT)) AS bpe_tokens
+      |FROM documents LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** token_fertility: the shared BPE-encode chain rolled up per language —
+    * word/char volumes from the same normalized tokenization, exact
+    * integer sums, round-6 tokens_per_word and chars_per_token. */
+  val tokenFertility: String = bpeEncodeChain + ",\n" +
+    """ds AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(l) AS BIGINT) AS w,
+      |    CAST(COALESCE(list_sum(list_transform(l, x -> len(x))), 0) AS BIGINT) AS ch
+      |  FROM (SELECT doc_id, lang, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l FROM documents)),
+      |per AS (
+      |  SELECT ds.lang,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(ds.w) AS BIGINT) AS words,
+      |    CAST(sum(ds.ch) AS BIGINT) AS chars,
+      |    CAST(sum(COALESCE(a.t, 0)) AS BIGINT) AS toks
+      |  FROM ds LEFT JOIN agg a USING (doc_id)
+      |  GROUP BY 1)
+      |SELECT lang, n_docs, words, chars, toks AS bpe_tokens,
+      |  CASE WHEN words = 0 THEN 0.0
+      |       ELSE round(CAST(toks AS DOUBLE) / words, 6) END AS tokens_per_word,
+      |  CASE WHEN toks = 0 THEN 0.0
+      |       ELSE round(CAST(chars AS DOUBLE) / toks, 6) END AS chars_per_token
+      |FROM per ORDER BY lang""".stripMargin
 
   /** bm25_search: the whole Okapi BM25 computation replayed — tf, df,
     * doc lengths, avgdl, the Lucene ln(1 + (N−df+0.5)/(df+0.5)) idf

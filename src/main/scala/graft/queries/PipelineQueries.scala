@@ -275,6 +275,18 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language tokenizer fertility under the corpus-induced 8-merge
+    * BPE: tokens/word and chars/token volumes — the multilingual
+    * tokenizer-efficiency audit. */
+  def tokenFertilityQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val learned = CorpusOps.bpeMerges(docs, "text", numMerges = 8)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    CorpusOps.tokenFertility(docs, "doc_id", "text", "lang", learned)
+      .orderBy(col("lang"))
+  }
+
   /** Markup stripping: wrap every document in a deterministic HTML shell
     * (script + style + comment + tags + entities) and extract the text
     * back out — the web-corpus text-extraction stage, round-trippable by

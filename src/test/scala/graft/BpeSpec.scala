@@ -100,4 +100,26 @@ class BpeSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(enc === Map(1L -> 3L, 2L -> 4L))
   }
+
+  test("tokenFertility: per-language volumes and ratios hand-computed") {
+    import org.apache.spark.sql.functions.col
+    // no merges: every word encodes to chars + </w> marker, so
+    // bpe_tokens(doc) = chars(doc) + words(doc) exactly
+    val docs = Seq(
+      (1L, "en", "ab cde"),   // words 2, chars 5, tokens 7
+      (2L, "en", "a"),        // words 1, chars 1, tokens 2
+      (3L, "fr", ""),         // token-free doc
+      (4L, "fr", "xyz")       // words 1, chars 3, tokens 4
+    ).toDF("doc_id", "lang", "text")
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.tokenFertility(docs, "doc_id", "text", "lang",
+        Seq.empty)
+      .orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      ("en", 2L, 3L, 6L, 9L, r6(9.0 / 3), r6(6.0 / 9)),
+      ("fr", 2L, 1L, 3L, 4L, r6(4.0 / 1), r6(3.0 / 4))))
+  }
 }
