@@ -96,6 +96,7 @@ object SparkEntry {
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "gram_novelty" -> (PipelineQueries.gramNovelty _),
     "token_fertility" -> (PipelineQueries.tokenFertilityQ _),
+    "zipf_fit" -> (PipelineQueries.zipfFitQ _),
     "ppl_buckets" -> (PipelineQueries.pplBucketsQ _),
     "span_similarity" -> (PipelineQueries.spanSimilarity _),
     "cdc_chunks" -> (PipelineQueries.cdcChunksQ _),
@@ -243,6 +244,7 @@ object SparkEntry {
     "train_shuffle" -> Oracles.trainShuffle,
     "gram_novelty" -> Oracles.gramNovelty,
     "token_fertility" -> Oracles.tokenFertility,
+    "zipf_fit" -> Oracles.zipfFit,
     "ppl_buckets" -> Oracles.pplBuckets,
     "span_similarity" -> Oracles.spanSimilarity,
     "cdc_chunks" -> Oracles.cdcChunks,

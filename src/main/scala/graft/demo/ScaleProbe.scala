@@ -390,6 +390,29 @@ object ScaleProbe {
         sharded
       }
       require(sharded == 50000L, s"every doc sharded once: $sharded")
+      // gram novelty on the 10-copy corpus turns into a GUARANTEE: every
+      // copy doc (id >= 1e8) is byte-identical to its base, so the base
+      // (min id) owns every one of its grams — copies must score novelty
+      // 0 exactly; and summed n_novel must equal the corpus's distinct
+      // trigram count (every gram has exactly one first owner)
+      var copiesNovel = -1L
+      time("gram novelty (trigram first-owner) over 50k docs") {
+        val nov = graft.operators.CorpusOps.gramNovelty(
+          docs, "doc_id", "text", n = 3).persist()
+        copiesNovel = nov.where(col("doc_id") >= 100000000L &&
+          col("novelty") > 0.0).count()
+        val novelSum = nov.agg(sum(col("n_novel"))).collect().head.getLong(0)
+        val distinctTris = docs.select(explode(
+            graft.functions.minhashExprs.wordGrams(
+              graft.functions.TextFunctions.normalized(col("text")), 3)))
+          .distinct().count()
+        nov.unpersist()
+        require(novelSum == distinctTris,
+          s"one first owner per gram: $novelSum != $distinctTris")
+        copiesNovel
+      }
+      require(copiesNovel == 0L,
+        s"$copiesNovel copy docs claim novel grams (must be 0)")
     }
     // --- round-10 probes: retrieval surface (BM25, hybrid RRF) and the
     // row-local Gopher filter at 10x ---

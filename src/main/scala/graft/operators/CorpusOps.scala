@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextFunctions
 
@@ -392,6 +393,73 @@ object CorpusOps {
         when(toks === 0, 0.0)
           .otherwise(round(col("chars").cast("double") / toks, 6))
           .as("chars_per_token"))
+  }
+
+  /** Corpus Zipf-law fit: weighted log-log OLS of token frequency against
+    * frequency rank — the power-law audit of a corpus's token
+    * distribution. Natural-language corpora fit ln f ≈ intercept +
+    * slope·ln rank with slope ≈ −1 (Zipf); heavily templated, synthetic,
+    * or machine-generated text bends the curve, so the slope is a cheap
+    * whole-corpus quality signal to publish next to [[corpusCard]].
+    *
+    * Ranks are tie-grouped: all tokens sharing a frequency take that
+    * group's MIDPOINT rank (offset + (count+1)/2 — the standard
+    * average-rank treatment), which makes the fit a pure function of the
+    * frequency HISTOGRAM — no per-token rank window over the vocabulary.
+    * The OLS runs weighted by group size over (x = ln midrank,
+    * y = ln freq), both rounded to 9; per-group x·y and x² quantize to the
+    * 1e-6 grid and all five sums accumulate as EXACT decimals (38,0) —
+    * order-free across partitions and engines; the closed-form slope/
+    * intercept then evaluate in one fixed-order double expression,
+    * rounded to 6. Output: one row (n_terms, total_tokens, slope,
+    * intercept). Degenerate corpora (a single distinct frequency) have no
+    * defined slope — both emit 0.0.
+    *
+    * Scale shape (100 TB): one corpus-volume token count (map-side
+    * combined), then everything operates on the DISTINCT-FREQUENCY frame —
+    * O(√total-tokens) rows by Zipf itself (frequency values thin out
+    * quadratically), so the offsets self-join is a few-thousand-row
+    * triangle even at web scale; the final aggregate is one row. No
+    * windows, no driver state. */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val freq = df.select(explode(graft.functions.minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), 1)).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val fd = freq.groupBy(col("__c")).agg(count(lit(1)).as("__cnt"))
+    val off = fd.as("a").join(fd.as("b"), col("b.__c") > col("a.__c"), "left")
+      .groupBy(col("a.__c").as("__c"), col("a.__cnt").as("__cnt"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
+    val dec = DecimalType(38, 0)
+    val terms = off
+      .withColumn("__x", round(log(col("__off") +
+        (col("__cnt") + lit(1L)) / lit(2.0)), 9))
+      .withColumn("__y", round(log(col("__c").cast("double")), 9))
+      .withColumn("__xq", round(col("__x") * 1e6, 0).cast("long"))
+      .withColumn("__yq", round(col("__y") * 1e6, 0).cast("long"))
+      .withColumn("__xyq", round(col("__x") * col("__y") * 1e6, 0).cast("long"))
+      .withColumn("__xxq", round(col("__x") * col("__x") * 1e6, 0).cast("long"))
+    val sums = terms.agg(
+      sum(col("__cnt")).as("__n"),
+      sum(col("__cnt") * col("__c")).as("__tot"),
+      sum(col("__cnt").cast(dec) * col("__xq")).as("__sx"),
+      sum(col("__cnt").cast(dec) * col("__yq")).as("__sy"),
+      sum(col("__cnt").cast(dec) * col("__xyq")).as("__sxy"),
+      sum(col("__cnt").cast(dec) * col("__xxq")).as("__sxx"),
+      count(lit(1)).as("__ngroups"))
+    val w = col("__n").cast("double")
+    val sx = col("__sx").cast("double") / 1e6
+    val sy = col("__sy").cast("double") / 1e6
+    val sxy = col("__sxy").cast("double") / 1e6
+    val sxx = col("__sxx").cast("double") / 1e6
+    val den = w * sxx - sx * sx
+    val slope = (w * sxy - sx * sy) / den
+    sums.select(
+      coalesce(col("__n"), lit(0L)).as("n_terms"),
+      coalesce(col("__tot"), lit(0L)).as("total_tokens"),
+      when(col("__ngroups") <= 1, 0.0)
+        .otherwise(round(slope, 6)).as("slope"),
+      when(col("__ngroups") <= 1, 0.0)
+        .otherwise(round((sy - slope * sx) / w, 6)).as("intercept"))
   }
 
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT

@@ -441,6 +441,59 @@ object Oracles {
       |GROUP BY p.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** zipf_fit: the tie-grouped weighted log-log OLS replayed — frequency
+    * histogram, midpoint ranks via the offsets triangle join, x/y round-9,
+    * per-group x·y and x² on the 1e-6 grid, HUGEINT exact weighted sums
+    * (≡ Spark's decimal(38,0)), and the identical fixed-order closed-form
+    * slope/intercept doubles. */
+  val zipfFit: String = {
+    val sx = "(CAST(sxq AS DOUBLE) / 1e6)"
+    val sy = "(CAST(syq AS DOUBLE) / 1e6)"
+    val sxy = "(CAST(sxyq AS DOUBLE) / 1e6)"
+    val sxx = "(CAST(sxxq AS DOUBLE) / 1e6)"
+    val w = "CAST(n AS DOUBLE)"
+    val slope = s"($w * $sxy - $sx * $sy) / ($w * $sxx - $sx * $sx)"
+    s"""WITH tok AS (
+      |  SELECT unnest(list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0)) AS t
+      |  FROM documents),
+      |freq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+      |fd AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM freq GROUP BY 1),
+      |offs AS (
+      |  SELECT a.c AS c, a.cnt AS cnt,
+      |    CAST(COALESCE(sum(b.cnt), 0) AS BIGINT) AS o
+      |  FROM fd a LEFT JOIN fd b ON b.c > a.c
+      |  GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT cnt, c,
+      |    round(ln(o + (cnt + 1) / 2.0), 9) AS x,
+      |    round(ln(CAST(c AS DOUBLE)), 9) AS y
+      |  FROM offs),
+      |q AS (
+      |  SELECT cnt, c,
+      |    CAST(round(x * 1e6) AS BIGINT) AS xq,
+      |    CAST(round(y * 1e6) AS BIGINT) AS yq,
+      |    CAST(round(x * y * 1e6) AS BIGINT) AS xyq,
+      |    CAST(round(x * x * 1e6) AS BIGINT) AS xxq
+      |  FROM terms),
+      |sums AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(sum(cnt * c) AS BIGINT) AS tot,
+      |    sum(CAST(cnt AS HUGEINT) * xq) AS sxq,
+      |    sum(CAST(cnt AS HUGEINT) * yq) AS syq,
+      |    sum(CAST(cnt AS HUGEINT) * xyq) AS sxyq,
+      |    sum(CAST(cnt AS HUGEINT) * xxq) AS sxxq,
+      |    CAST(count(*) AS BIGINT) AS ngroups
+      |  FROM q)
+      |SELECT COALESCE(n, 0) AS n_terms, COALESCE(tot, 0) AS total_tokens,
+      |  CASE WHEN ngroups <= 1 THEN 0.0
+      |       ELSE round($slope, 6) END AS slope,
+      |  CASE WHEN ngroups <= 1 THEN 0.0
+      |       ELSE round(($sy - $slope * $sx) / $w, 6) END AS intercept
+      |FROM sums""".stripMargin
+  }
+
   /** gram_novelty: the min-id first-owner attribution replayed — distinct
     * (doc, trigram) pairs, gram-keyed min, per-doc novel fraction. */
   val gramNovelty: String =

@@ -177,6 +177,11 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Corpus Zipf-law fit: weighted log-log OLS of the token frequency
+    * histogram — the power-law quality audit (natural text: slope ~ -1). */
+  def zipfFitQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.zipfFit(t(spark, dir, "documents"), "text")
+
   /** Per-document trigram novelty: fraction of each doc's distinct
     * trigrams first owned (min doc_id) by that doc — the corpus-redundancy
     * curve metric. */

@@ -211,4 +211,39 @@ class CorpusOpsSpec extends SparkSuite {
       CorpusOps.gramNovelty(docs, "doc_id", "text", n = 0)
     }
   }
+
+  test("zipfFit: hand-computed 3-point fit, Zipfian slope, degenerate corpus") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // corpus "a a a b b c": freqs 3,2,1, one token each -> midranks 1,2,3
+    val fix = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val pts = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).map { case (mr, f) =>
+      (r9(math.log(mr)), r9(math.log(f)))
+    }
+    // replicate the 1e-6 quantized exact sums and the closed form
+    val (sxq, syq, sxyq, sxxq) = pts.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, b, c2, d), (x, y)) =>
+        (a + math.round(x * 1e6), b + math.round(y * 1e6),
+          c2 + math.round(x * y * 1e6), d + math.round(x * x * 1e6))
+    }
+    val (w, sx, sy, sxy, sxx) =
+      (3.0, sxq / 1e6, syq / 1e6, sxyq / 1e6, sxxq / 1e6)
+    val slope = (w * sxy - sx * sy) / (w * sxx - sx * sx)
+    val icept = (sy - slope * sx) / w
+    val got = CorpusOps.zipfFit(fix, "text").collect().head
+    assert((got.getLong(0), got.getLong(1)) === ((3L, 6L)))
+    assert(got.getDouble(2) === r6(slope))
+    assert(got.getDouble(3) === r6(icept))
+    // planted power law: token i repeated floor(200/i) times -> slope ~ -1
+    val zipf = Seq((1L, (1 to 50).flatMap(i =>
+      Seq.fill(200 / i)(s"tok$i")).mkString(" "))).toDF("doc_id", "text")
+    val s2 = CorpusOps.zipfFit(zipf, "text").collect().head.getDouble(2)
+    assert(s2 < -0.8 && s2 > -1.2, s"planted Zipf corpus slope $s2")
+    // degenerate: one distinct frequency -> no defined slope
+    val flat = CorpusOps.zipfFit(
+      Seq((1L, "x y z")).toDF("doc_id", "text"), "text").collect().head
+    assert(flat.getDouble(2) === 0.0 && flat.getDouble(3) === 0.0)
+  }
 }
