@@ -93,6 +93,9 @@ object SparkEntry {
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "lm_backoff" -> (PipelineQueries.lmBackoff _),
     "lr_classify" -> (PipelineQueries.lrClassify _),
+    // round 11: hashed-feature (fastText-style) sparse LR — the model is
+    // a (bucket, weight) DataFrame, nothing passes through the driver
+    "lr_hashed" -> (PipelineQueries.lrHashed _),
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "gram_novelty" -> (PipelineQueries.gramNovelty _),
     "token_fertility" -> (PipelineQueries.tokenFertilityQ _),
@@ -241,6 +244,7 @@ object SparkEntry {
     "lm_heldout" -> Oracles.lmHeldout,
     "lm_backoff" -> Oracles.lmBackoff,
     "lr_classify" -> Oracles.lrClassify,
+    "lr_hashed" -> Oracles.lrHashed,
     "train_shuffle" -> Oracles.trainShuffle,
     "gram_novelty" -> Oracles.gramNovelty,
     "token_fertility" -> Oracles.tokenFertility,

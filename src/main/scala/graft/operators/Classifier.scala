@@ -162,6 +162,112 @@ object Classifier {
     * each of the `iters` passes is map + exact-integer aggregate —
     * map-side combined, no shuffle of doc rows at all, no windows. The
     * model IS 4 doubles: scoring any corpus is a stateless projection. */
+  /** Hashed-feature sparse logistic regression — the fastText-shaped
+    * classifier whose MODEL IS A DataFrame: features are the hashing-trick
+    * buckets of the document's tokens (bucket = md5(token) mod B, collisions
+    * merge — Weinberger et al. '09), and the weight vector lives as a
+    * (bucket, weight) frame that each full-batch GD iteration rewrites with
+    * one keyed join + two aggregations. Unlike [[logisticQuality]] (4 dense
+    * features, driver-literal weights) NOTHING here passes through the
+    * driver: no collect, no literal re-entry — the model itself is
+    * distributed state, which is what lets the feature space grow to
+    * millions of buckets over a 100-TB corpus while the per-iteration cost
+    * stays one bucket-keyed shuffle of the (doc, bucket, count) frame.
+    *
+    * Model: z_d = Σ_b x_{d,b}·w_b where x is the doc's token count in
+    * bucket b, plus a bias row (bucket −1, x = 1) every document carries —
+    * so a token-free document is still scored. GD: w_b ← w_b −
+    * lr·(Σ_d (σ(z_d) − y_d)·x_{d,b})/n. Buckets never seen in training
+    * keep implicit weight 0 (the left-join coalesce on the score side).
+    *
+    * Determinism across engines (the LM-family discipline): per-(doc,
+    * bucket) dot-product contributions x·w quantize to the 1e-9 grid and
+    * sum as exact longs (w is round-9, x integral, so x·w·1e9 is integral
+    * within double precision — order-free); σ rounds to 9 before the
+    * residual; per-bucket gradient contributions quantize to 1e-9 and sum
+    * as longs; weights round to 9 after every update; final probs round
+    * to 6. The bucket hash is conv(md5[0:8], 16, 10) % B — the engine-
+    * replayable md5 idiom used by [[Sampling.trainOrder]].
+    *
+    * Scale shape (100 TB): the (doc, bucket, x) frame is built once and
+    * persisted (one tokenize pass, corpus-volume, map-side combined);
+    * each iteration is ONE bucket-keyed left join against the ≤B-row
+    * weights frame plus a per-doc and a per-bucket hash aggregation —
+    * no windows, no driver state, no collect. The weights frame is
+    * localCheckpointed per iteration (bounded at B rows) so lineage
+    * stays flat across iterations. The weights join is deliberately NOT
+    * force-broadcast: B is caller-set and may be millions of buckets —
+    * broadcast-when-fits is AQE's call (the `Search.bm25TopK` r11
+    * lesson). */
+  def hashedLogReg(train: DataFrame, score: DataFrame, idCol: String,
+                   labelCol: String, textCol: String,
+                   numBuckets: Int = 1 << 20, iters: Int = 2,
+                   lr: Double = 1.0): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 26),
+      s"numBuckets must be in [2, 2^26], got $numBuckets")
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
+    require(lr > 0, s"learning rate must be > 0, got $lr")
+    require(!idCol.startsWith("__") && !labelCol.startsWith("__"),
+      s"id/label columns must not use the reserved __ namespace")
+    val id = col(idCol)
+
+    // (id, [__y], __b, __x): hashed token counts + one bias row per doc
+    def feat(df: DataFrame, withY: Boolean): DataFrame = {
+      val keep: Seq[Column] =
+        if (withY) Seq(id, col(labelCol).cast("double").as("__y"))
+        else Seq(id)
+      val keyNames = if (withY) Seq(idCol, "__y") else Seq(idCol)
+      val hashed = df.select(keep :+ explode(minhashExprs.wordGrams(
+          TextFunctions.normalized(col(textCol)), 1)).as("__tok"): _*)
+        .withColumn("__b",
+          conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long")
+            % numBuckets)
+        .groupBy(keyNames.map(col) :+ col("__b"): _*)
+        .agg(count(lit(1)).as("__x"))
+      val bias = df.select(keep: _*)
+        .select(keyNames.map(col) :+ lit(-1L).as("__b") :+
+          lit(1L).as("__x"): _*)
+      hashed.unionByName(bias)
+    }
+
+    val trainFeat = feat(train, withY = true).persist()
+    try {
+      val n = train.count()
+      require(n > 0, "training corpus must be non-empty")
+      // empty weights frame: every bucket starts at implicit 0
+      var w: DataFrame = trainFeat
+        .select(col("__b"), lit(0.0).as("__w")).where(lit(false))
+      for (_ <- 1 to iters) {
+        val resid = trainFeat.join(w, Seq("__b"), "left")
+          .groupBy(id, col("__y"))
+          .agg((sum(round(col("__x") * coalesce(col("__w"), lit(0.0)) * 1e9,
+            0).cast("long")).cast("double") / 1e9).as("__z"))
+          .select(id, (round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 9)
+            - col("__y")).as("__r"))
+        val grad = trainFeat.join(resid, Seq(idCol))
+          .groupBy(col("__b"))
+          .agg(sum(round(col("__r") * col("__x") * 1e9, 0).cast("long"))
+            .as("__g"))
+        w = grad.join(w, Seq("__b"), "left")
+          .select(col("__b"),
+            round(coalesce(col("__w"), lit(0.0))
+              - lit(lr) * (col("__g").cast("double") / 1e9 / n), 9)
+              .as("__w"))
+          .localCheckpoint(true)
+      }
+      // w is materialized (localCheckpoint), so the returned plan does not
+      // reference trainFeat — safe to unpersist on return
+      feat(score, withY = false)
+        .join(w, Seq("__b"), "left")
+        .groupBy(id)
+        .agg((sum(round(col("__x") * coalesce(col("__w"), lit(0.0)) * 1e9,
+          0).cast("long")).cast("double") / 1e9).as("__z"))
+        .withColumn("__p", round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 6))
+        .select(id, col("__p").as("prob"),
+          (col("__p") >= 0.5).cast("long").as("label_pred"))
+    } finally trainFeat.unpersist()
+  }
+
   def logisticQuality(train: DataFrame, score: DataFrame, idCol: String,
                       labelCol: String, textCol: String,
                       iters: Int = 3, lr: Double = 1.0): DataFrame = {

@@ -605,6 +605,78 @@ object Oracles {
       |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Horner-chain hex-digit decode of the first `digits` chars of an md5
+    * hex expression — ≡ Spark's conv(substring(md5(x), 1, digits), 16, 10)
+    * (the [[trainShuffle]] idiom, generalized). */
+  private def md5Chain(hx: String, digits: Int): String =
+    (1 to digits).map(i =>
+      s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)")
+      .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+
+  /** lr_hashed: the 2-iteration hashed-feature sparse LR replayed — the
+    * same md5[0:8] % 64 bucket hash (8-digit Horner chain), bias rows at
+    * bucket −1, per-(doc,bucket) dot-product and gradient contributions
+    * quantized to the 1e-9 grid and summed as exact BIGINTs, σ round-9
+    * before the residual, weights round-9 per unrolled update CTE (weight
+    * frames as CTEs — iteration 1 left-joins an EMPTY w0, the all-zero
+    * initial model), final probs round-6. */
+  val lrHashed: String = {
+    val bucket = s"CAST(${md5Chain("hx", 8)} AS BIGINT) % 64"
+    val feats = (src: String, name: String, withY: String) =>
+      s"""$name AS (
+        |  SELECT doc_id,$withY fb, CAST(count(*) AS BIGINT) AS x FROM (
+        |    SELECT doc_id,$withY $bucket AS fb FROM (
+        |      SELECT doc_id,$withY md5(unnest(list_filter(
+        |        string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |        t -> len(t) > 0))) AS hx
+        |      FROM $src))
+        |  GROUP BY 1, 2${if (withY.nonEmpty) ", 3" else ""}
+        |  UNION ALL
+        |  SELECT doc_id,$withY CAST(-1 AS BIGINT) AS fb, CAST(1 AS BIGINT) AS x
+        |  FROM $src)""".stripMargin
+    val resid = (wsrc: String, name: String) =>
+      s"""$name AS (
+        |  SELECT f.doc_id,
+        |    round(1.0 / (1.0 + exp(-(CAST(sum(CAST(round(f.x * COALESCE(w.w, 0.0) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9))), 9) - f.y AS r
+        |  FROM trf f LEFT JOIN $wsrc w USING (fb)
+        |  GROUP BY f.doc_id, f.y)""".stripMargin
+    val grad = (rsrc: String, name: String) =>
+      s"""$name AS (
+        |  SELECT f.fb, sum(CAST(round(r.r * f.x * 1e9) AS BIGINT)) AS g
+        |  FROM trf f JOIN $rsrc r USING (doc_id)
+        |  GROUP BY 1)""".stripMargin
+    val step = (gsrc: String, name: String, wprev: String) =>
+      s"""$name AS (
+        |  SELECT g.fb,
+        |    round(COALESCE(w.w, 0.0) - 1.0 * (CAST(g.g AS DOUBLE) / 1e9 / n.n), 9) AS w
+        |  FROM $gsrc g LEFT JOIN $wprev w USING (fb) CROSS JOIN n)""".stripMargin
+    s"""WITH b AS (
+      |  SELECT doc_id, lang, text,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents),
+      |tr AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, text
+      |  FROM b WHERE bucket < 204),
+      |vd AS (SELECT doc_id, text FROM b WHERE bucket >= 204 AND bucket < 230),
+      |${feats("tr", "trf", " y,")},
+      |n AS (SELECT count(*) AS n FROM tr),
+      |w0h AS (SELECT CAST(NULL AS BIGINT) AS fb, 0.0 AS w WHERE FALSE),
+      |${resid("w0h", "r1h")},
+      |${grad("r1h", "g1h")},
+      |${step("g1h", "w1h", "w0h")},
+      |${resid("w1h", "r2h")},
+      |${grad("r2h", "g2h")},
+      |${step("g2h", "w2h", "w1h")},
+      |${feats("vd", "vf", "")},
+      |scored AS (
+      |  SELECT f.doc_id,
+      |    round(1.0 / (1.0 + exp(-(CAST(sum(CAST(round(f.x * COALESCE(w.w, 0.0) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9))), 6) AS prob
+      |  FROM vf f LEFT JOIN w2h w USING (fb)
+      |  GROUP BY f.doc_id)
+      |SELECT doc_id, prob, CAST(prob >= 0.5 AS BIGINT) AS label_pred
+      |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   /** dsir_select: both unigram models retrained in SQL — target = the
     * train split's English docs, source = the whole train split — and the
     * per-token log-likelihood ratio + exact interpolated 75th-percentile

@@ -152,6 +152,23 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed-feature (fastText-style) sparse logistic regression: 2
+    * full-batch GD iterations over md5-bucketed bag-of-words counts — 64
+    * buckets, small enough that the hashing trick's collision merging is
+    * itself value-checked — with the model living as a (bucket, weight)
+    * DataFrame (no driver state at all, unlike lr_classify's 4 literal
+    * weights). "Is this an English doc" labels on the train split, val
+    * docs scored under the final weights frame. */
+  def lrHashed(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = Sampling.hashSplit(t(spark, dir, "documents"), "doc_id")
+    graft.operators.Classifier.hashedLogReg(
+        withSplit.where(col("split") === "train")
+          .withColumn("label", (col("lang") === "en").cast("long")),
+        withSplit.where(col("split") === "val"),
+        "doc_id", "label", "text", numBuckets = 64, iters = 2, lr = 1.0)
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR-style importance weighting: target model = the train split's
     * English docs, source model = the whole train split, val docs scored
     * by the per-token log-likelihood ratio; top 25% marked selected. */

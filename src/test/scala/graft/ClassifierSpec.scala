@@ -143,4 +143,92 @@ class ClassifierSpec extends SparkSuite {
       Classifier.logisticQuality(train.limit(0), score, "id", "label", "text")
     }
   }
+
+  test("hashed LR separates class-distinct vocabularies") {
+    // plenty of buckets -> no (or few) collisions: the hashed model should
+    // learn the same separation a per-token model would
+    val train = Seq(
+      (1L, 1L, "good clean prose sentence flows"),
+      (2L, 1L, "clean prose reads good"),
+      (3L, 1L, "sentence flows reads clean"),
+      (4L, 0L, "zzqx jjkk wwvv qqpp"),
+      (5L, 0L, "jjkk zzqx qqpp mmnn"),
+      (6L, 0L, "wwvv mmnn zzqx jjkk")
+    ).toDF("id", "label", "text")
+    val score = Seq(
+      (50L, "good prose flows clean"),
+      (51L, "zzqx wwvv jjkk"),
+      (52L, "reads good sentence"),
+      (53L, "qqpp mmnn zzqx")).toDF("id", "text")
+    val preds = Classifier.hashedLogReg(train, score, "id", "label", "text",
+        numBuckets = 1 << 16, iters = 8, lr = 4.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(preds === Map(50L -> 1L, 51L -> 0L, 52L -> 1L, 53L -> 0L))
+  }
+
+  test("hashed LR: collisions merge counts (numBuckets=2 ≡ manual merge)") {
+    // with B=2 every token lands in bucket 0 or 1 — the model degenerates
+    // to (bias, count-in-0, count-in-1). A doc's score must depend only on
+    // its per-bucket totals, so two docs with identical bucket totals get
+    // identical probabilities even with disjoint tokens
+    val train = Seq(
+      (1L, 1L, "alpha beta gamma"),
+      (2L, 0L, "delta epsilon")).toDF("id", "label", "text")
+    val score = Seq(
+      (50L, "alpha beta gamma"),
+      (51L, "alpha alpha alpha")).toDF("id", "text")
+    val out = Classifier.hashedLogReg(train, score, "id", "label", "text",
+        numBuckets = 2, iters = 2, lr = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independently derive each token's bucket with the same md5 hash and
+    // check the two scored docs agree iff their bucket count-vectors agree
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2
+    }
+    val v50 = Seq("alpha", "beta", "gamma").groupBy(bucket).map {
+      case (b, ts) => b -> ts.size }
+    val v51 = Map(bucket("alpha") -> 3)
+    if (v50 == v51) assert(out(50L) === out(51L))
+    else assert(out(50L) !== out(51L))
+  }
+
+  test("hashed LR: determinism, bias-only docs, OOV tokens, validation") {
+    val train = Seq(
+      (1L, 1L, "alpha beta alpha"),
+      (2L, 0L, "gamma delta"),
+      (3L, 1L, "beta alpha"),
+      (4L, 0L, "delta gamma gamma")).toDF("id", "label", "text")
+    val score = Seq(
+      (50L, ""),                       // token-free: scored by bias alone
+      (51L, "unseen tokens here"),     // all-OOV buckets: weight 0 + bias
+      (52L, "alpha beta")).toDF("id", "text")
+    def run() = Classifier.hashedLogReg(train, score, "id", "label", "text",
+      numBuckets = 64, iters = 3, lr = 1.0).orderBy("id").collect().toSeq
+    val a = run()
+    assert(a === run(), "two runs must be bit-identical")
+    assert(a.map(_.getLong(0)) === Seq(50L, 51L, 52L))
+    assert(a.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    // 50 and 51 differ only by buckets absent from training — if none of
+    // the OOV tokens collide into a trained bucket their probs must match
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 64
+    }
+    val trained = Seq("alpha", "beta", "gamma", "delta").map(bucket).toSet
+    if (Seq("unseen", "tokens", "here").map(bucket).forall(b => !trained(b)))
+      assert(a(0).getDouble(1) === a(1).getDouble(1))
+    intercept[IllegalArgumentException] {
+      Classifier.hashedLogReg(train, score, "id", "label", "text",
+        numBuckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.hashedLogReg(train, score, "id", "label", "text", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.hashedLogReg(train.limit(0), score, "id", "label", "text")
+    }
+  }
 }
