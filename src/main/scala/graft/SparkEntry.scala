@@ -96,6 +96,11 @@ object SparkEntry {
     // round 11: hashed-feature (fastText-style) sparse LR — the model is
     // a (bucket, weight) DataFrame, nothing passes through the driver
     "lr_hashed" -> (PipelineQueries.lrHashed _),
+    // round 11: PageRank over the source-transition multigraph — the
+    // host-centrality signal of web-corpus curation as iterative
+    // relational algebra (quantized integer mass sums, per-round
+    // localCheckpoint)
+    "pagerank" -> (PipelineQueries.pageRankQ _),
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "gram_novelty" -> (PipelineQueries.gramNovelty _),
     "token_fertility" -> (PipelineQueries.tokenFertilityQ _),
@@ -245,6 +250,7 @@ object SparkEntry {
     "lm_backoff" -> Oracles.lmBackoff,
     "lr_classify" -> Oracles.lrClassify,
     "lr_hashed" -> Oracles.lrHashed,
+    "pagerank" -> Oracles.pageRank,
     "train_shuffle" -> Oracles.trainShuffle,
     "gram_novelty" -> Oracles.gramNovelty,
     "token_fertility" -> Oracles.tokenFertility,

@@ -613,6 +613,44 @@ object Oracles {
       s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)")
       .reduceLeft((acc, d) => s"($acc * 16 + $d)")
 
+  /** pagerank: the 5-iteration damped PageRank replayed — consecutive-doc
+    * source edges (parallel edges weight a link via the row-count
+    * out-degree), per-edge rank/deg contributions and the dangling mass
+    * quantized to the 1e-9 grid and summed as exact BIGINTs, ranks round-9
+    * per unrolled update CTE with the identical (1−d)/N + d·(contrib +
+    * dangling/N) expression tree, output round-6. */
+  val pageRank: String = {
+    val iter = (prev: String, c: String, d: String, next: String) =>
+      s"""$c AS (
+        |  SELECT e.dst AS node, sum(CAST(round(r.r / dg.deg * 1e9) AS BIGINT)) AS cq
+        |  FROM e JOIN $prev r ON r.node = e.src JOIN deg dg ON dg.src = e.src
+        |  GROUP BY 1),
+        |$d AS (
+        |  SELECT COALESCE(sum(CAST(round(r.r * 1e9) AS BIGINT)), 0) AS dq
+        |  FROM $prev r LEFT JOIN deg dg ON dg.src = r.node
+        |  WHERE dg.src IS NULL),
+        |$next AS (
+        |  SELECT nd.node,
+        |    round((1.0 - 0.85) / n.n + 0.85 * (CAST(COALESCE(c.cq, 0) AS DOUBLE) / 1e9
+        |      + CAST(d.dq AS DOUBLE) / 1e9 / n.n), 9) AS r
+        |  FROM nodes nd LEFT JOIN $c c USING (node)
+        |  CROSS JOIN $d d CROSS JOIN n)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT a.source AS src, b.source AS dst
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |pr0 AS (SELECT node, round(1.0 / n.n, 9) AS r FROM nodes CROSS JOIN n),
+      |${iter("pr0", "c1p", "d1p", "pr1")},
+      |${iter("pr1", "c2p", "d2p", "pr2")},
+      |${iter("pr2", "c3p", "d3p", "pr3")},
+      |${iter("pr3", "c4p", "d4p", "pr4")},
+      |${iter("pr4", "c5p", "d5p", "pr5")}
+      |SELECT node, round(r, 6) AS rank FROM pr5 ORDER BY node""".stripMargin
+  }
+
   /** lr_hashed: the 2-iteration hashed-feature sparse LR replayed — the
     * same md5[0:8] % 64 bucket hash (8-digit Horner chain), bias rows at
     * bucket −1, per-(doc,bucket) dot-product and gradient contributions

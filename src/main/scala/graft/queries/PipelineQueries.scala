@@ -194,6 +194,21 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** PageRank over the corpus source-transition graph: one edge
+    * source(doc i) → source(doc i+1) per consecutive doc_id pair —
+    * parallel edges weight a link, exercising the multigraph semantics.
+    * 5 iterations at damping 0.85; the host-graph centrality signal of
+    * web-corpus curation. */
+  def pageRankQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val e = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.source").as("src"), col("b.source").as("dst"))
+    graft.operators.Graphs.pageRank(e, "src", "dst",
+        damping = 0.85, iters = 5)
+      .orderBy(col("node"))
+  }
+
   /** Corpus Zipf-law fit: weighted log-log OLS of the token frequency
     * histogram — the power-law quality audit (natural text: slope ~ -1). */
   def zipfFitQ(spark: SparkSession, dir: String): DataFrame =
