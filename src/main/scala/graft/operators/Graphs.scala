@@ -33,7 +33,11 @@ object Graphs {
     * contributions rank/deg quantize to the 1e-9 grid and sum as exact
     * longs (order-free); the dangling mass is the same quantized integer
     * sum; ranks round to 9 after every update with the identical
-    * expression tree both engines replay; the output rank rounds to 6.
+    * expression tree both engines replay. The OUTPUT stays on the round-9
+    * grid — a round-6 output would collapse every rank below 5e-7 to zero,
+    * i.e. all of a ≥10M-node web graph's tail (1/N is already 1e-7 there);
+    * round-9 holds to ~1e9 nodes, past which the quantization grid itself
+    * should scale with 1/N.
     *
     * Scale shape (100 TB link graph): each iteration is ONE join of the
     * edge frame against the node-sized rank frame (both keyed on the
@@ -88,7 +92,7 @@ object Graphs {
           .localCheckpoint(true)
       }
       // ranks is materialized — safe to unpersist the edge projection
-      ranks.select(col("node"), round(col("__r"), 6).as("rank"))
+      ranks.select(col("node"), col("__r").as("rank"))
     } finally e.unpersist()
   }
 }

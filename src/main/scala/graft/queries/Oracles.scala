@@ -618,7 +618,8 @@ object Oracles {
     * out-degree), per-edge rank/deg contributions and the dangling mass
     * quantized to the 1e-9 grid and summed as exact BIGINTs, ranks round-9
     * per unrolled update CTE with the identical (1−d)/N + d·(contrib +
-    * dangling/N) expression tree, output round-6. */
+    * dangling/N) expression tree; output stays on the round-9 grid (a
+    * round-6 output would zero the tail of a ≥10M-node graph). */
   val pageRank: String = {
     val iter = (prev: String, c: String, d: String, next: String) =>
       s"""$c AS (
@@ -648,7 +649,7 @@ object Oracles {
       |${iter("pr2", "c3p", "d3p", "pr3")},
       |${iter("pr3", "c4p", "d4p", "pr4")},
       |${iter("pr4", "c5p", "d5p", "pr5")}
-      |SELECT node, round(r, 6) AS rank FROM pr5 ORDER BY node""".stripMargin
+      |SELECT node, r AS rank FROM pr5 ORDER BY node""".stripMargin
   }
 
   /** lr_hashed: the 2-iteration hashed-feature sparse LR replayed — the

@@ -12,8 +12,6 @@ class GraphsSpec extends SparkSuite {
 
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("hand-computed two-node chain, one iteration") {
     // A -> B, B dangling; N = 2, r0 = 0.5 each.
@@ -23,8 +21,8 @@ class GraphsSpec extends SparkSuite {
     val got = Graphs.pageRank(e, "src", "dst", damping = 0.85, iters = 1)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val base = (1.0 - 0.85) / 2.0
-    val rA = round6(round9(base + 0.85 * (0.0 / 1e9 + 5e8 / 1e9 / 2.0)))
-    val rB = round6(round9(base + 0.85 * (5e8 / 1e9 + 5e8 / 1e9 / 2.0)))
+    val rA = round9(base + 0.85 * (0.0 / 1e9 + 5e8 / 1e9 / 2.0))
+    val rB = round9(base + 0.85 * (5e8 / 1e9 + 5e8 / 1e9 / 2.0))
     assert(got === Map("A" -> rA, "B" -> rB))
   }
 
