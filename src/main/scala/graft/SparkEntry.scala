@@ -101,6 +101,9 @@ object SparkEntry {
     // relational algebra (quantized integer mass sums, per-round
     // localCheckpoint)
     "pagerank" -> (PipelineQueries.pageRankQ _),
+    // round 11: JL random projection (Achlioptas ±1) — the pre-ANN /
+    // pre-clustering dimensionality cut, a shuffle-free row-local map
+    "rp_project" -> (PipelineQueries.rpProject _),
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "gram_novelty" -> (PipelineQueries.gramNovelty _),
     "token_fertility" -> (PipelineQueries.tokenFertilityQ _),
@@ -251,6 +254,7 @@ object SparkEntry {
     "lr_classify" -> Oracles.lrClassify,
     "lr_hashed" -> Oracles.lrHashed,
     "pagerank" -> Oracles.pageRank,
+    "rp_project" -> Oracles.rpProject,
     "train_shuffle" -> Oracles.trainShuffle,
     "gram_novelty" -> Oracles.gramNovelty,
     "token_fertility" -> Oracles.tokenFertility,

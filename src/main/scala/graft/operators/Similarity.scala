@@ -491,4 +491,69 @@ object Similarity {
           / size(col("errs")), 9).as("mae"),
         round(array_max(col("errs")), 9).as("max_err"))
   }
+
+  /** Deterministic ±1 sign matrix for [[randomProject]]: s(j)(i) = +1 when
+    * the first hex digit of md5("seed:i:j") is even, −1 otherwise — a pure
+    * function of (seed, i, j) any engine can replay, unlike a PRNG stream
+    * whose draw order is implementation-defined. */
+  private[graft] def signMatrix(outDim: Int, inDim: Int,
+                                seed: Long): Array[Array[Int]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val hex = mdt.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      mdt.reset()
+      // first hex digit = high nibble of byte 0
+      if (((hex(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+    }
+  }
+
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
+    * out_j = (Σ_i v_i · s_{i,j}) / √k with a DENSE ±1 sign matrix
+    * (Achlioptas '03 — database-friendly random projections: ±1 entries
+    * preserve pairwise distances with the same JL guarantee as Gaussians,
+    * and make the transform exact integer-friendly arithmetic). The sign
+    * matrix derives from md5(seed:i:j) (see [[signMatrix]]) and enters the
+    * plan as k literal arrays, so the projection is a row-local MAP with no
+    * shuffle, no join, and no driver state beyond the k×d sign literals.
+    *
+    * The standard pre-reduction in front of ANN indexing / clustering /
+    * dedup when the embedding dimension is large: at 100 TB the win is
+    * direct — a d→k reduction cuts every downstream shuffle, index build,
+    * and distance kernel by d/k.
+    *
+    * Determinism across engines: each signed element quantizes to the 1e-9
+    * grid and sums as an exact long (order-free); the output is that
+    * integer divided by 1e9 and by IEEE √k — all correctly-rounded IEEE
+    * ops on identical inputs, hence bit-identical in any IEEE-754 engine
+    * WITHOUT a final decimal round (a round-9 here would sit exactly on
+    * decimal midpoints whenever the sum ≡ 2 mod 4 — quarter values end in
+    * ...5e-10 — and Spark's BigDecimal-repr HALF_UP disagrees with
+    * DuckDB's binary-double round on those; measured, not theoretical).
+    * Vectors whose length ≠ `inDim` raise rather than silently projecting
+    * garbage.
+    *
+    * Output: the input frame with `outCol` added as array<double> of
+    * length `outDim` (castable to float for downstream kernels at the
+    * caller's discretion). */
+  def randomProject(df: DataFrame, vecCol: String, outCol: String,
+                    inDim: Int, outDim: Int = 16,
+                    seed: Long = 42L): DataFrame = {
+    require(inDim >= 1 && inDim <= 65536, s"bad inDim $inDim")
+    require(outDim >= 1 && outDim <= inDim,
+      s"outDim must be in [1, inDim], got $outDim (inDim $inDim)")
+    val sgn = signMatrix(outDim, inDim, seed)
+    val scale = math.sqrt(outDim.toDouble)
+    val proj: Seq[Column] = (0 until outDim).map { j =>
+      aggregate(
+        zip_with(col(vecCol), typedLit(sgn(j).toSeq),
+          (x, s) => round(x.cast("double") * s * 1e9, 0).cast("long")),
+        lit(0L), (acc, q) => acc + q
+      ).cast("double") / 1e9 / lit(scale)
+    }
+    df.withColumn(outCol,
+      when(size(col(vecCol)) === inDim, array(proj: _*))
+        .otherwise(raise_error(concat(
+          lit(s"randomProject: expected $inDim-dim vector, got "),
+          size(col(vecCol)).cast("string")))))
+  }
 }

@@ -613,6 +613,32 @@ object Oracles {
       s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)")
       .reduceLeft((acc, d) => s"($acc * 16 + $d)")
 
+  /** rp_project: the 64→16 JL ±1 projection replayed — the sign of
+    * element (i, j) is the parity of md5("42:i:j")'s first hex digit
+    * (i, j 0-based), per-element signed contributions quantized to the
+    * 1e-9 grid and summed as exact BIGINTs, output = that integer / 1e9 /
+    * IEEE sqrt(16) with NO final decimal round (quarter values sit exactly
+    * on decimal midpoints where the engines' round() disagree; identical
+    * IEEE ops on identical integers are bit-identical without it). */
+  val rpProject: String =
+    """WITH el AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    unnest(embedding) AS x
+      |  FROM embeddings),
+      |signs AS (
+      |  SELECT i.i, j.j,
+      |    CASE WHEN (strpos('0123456789abcdef', substr(
+      |        md5('42:' || CAST(i.i - 1 AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),
+      |        1, 1)) - 1) % 2 = 0
+      |      THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(1, 65)) AS i) i,
+      |       (SELECT unnest(range(0, 16)) AS j) j)
+      |SELECT e.vec_id, sg.j AS dim,
+      |  CAST(sum(CAST(round(CAST(e.x AS DOUBLE) * sg.s * 1e9) AS BIGINT)) AS DOUBLE)
+      |    / 1e9 / sqrt(16.0) AS value
+      |FROM el e JOIN signs sg ON sg.i = e.i
+      |GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin
+
   /** pagerank: the 5-iteration damped PageRank replayed — consecutive-doc
     * source edges (parallel edges weight a link via the row-count
     * out-degree), per-edge rank/deg contributions and the dangling mass

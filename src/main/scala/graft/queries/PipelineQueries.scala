@@ -194,6 +194,16 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Random-projection (JL) dimensionality reduction of the embeddings
+    * table, 64 → 16 dims under the deterministic md5 ±1 sign matrix —
+    * unpacked to (vec_id, dim, value) long form for the value oracle. */
+  def rpProject(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(t(spark, dir, "embeddings"),
+        "embedding", "proj", inDim = 64, outDim = 16, seed = 42L)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("value"))
+      .orderBy(col("vec_id"), col("dim"))
+
   /** PageRank over the corpus source-transition graph: one edge
     * source(doc i) → source(doc i+1) per consecutive doc_id pair —
     * parallel edges weight a link, exercising the multigraph semantics.

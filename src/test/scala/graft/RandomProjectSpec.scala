@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Random-projection (JL ±1) dimensionality reduction: hand-computed
+  * projection values, sign-matrix determinism/balance, distance
+  * preservation on planted near-duplicates, dimension-mismatch fail-fast,
+  * and composition with brute-force ANN on the projected space. */
+class RandomProjectSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hand-computed 2->1 projection under the md5 sign matrix") {
+    val sgn = Similarity.signMatrix(1, 2, seed = 42L)(0)
+    val df = Seq((1L, Seq(1.5f, -2.0f))).toDF("id", "v")
+    val got = Similarity.randomProject(df, "v", "p", inDim = 2, outDim = 1,
+        seed = 42L)
+      .select(col("p").getItem(0)).collect()(0).getDouble(0)
+    // quantized contributions: round(1.5*s0*1e9) + round(-2.0*s1*1e9)
+    val q = math.round(1.5 * sgn(0) * 1e9) + math.round(-2.0 * sgn(1) * 1e9)
+    assert(got === q.toDouble / 1e9 / math.sqrt(1.0))
+  }
+
+  test("sign matrix is deterministic and roughly balanced") {
+    val a = Similarity.signMatrix(16, 64, 42L)
+    val b = Similarity.signMatrix(16, 64, 42L)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    val c = Similarity.signMatrix(16, 64, 43L)
+    assert(a.map(_.toSeq).toSeq !== c.map(_.toSeq).toSeq,
+      "different seeds must give different matrices")
+    val flat = a.flatten
+    val plus = flat.count(_ == 1)
+    assert(flat.forall(s => s == 1 || s == -1))
+    // md5 parity over 1024 entries: expect ~512 ± a loose 5-sigma band
+    assert(plus > 400 && plus < 624, s"sign balance off: +1 count $plus")
+  }
+
+  test("projection preserves pairwise distance within the JL band") {
+    // deterministic pseudo-random 64-dim vectors; JL with k=16 is coarse,
+    // so pin a LOOSE band on the distance ratio distribution rather than
+    // per-pair tightness: most ratios should land within [0.4, 1.6], and
+    // the mean ratio near 1
+    val n = 60
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i * 7919L + 17L)
+      (0 until 64).map(_ => r.nextGaussian().toFloat)
+    }
+    val df = (0 until n).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val proj = Similarity.randomProject(df, "v", "p", 64, 16, 42L)
+      .select(col("id"), col("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val orig = (0 until n).map(i => i.toLong -> vec(i).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0 until n; j <- (i + 1) until n
+      o = d2(orig(i.toLong), orig(j.toLong)) if o > 1e-9
+    } yield d2(proj(i.toLong), proj(j.toLong)) / o
+    val within = ratios.count(r => r > 0.4 && r < 1.6).toDouble / ratios.size
+    assert(within > 0.85,
+      f"only ${within * 100}%.1f%% of distance ratios inside [0.4, 1.6]")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.25, s"mean distance ratio $mean far from 1")
+  }
+
+  test("planted near-duplicates stay nearest under projection") {
+    // pairs at cosine ~0.999 must remain each other's nearest neighbor in
+    // the projected space among 50 well-separated distractors
+    def base(i: Int): Seq[Float] =
+      (0 until 64).map(d => math.cos(i * 37 + d * 13).toFloat)
+    val rows =
+      (0 until 50).map(i => (i.toLong, base(i))) ++
+        (0 until 5).map(i => (1000L + i,
+          base(i).zipWithIndex.map { case (x, d) =>
+            x + 0.01f * math.sin(d + i).toFloat }))
+    val df = rows.toDF("id", "v")
+    val proj = Similarity.randomProject(df, "v", "p", 64, 16, 42L)
+      .select(col("id"), col("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (i <- 0 until 5) {
+      val q = proj(1000L + i)
+      val nn = proj.filter(_._1 != 1000L + i)
+        .minBy { case (_, v) => d2(q, v) }._1
+      assert(nn === i.toLong,
+        s"plant ${1000 + i} nearest to $nn in projected space, expected $i")
+    }
+  }
+
+  test("dimension mismatch raises; validation") {
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Similarity.randomProject(bad, "v", "p", inDim = 64, outDim = 16)
+        .collect()
+    }
+    assert(ex.getMessage.contains("expected 64-dim") ||
+      Option(ex.getCause).exists(_.getMessage.contains("expected 64-dim")))
+    intercept[IllegalArgumentException] {
+      Similarity.randomProject(bad, "v", "p", inDim = 3, outDim = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.randomProject(bad, "v", "p", inDim = 0, outDim = 0)
+    }
+  }
+}
