@@ -104,6 +104,9 @@ object SparkEntry {
     // round 11: JL random projection (Achlioptas ±1) — the pre-ANN /
     // pre-clustering dimensionality cut, a shuffle-free row-local map
     "rp_project" -> (PipelineQueries.rpProject _),
+    // round 11: cluster-diversified sampling — per-cell md5-priority caps
+    // so the kept set spans semantic space instead of the head clusters
+    "diverse_sample" -> (PipelineQueries.diverseSampleQ _),
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "gram_novelty" -> (PipelineQueries.gramNovelty _),
     "token_fertility" -> (PipelineQueries.tokenFertilityQ _),
@@ -255,6 +258,7 @@ object SparkEntry {
     "lr_hashed" -> Oracles.lrHashed,
     "pagerank" -> Oracles.pageRank,
     "rp_project" -> Oracles.rpProject,
+    "diverse_sample" -> Oracles.diverseSample,
     "train_shuffle" -> Oracles.trainShuffle,
     "gram_novelty" -> Oracles.gramNovelty,
     "token_fertility" -> Oracles.tokenFertility,

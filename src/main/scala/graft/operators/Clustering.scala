@@ -85,6 +85,27 @@ object Clustering {
         round(col("dist2"), 6).as("dist2"))
   }
 
+  /** Cluster-diversified sampling: cap every k-means cell at `quota` rows,
+    * selected in the deterministic md5-priority order — the diversity-
+    * balancing selection step of embedding-space curation (cap the dominant
+    * modes so the kept set spans semantic space instead of collapsing onto
+    * the head clusters; the cluster-balanced counterpart of
+    * [[graft.operators.Sampling.quotaPerGroup]]'s per-source cap, and the
+    * budget-shaped relative of SemDeDup's within-cell pruning).
+    *
+    * Output: (idCol, cell, dist2, priority ≤ quota) — dist2 kept so a
+    * caller can audit how central the survivors are.
+    *
+    * Scale shape (100 TB): the assignment is one broadcast-centroid argmin
+    * map ([[kmeansAssign]]); the cap is the salted two-phase row_number of
+    * quotaPerGroup (per-cell windows over pre-filtered ≤ quota·partitions
+    * rows, never a global window). Size k to the corpus like
+    * [[semanticDedupAuto]] does when cells must stay bounded. */
+  def diverseSample(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, quota: Int, iters: Int = 1): DataFrame =
+    Sampling.quotaPerGroup(
+      kmeansAssign(df, idCol, vecCol, k, iters), idCol, "cell", quota)
+
   /** SemDeDup (Abbas et al. '23): cluster the embeddings, then mark
     * near-duplicate pairs WITHIN each cluster — cosine ≥ `tau` — keeping
     * the lower id. Output (cell, kept_id, dropped_id, cosine).

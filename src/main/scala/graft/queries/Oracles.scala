@@ -1987,6 +1987,23 @@ object Oracles {
       |FROM flagged WHERE reason IS NOT NULL
       |ORDER BY vec_id""".stripMargin
 
+  /** diverse_sample: the kmeans chain over the raw embeddings, then every
+    * cell capped at 25 rows in the same 2-hex-digit md5-priority order as
+    * source_quota. */
+  val diverseSample: String =
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |${kmeansCte(8)},
+      |assign AS (SELECT id AS vec_id, cell, round(d, 6) AS dist2 FROM a1),
+      |ranked AS (
+      |  SELECT vec_id, cell, dist2,
+      |    CAST(row_number() OVER (PARTITION BY cell ORDER BY
+      |      (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) ASC,
+      |      vec_id ASC) AS BIGINT) AS priority
+      |  FROM assign)
+      |SELECT vec_id, cell, dist2, priority FROM ranked
+      |WHERE priority <= 25 ORDER BY vec_id""".stripMargin
+
   /** semantic_dedup: the same Lloyd round over the planted corpus, then
     * all within-cell pairs with round-6 cosine >= 0.95, lower id kept. */
   val semanticDedup: String =

@@ -194,6 +194,14 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Cluster-diversified sampling: the embeddings clustered to 8 cells
+    * (one Lloyd round), every cell capped at 25 survivors in md5-priority
+    * order — the diversity-balancing selection stage. */
+  def diverseSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Clustering.diverseSample(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, quota = 25, iters = 1)
+      .orderBy(col("vec_id"))
+
   /** Random-projection (JL) dimensionality reduction of the embeddings
     * table, 64 → 16 dims under the deterministic md5 ±1 sign matrix —
     * unpacked to (vec_id, dim, value) long form for the value oracle. */

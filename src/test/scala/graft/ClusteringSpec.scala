@@ -152,4 +152,30 @@ class ClusteringSpec extends SparkSuite {
     // guarantee must be doing real work here, not passing vacuously
     assert(coClustered >= 15, s"only $coClustered/20 plants co-clustered")
   }
+
+  test("diverse sample caps the dominant cluster, keeps the tail whole") {
+    // 40 rows in a tight blob at (0,0), 5 rows near (10,10): with quota 8
+    // the dominant cell must be capped at 8 while the small cell survives
+    // in full — the anti-mode-collapse contract
+    val rows =
+      Seq(0L -> vec(0.0, 0.0), 1L -> vec(10.0, 10.0)) ++
+        (2L until 40L).map(i => i -> vec(0.01 * i, 0.02 * i % 0.5)) ++
+        (100L until 104L).map(i => i -> vec(10.0 + 0.01 * i % 0.3, 9.8))
+    val df = rows.toDF("id", "v")
+    val kept = Clustering.diverseSample(df, "id", "v", k = 2, quota = 8,
+        iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    val byCell = kept.groupBy(_._2)
+    assert(byCell.size === 2)
+    assert(byCell.values.forall(_.length <= 8), "quota must cap every cell")
+    val cellOfSmall = kept.find(_._1 >= 100L).map(_._2)
+    assert(cellOfSmall.isDefined, "small blob must survive")
+    assert(byCell(cellOfSmall.get).length === 5,
+      "the under-quota cell must keep all 5 members")
+    assert(kept.forall(_._3 <= 8), "priority must be <= quota")
+    // deterministic: same input, same kept set
+    val again = Clustering.diverseSample(df, "id", "v", k = 2, quota = 8,
+      iters = 2).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }
