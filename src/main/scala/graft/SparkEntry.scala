@@ -107,6 +107,13 @@ object SparkEntry {
     // round 11: cluster-diversified sampling — per-cell md5-priority caps
     // so the kept set spans semantic space instead of the head clusters
     "diverse_sample" -> (PipelineQueries.diverseSampleQ _),
+    // round 11: A-ES weighted sampling — draw ∝ weight, deterministic md5
+    // uniform, TakeOrderedAndProject selection (no global sort/window)
+    "weighted_sample" -> (PipelineQueries.weightedSampleQ _),
+    // round 11: Count-Min frequency sketch — a fixed depth×width count
+    // grid regardless of vocabulary (the shuffle-capping summary), point
+    // estimates value-checked beside exact counts
+    "cm_freq" -> (PipelineQueries.cmFreqQ _),
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "gram_novelty" -> (PipelineQueries.gramNovelty _),
     "token_fertility" -> (PipelineQueries.tokenFertilityQ _),
@@ -259,6 +266,8 @@ object SparkEntry {
     "pagerank" -> Oracles.pageRank,
     "rp_project" -> Oracles.rpProject,
     "diverse_sample" -> Oracles.diverseSample,
+    "weighted_sample" -> Oracles.weightedSample,
+    "cm_freq" -> Oracles.cmFreq,
     "train_shuffle" -> Oracles.trainShuffle,
     "gram_novelty" -> Oracles.gramNovelty,
     "token_fertility" -> Oracles.tokenFertility,

@@ -421,6 +421,64 @@ object CorpusOps {
     * quadratically), so the offsets self-join is a few-thousand-row
     * triangle even at web scale; the final aggregate is one row. No
     * windows, no driver state. */
+  /** Count-Min sketch of the corpus token frequencies (Cormode &
+    * Muthukrishnan '05) in relational form: the sketch IS a (row, slot,
+    * cnt) frame of AT MOST depth×width rows. Each token occurrence maps to
+    * one slot per hash row (slot = md5(seed:row:token)[0:8] mod width —
+    * the engine-replayable md5 idiom, a pure function any engine
+    * recomputes); counts are a plain hash aggregation, so map-side combine
+    * caps what each partition ships at depth×width counters REGARDLESS of
+    * vocabulary — the whole point at 100 TB, where exact per-token counts
+    * shuffle billions of distinct keys but the CM summary ships a fixed
+    * grid. Merging shards/streams is elementwise addition, which the
+    * aggregation already is.
+    *
+    * Output: (row, slot, cnt) — sparse (absent slots are zero). */
+  def cmSketch(df: DataFrame, textCol: String, depth: Int = 3,
+               width: Int = 64, seed: Long = 42L): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2 && width <= (1 << 20),
+      s"width must be in [2, 2^20], got $width")
+    val toks = df.select(explode(graft.functions.minhashExprs.wordGrams(
+      TextFunctions.normalized(col(textCol)), 1)).as("__t"))
+    val cells = toks.select(explode(array((0 until depth).map { r =>
+      struct(lit(r).as("row"),
+        (conv(substring(md5(concat(lit(s"$seed:$r:"), col("__t"))), 1, 8),
+          16, 10).cast("long") % width).as("slot"))
+    }: _*)).as("__cell"))
+    cells.groupBy(col("__cell.row").as("row"), col("__cell.slot").as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmSketch]] frame: for each query
+    * token, est = min over hash rows of the count in that row's slot
+    * (absent slot = 0) — the CM guarantee est ≥ true count, with
+    * overestimate bounded by the collision mass of the LIGHTEST row. The
+    * sketch side of the join is ≤ depth×width rows by construction, but
+    * that can reach 16M at the parameter bounds, so the hint is left to
+    * AQE (broadcast-when-fits — the bm25TopK r11 lesson) rather than
+    * forced.
+    *
+    * Output: (token, est). */
+  def cmEstimate(sketch: DataFrame, tokens: DataFrame, tokenCol: String,
+                 depth: Int = 3, width: Int = 64,
+                 seed: Long = 42L): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2 && width <= (1 << 20),
+      s"width must be in [2, 2^20], got $width")
+    val probes = tokens.select(col(tokenCol).as("token"))
+      .select(col("token"), explode(array((0 until depth).map { r =>
+        struct(lit(r).as("row"),
+          (conv(substring(md5(concat(lit(s"$seed:$r:"), col("token"))), 1, 8),
+            16, 10).cast("long") % width).as("slot"))
+      }: _*)).as("__cell"))
+      .select(col("token"), col("__cell.row").as("row"),
+        col("__cell.slot").as("slot"))
+    probes.join(sketch, Seq("row", "slot"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   def zipfFit(df: DataFrame, textCol: String): DataFrame = {
     val freq = df.select(explode(graft.functions.minhashExprs.wordGrams(
         TextFunctions.normalized(col(textCol)), 1)).as("__t"))

@@ -289,6 +289,45 @@ object Sampling {
     quotaPerGroups(df, idCol, groupCol, alloc)
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis '06, algorithm A-ES): each row draws key = u^(1/w) — here in
+    * log space, skey = ln(u)/w — and the n LARGEST keys win, which selects
+    * each row with probability proportional to its weight for a sample
+    * drawn without replacement. The "sample documents proportional to
+    * quality score" stage of corpus curation, with the uniform u a PURE
+    * md5 FUNCTION of (seed, id) (the [[hashSample]] discipline): no RNG
+    * stream, any engine replays the draw, and re-running on a grown corpus
+    * never re-rolls existing rows' keys.
+    *
+    *   u    = (int(md5(seed:id)[0:8], 16) + 0.5) / 2^32   ∈ (0, 1)
+    *   skey = round(ln(u) / w, 9)   (ties broken by id ascending)
+    *
+    * Monotonicity contract (spec-pinned): raising one row's weight while
+    * others hold never evicts it from the sample — ln(u) < 0, so a larger
+    * w moves skey toward 0, strictly upward.
+    *
+    * Scale shape (100 TB): skey is a row-local map; the selection is
+    * orderBy(skey).limit(n) — Spark's TakeOrderedAndProject, a per-
+    * partition O(n) bounded heap + driver merge of partition heads, NO
+    * global sort and no window. Weights must be strictly positive — a
+    * non-positive weight raises at runtime rather than silently inverting
+    * the draw. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int, seed: Long = 42L): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    val w = col(weightCol).cast("double")
+    val h = conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("skey",
+        when(w > 0, round(log(u) / w, 9))
+          .otherwise(raise_error(concat(
+            lit("weightedSample: weight must be > 0, got "),
+            w.cast("string")))))
+      .orderBy(col("skey").desc, col(idCol).asc)
+      .limit(n)
+  }
+
   def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
                     quota: Int): DataFrame = {
     require(quota > 0, s"bad quota $quota")

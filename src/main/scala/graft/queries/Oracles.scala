@@ -1987,6 +1987,50 @@ object Oracles {
       |FROM flagged WHERE reason IS NOT NULL
       |ORDER BY vec_id""".stripMargin
 
+  /** cm_freq: the Count-Min build + point estimates replayed — slot =
+    * md5('42:row:token')[0:8] mod 64 via the 8-digit Horner chain, counts
+    * per (row, slot), est = min over rows with absent slots zero, beside
+    * the exact counts. */
+  val cmFreq: String = {
+    val slot = (tokExpr: String) =>
+      s"CAST(${md5Chain(s"md5('42:' || CAST(r.r AS VARCHAR) || ':' || $tokExpr)", 8)} AS BIGINT) % 64"
+    s"""WITH toks AS (
+      |  SELECT unnest(list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    t -> len(t) > 0)) AS t
+      |  FROM documents),
+      |exact AS (
+      |  SELECT t AS token, CAST(count(*) AS BIGINT) AS true_count
+      |  FROM toks GROUP BY 1),
+      |cells AS (
+      |  SELECT r.r AS row, ${slot("t")} AS slot
+      |  FROM toks, (SELECT unnest(range(0, 3)) AS r) r),
+      |sk AS (
+      |  SELECT row, slot, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM cells GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT e.token, r.r AS row, ${slot("e.token")} AS slot
+      |  FROM exact e, (SELECT unnest(range(0, 3)) AS r) r),
+      |est AS (
+      |  SELECT p.token, min(COALESCE(s.cnt, 0)) AS est
+      |  FROM probes p LEFT JOIN sk s ON s.row = p.row AND s.slot = p.slot
+      |  GROUP BY 1)
+      |SELECT e2.token, est.est, e2.true_count
+      |FROM est JOIN exact e2 USING (token) ORDER BY token""".stripMargin
+  }
+
+  /** weighted_sample: the A-ES draw replayed — u from the 8-digit md5
+    * Horner chain over '42:doc_id', skey = round(ln(u)/weight, 9), top-100
+    * by (skey DESC, doc_id ASC). */
+  val weightedSample: String =
+    s"""WITH wdraw AS (
+      |  SELECT doc_id, CAST(n_chars + 1 AS DOUBLE) AS weight,
+      |    round(ln((CAST(${md5Chain("md5('42:' || CAST(doc_id AS VARCHAR))", 8)} AS DOUBLE) + 0.5)
+      |      / 4294967296.0) / CAST(n_chars + 1 AS DOUBLE), 9) AS skey
+      |  FROM documents)
+      |SELECT doc_id, weight, skey FROM wdraw
+      |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
+
   /** diverse_sample: the kmeans chain over the raw embeddings, then every
     * cell capped at 25 rows in the same 2-hex-digit md5-priority order as
     * source_quota. */

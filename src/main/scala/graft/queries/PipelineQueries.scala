@@ -194,6 +194,34 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Count-Min sketch frequency summary: depth 3 × width 64 over the
+    * corpus tokens (narrow on purpose — collisions occur and the
+    * overestimate bias is itself value-checked), point estimates for every
+    * distinct corpus token beside the exact count (est ≥ true, the CM
+    * guarantee). */
+  def cmFreqQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sketch = CorpusOps.cmSketch(docs, "text",
+      depth = 3, width = 64, seed = 42L)
+    val exact = docs.select(explode(minhashExprs.wordGrams(
+        TextFunctions.normalized(col("text")), 1)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+    CorpusOps.cmEstimate(sketch, exact.select(col("token")), "token",
+        depth = 3, width = 64, seed = 42L)
+      .join(exact, "token")
+      .orderBy(col("token"))
+  }
+
+  /** Weighted sampling without replacement (A-ES): 100 documents drawn
+    * with probability proportional to n_chars + 1 under the deterministic
+    * md5 uniform — the "sample by quality/length" curation draw. */
+  def weightedSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") + 1).cast("double").as("weight")),
+        "doc_id", "weight", n = 100, seed = 42L)
+      .orderBy(col("skey").desc, col("doc_id"))
+
   /** Cluster-diversified sampling: the embeddings clustered to 8 cells
     * (one Lloyd round), every cell capped at 25 survivors in md5-priority
     * order — the diversity-balancing selection stage. */

@@ -246,4 +246,65 @@ class CorpusOpsSpec extends SparkSuite {
       Seq((1L, "x y z")).toDF("doc_id", "text"), "text").collect().head
     assert(flat.getDouble(2) === 0.0 && flat.getDouble(3) === 0.0)
   }
+
+  test("weightedSample: weight monotonicity — raising w never evicts") {
+    val base = (0L until 30L).map(i => (i, 1.0)).toDF("id", "w")
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.weightedSample(df, "id", "w", n = 10)
+        .collect().map(_.getLong(0)).toSet
+    val k0 = kept(base)
+    assert(k0.size === 10)
+    // doubling a kept row's weight keeps it (ln(u)/w moves strictly up)
+    val aKept = k0.head
+    val boosted = base.withColumn("w",
+      when(col("id") === aKept, 2.0).otherwise(col("w")))
+    assert(kept(boosted).contains(aKept))
+    // inflating an unkept row's weight enough pulls it in
+    val anUnkept = ((0L until 30L).toSet -- k0).head
+    val inflated = base.withColumn("w",
+      when(col("id") === anUnkept, 1e9).otherwise(col("w")))
+    assert(kept(inflated).contains(anUnkept),
+      s"w=1e9 must pull $anUnkept into the sample (skey -> ~0)")
+  }
+
+  test("weightedSample: draw tracks weights statistically; determinism") {
+    // 1000 light (w=1) + 1000 heavy (w=10) rows, n=200: heavy rows should
+    // dominate roughly 10:1 (expected heavy share ~ 182/200)
+    val df = ((0L until 1000L).map(i => (i, 1.0)) ++
+      (1000L until 2000L).map(i => (i, 10.0))).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", n = 200)
+      .collect().map(_.getLong(0))
+    assert(got.length === 200)
+    val heavy = got.count(_ >= 1000L)
+    assert(heavy > 140 && heavy < 200,
+      s"heavy rows should dominate ~10:1, got $heavy/200")
+    val again = Sampling.weightedSample(df, "id", "w", n = 200)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === again.toSeq, "two runs must be identical")
+    // seed changes the draw
+    val other = Sampling.weightedSample(df, "id", "w", n = 200, seed = 7L)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq !== other.toSeq)
+  }
+
+  test("weightedSample: plan is TakeOrdered (no global sort), guards work") {
+    val df = (0L until 50L).map(i => (i, 1.0)).toDF("id", "w")
+    val plan = Sampling.weightedSample(df, "id", "w", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection must be a bounded top-n, got plan:\n$plan")
+    // n >= corpus keeps everything
+    assert(Sampling.weightedSample(df, "id", "w", n = 500).count() === 50L)
+    // non-positive weight raises at runtime
+    val bad = Seq((1L, 0.0)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Sampling.weightedSample(bad, "id", "w", n = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("weight must be > 0")))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, "id", "w", n = 0)
+    }
+  }
 }
