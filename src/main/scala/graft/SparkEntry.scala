@@ -114,6 +114,9 @@ object SparkEntry {
     // grid regardless of vocabulary (the shuffle-capping summary), point
     // estimates value-checked beside exact counts
     "cm_freq" -> (PipelineQueries.cmFreqQ _),
+    // round 11: quality-ranked token-budget fill — best docs first until
+    // the budget, two-phase relational cumsum (no global data window)
+    "quality_budget" -> (PipelineQueries.qualityBudgetQ _),
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "gram_novelty" -> (PipelineQueries.gramNovelty _),
     "token_fertility" -> (PipelineQueries.tokenFertilityQ _),
@@ -219,7 +222,22 @@ object SparkEntry {
     // SELECTIVE nprobe (4/16) instead of brute force: the 100-TB shape.
     // Approximate by design, so bench-only; fused-top-10 recall vs the
     // brute twin is spec-pinned in PipelineSpec
-    "hybrid_search_ann" -> (PipelineQueries.hybridSearchAnnQ _))
+    "hybrid_search_ann" -> (PipelineQueries.hybridSearchAnnQ _),
+    // round 11: brute-force ANN on the 16-dim JL PROJECTION of the
+    // 64-dim embeddings — measures the d/k distance-kernel win the
+    // rp_project reduction buys; approximate by design (neighbor recall
+    // vs the 64-dim truth is pinned in RandomProjectSpec), so bench-only
+    "knn_rp" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val proj = graft.operators.Similarity.randomProject(
+          graft.queries.Queries.t(s, d, "embeddings"),
+          "embedding", "proj", inDim = 64, outDim = 16)
+        .select(col("vec_id"),
+          expr("transform(proj, x -> cast(x as float))").as("pvec"))
+      graft.operators.Similarity.bruteForceTopK(
+          proj.where(col("vec_id") < 10), proj, "vec_id", "pvec", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -268,6 +286,7 @@ object SparkEntry {
     "diverse_sample" -> Oracles.diverseSample,
     "weighted_sample" -> Oracles.weightedSample,
     "cm_freq" -> Oracles.cmFreq,
+    "quality_budget" -> Oracles.qualityBudget,
     "train_shuffle" -> Oracles.trainShuffle,
     "gram_novelty" -> Oracles.gramNovelty,
     "token_fertility" -> Oracles.tokenFertility,

@@ -161,6 +161,76 @@ object Sampling {
       .drop("__b", "__pr", "__off")
   }
 
+  /** Quality-ranked token-budget fill: keep the BEST documents — ordered
+    * (score desc, md5(id) asc, id asc) — until their token running sum
+    * reaches `budget`. The budget-fill stage a real corpus build runs
+    * after scoring ("take the top-quality N-token corpus"), the quality-
+    * keyed sibling of [[tokenBudgetSample]]'s unbiased md5-ordered prefix.
+    *
+    * Scale shape (100 TB): the running sum never runs as one global
+    * window. Per-(score, hash-bucket) token totals aggregate relationally;
+    * a window over the DISTINCT-SCORE frame (bounded — see guard) turns
+    * them into higher-score offsets, a window over the (score, bucket)
+    * frame adds within-score bucket offsets, and the per-row window
+    * partitions by (score, bucket) — the md5 bucket IS the 2-hex prefix of
+    * the md5 priority, so (bucket, priority) order within a score class IS
+    * priority order and the result equals the single-window formulation
+    * exactly (the tokenBudgetSample trick applied within each score
+    * class; no task sees more than ~1/256 of one score class, even on a
+    * constant-score corpus). NO driver collect anywhere.
+    *
+    * Guard: the distinct-score frame must stay bounded for the offset
+    * window — a measured limit-probe (the fitsExactNgram discipline)
+    * rejects score columns with more than `maxDistinctScores` values
+    * (pass a ROUNDED score, e.g. the engine's round-6 qualityScore).
+    *
+    * Adds `cum_tokens`; keeps rows with cum_tokens ≤ budget. */
+  def qualityBudgetFill(df: DataFrame, idCol: String, tokensCol: String,
+                        scoreCol: String, budget: Long,
+                        maxDistinctScores: Long = 1L << 20): DataFrame = {
+    require(budget >= 0, s"bad budget $budget")
+    require(maxDistinctScores >= 1, s"bad maxDistinctScores")
+    val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
+    val score = col(scoreCol)
+    val nScores = df.select(score).distinct()
+      .limit((maxDistinctScores + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(nScores <= maxDistinctScores,
+      s"qualityBudgetFill: > $maxDistinctScores distinct values in " +
+        s"'$scoreCol' — pass a rounded score so the offset frame stays " +
+        s"bounded")
+    val base = df
+      .withColumn("__pr", md5(col(idCol).cast("string")))
+      .withColumn("__hb", hashBucket(col(idCol)))
+    // per-(score, bucket) totals → within-score offsets (window over the
+    // (score, bucket) frame, ≤ 256 rows per score class)
+    val shTot = base.groupBy(score, col("__hb")).agg(sum(toks).as("__t"))
+    val wInScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(score).orderBy(col("__hb").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val shOff = shTot
+      .withColumn("__offh", coalesce(sum(col("__t")).over(wInScore), lit(0L)))
+      .select(score, col("__hb"), col("__offh"))
+    // per-score totals → strictly-higher-score offsets (single-partition
+    // window, but over the DISTINCT-SCORE frame only — guarded above)
+    val sTot = shTot.groupBy(score).agg(sum(col("__t")).as("__st"))
+    val wAbove = org.apache.spark.sql.expressions.Window
+      .orderBy(score.desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sOff = sTot
+      .withColumn("__offs", coalesce(sum(col("__st")).over(wAbove), lit(0L)))
+      .select(score, col("__offs"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(score, col("__hb"))
+      .orderBy(col("__pr").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(shOff, Seq(scoreCol, "__hb"))
+      .join(sOff, Seq(scoreCol))
+      .withColumn("cum_tokens",
+        sum(toks).over(wIn) + col("__offh") + col("__offs"))
+      .where(col("cum_tokens") <= budget)
+      .drop("__pr", "__hb", "__offh", "__offs")
+  }
+
   /** Per-group quota cap ("at most n docs per source/domain") with a
     * deterministic, id-hash-ordered priority — the standard anti-domination
     * guard of web-corpus curation (an over-crawled domain must not flood

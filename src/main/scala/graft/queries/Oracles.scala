@@ -1987,6 +1987,57 @@ object Oracles {
       |FROM flagged WHERE reason IS NOT NULL
       |ORDER BY vec_id""".stripMargin
 
+  /** quality_budget: the quality-ranked budget fill replayed as the
+    * SINGLE-window formulation — the engine's relational two-phase offsets
+    * (per-(score, md5-bucket) totals + distinct-score window) must equal
+    * this exactly; order (quality DESC, md5(id) ASC, id ASC), running sum
+    * capped at 2000 tokens. Quality/token expressions shared with the
+    * quality_scores / token_stats oracles. */
+  val qualityBudget: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                t -> length(t) > 0) AS ltoks,
+      |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    least(CAST(len(toks) AS DOUBLE) / 50, CAST(1 AS DOUBLE)) AS len_score,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |              / len(toks) END AS word_len,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE 1 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 5,
+      |                        CAST(1 AS DOUBLE)) END AS punct_score,
+      |    CASE WHEN len(ltoks) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(ltoks, t -> list_contains(
+      |                ['the','a','an','and','or','but','of','to','in','on','at','is',
+      |                 'are','was','were','be','been','it','this','that','with','for',
+      |                 'as','by','from','not','no','so','if','then','than','too'], t)))
+      |              AS DOUBLE) / len(ltoks) END AS stop_ratio,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(toks) END AS n_tokens
+      |  FROM base),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(len_score * 0.3
+      |      + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      |      + punct_score * 0.25
+      |      + least(stop_ratio * 4, CAST(1 AS DOUBLE)) * 0.25, 6) AS quality,
+      |    n_tokens
+      |  FROM c),
+      |win AS (
+      |  SELECT doc_id, quality, n_tokens,
+      |    sum(CAST(n_tokens AS BIGINT)) OVER (
+      |      ORDER BY quality DESC, md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM q)
+      |SELECT doc_id, quality, n_tokens,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM win WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin
+
   /** cm_freq: the Count-Min build + point estimates replayed — slot =
     * md5('42:row:token')[0:8] mod 64 via the 8-digit Horner chain, counts
     * per (row, slot), est = min over rows with absent slots zero, beside

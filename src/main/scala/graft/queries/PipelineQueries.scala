@@ -194,6 +194,20 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Quality-ranked token-budget fill: the best documents by round-6
+    * composite quality (md5-hash tie-break) until 2000 tokens — the
+    * "take the top-quality N-token corpus" budget stage. */
+  def qualityBudgetQ(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents").select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    Sampling.qualityBudgetFill(scored, "doc_id", "n_tokens", "quality",
+        budget = 2000L)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Count-Min sketch frequency summary: depth 3 × width 64 over the
     * corpus tokens (narrow on purpose — collisions occur and the
     * overestimate bias is itself value-checked), point estimates for every

@@ -287,6 +287,66 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.toSeq !== other.toSeq)
   }
 
+  test("qualityBudgetFill: two-phase cumsum == single-order formulation") {
+    // ties in score (only 3 distinct values) force the within-score
+    // md5-bucket offsets to do real work; layouts must not matter
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (0L until 300L).map(i =>
+      (i, (i % 7 + 1), BigDecimal((i % 3).toDouble / 4)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val expectedOrder = rows.sortBy { case (id, _, s) => (-s, md5hex(id), id) }
+    val budget = 400L
+    var cum = 0L
+    val expected = expectedOrder.flatMap { case (id, t, s) =>
+      cum += t
+      if (cum <= budget) Some((id, cum)) else None
+    }.toMap
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("id", "toks", "score").repartition(parts)
+      val got = Sampling.qualityBudgetFill(df, "id", "toks", "score", budget)
+        .select("id", "cum_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"layout $parts diverges from single-order")
+    }
+  }
+
+  test("qualityBudgetFill: kept set is a prefix of the quality order") {
+    val rows = (0L until 50L).map(i => (i, 5L, (i % 10).toDouble / 10))
+    val df = rows.toDF("id", "toks", "score")
+    val kept = Sampling.qualityBudgetFill(df, "id", "toks", "score", 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 100 tokens at 5 each = 20 docs; the 15 docs with the two top scores
+    // (0.9, 0.8 — 5 docs each = 10) plus 10 of the 0.7 class... verify the
+    // dominance property directly: every kept doc's score >= every
+    // dropped doc's score unless the budget boundary sits inside a class
+    val scoreOf = rows.map(r => r._1 -> r._3).toMap
+    val keptMin = kept.map(scoreOf).min
+    val droppedAbove = rows.filter(r => !kept(r._1) && r._3 > keptMin)
+    assert(droppedAbove.isEmpty,
+      s"dropped higher-quality docs than kept: $droppedAbove")
+    assert(kept.size === 20)
+    // budget 0 -> empty; budget >= total -> everything
+    assert(Sampling.qualityBudgetFill(df, "id", "toks", "score", 0L)
+      .count() === 0L)
+    assert(Sampling.qualityBudgetFill(df, "id", "toks", "score", 9999L)
+      .count() === 50L)
+  }
+
+  test("qualityBudgetFill: distinct-score guard trips on unrounded keys") {
+    val df = (0L until 40L).map(i => (i, 1L, i.toDouble / 997.0))
+      .toDF("id", "toks", "score")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.qualityBudgetFill(df, "id", "toks", "score", 10L,
+        maxDistinctScores = 16L)
+    }
+    assert(ex.getMessage.contains("distinct values"))
+    // at the cap it runs
+    assert(Sampling.qualityBudgetFill(df, "id", "toks", "score", 10L,
+      maxDistinctScores = 40L).count() === 10L)
+  }
+
   test("weightedSample: plan is TakeOrdered (no global sort), guards work") {
     val df = (0L until 50L).map(i => (i, 1.0)).toDF("id", "w")
     val plan = Sampling.weightedSample(df, "id", "w", n = 5)

@@ -89,6 +89,37 @@ class RandomProjectSpec extends SparkSuite {
     }
   }
 
+  test("knn_rp twin: measured top-5 agreement vs the 64-dim truth") {
+    // the bench-only knn_rp entry searches the 16-dim projection. On THIS
+    // corpus the exact top-5 sit at near-equidistant cosines (uniformish
+    // synthetic vectors — all pairwise similarities concentrate), so fine
+    // rank preservation is information-theoretically out of reach for ANY
+    // d/4 projection: measured 7/50 at k=16 and 8/50 at k=32. What RP
+    // guarantees — and what the planted-near-dup test above pins at full
+    // recall — is that WELL-SEPARATED neighbors survive. Here we pin the
+    // agreement far above chance (random top-5 overlap would be
+    // ~5·5/499 ≈ 0.05 per query ⇒ ~0.5/50 total) and document the rest,
+    // the MG-tail "document rather than over-assert" convention.
+    val e = graft.queries.Queries.t(spark, sf(), "embeddings")
+    def top5(frame: org.apache.spark.sql.DataFrame, vc: String) =
+      graft.operators.Similarity.bruteForceTopK(
+          frame.where(col("vec_id") < 10), frame, "vec_id", vc, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    val truth = top5(e, "embedding")
+    val proj = graft.operators.Similarity
+      .randomProject(e, "embedding", "proj", 64, 16)
+      .select(col("vec_id"),
+        expr("transform(proj, x -> cast(x as float))").as("pvec"))
+    val got = top5(proj, "pvec")
+    val overlaps = truth.keys.toSeq.sorted
+      .map(q => (truth(q) & got.getOrElse(q, Set.empty)).size)
+    info(s"per-query top-5 overlap: ${overlaps.mkString(",")} " +
+      s"(total ${overlaps.sum}/50)")
+    assert(overlaps.sum >= 4,
+      s"projected agreement ${overlaps.sum}/50 not even above chance")
+  }
+
   test("dimension mismatch raises; validation") {
     val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val ex = intercept[Exception] {
