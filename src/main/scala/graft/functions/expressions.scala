@@ -1276,6 +1276,111 @@ object NfcNormalize {
   }
 }
 
+/** Fused JL ±1 random projection kernel: all `outDim` outputs in one pass
+  * over the input vector, inside whole-stage codegen — the HOF twin
+  * ([[graft.operators.Similarity.randomProjectHof]]) builds 16 separate
+  * interpreted zip_with+aggregate chains and was measured 5× the cost of
+  * the 64-dim fused cosine it was meant to undercut. Arithmetic is
+  * BIT-IDENTICAL to the HOF/oracle form: per element round-half-away-from-
+  * zero of (x·s)·1e9 summed as exact longs, output = sum/1e9/√outDim.
+  * Wrong-length vectors throw (the HOF's raise_error contract); null
+  * elements are unsupported and throw rather than silently skew the sum. */
+case class RandomProjectExpr(child: Expression, inDim: Int, outDim: Int,
+                             seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "random_project"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"random_project needs array<float|double>, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val signsFlat: Array[Int] =
+    RandomProjectExpr.signsFlat(outDim, inDim, seed)
+
+  override def nullSafeEval(input: Any): Any =
+    RandomProjectExpr.compute(input.asInstanceOf[ArrayData], signsFlat,
+      inDim, outDim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signsFlat, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RandomProjectExpr.compute(" +
+        s"$c, $signsRef, $inDim, $outDim, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectExpr =
+    copy(child = newChild)
+}
+object RandomProjectExpr {
+  /** Row-major [j][i] flattened ±1 signs — identical to
+    * [[graft.operators.Similarity.signMatrix]] (md5(seed:i:j) first-hex-
+    * digit parity). */
+  def signsFlat(outDim: Int, inDim: Int, seed: Long): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](outDim * inDim)
+    var j = 0
+    while (j < outDim) {
+      var i = 0
+      while (i < inDim) {
+        val hex = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+        md.reset()
+        out(j * inDim + i) = if (((hex(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Round half away from zero — ≡ Spark's round(x, 0) and DuckDB's
+    * round() on doubles (they only differ from the binary value on exact
+    * .5 midpoints, where all three round away from zero). Written with
+    * exact floor/remainder comparisons, not floor(x+0.5), whose addition
+    * can carry a just-below-.5 value over the boundary. */
+  def roundHalfAway(v: Double): Long = {
+    val f = Math.floor(v)
+    val r = v - f // exact for |v| < 2^52
+    if (r > 0.5) f.toLong + 1L
+    else if (r < 0.5) f.toLong
+    else if (v > 0) f.toLong + 1L
+    else f.toLong
+  }
+
+  def compute(arr: ArrayData, signs: Array[Int], inDim: Int, outDim: Int,
+              isFloat: Boolean): ArrayData = {
+    if (arr.numElements() != inDim)
+      throw new IllegalArgumentException(
+        s"randomProject: expected $inDim-dim vector, got ${arr.numElements()}")
+    val scale = Math.sqrt(outDim.toDouble)
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      val off = j * inDim
+      var sum = 0L
+      var i = 0
+      while (i < inDim) {
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"randomProject: null element at position $i")
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        sum += roundHalfAway(x * signs(off + i) * 1e9)
+        i += 1
+      }
+      out(j) = sum.toDouble / 1e9 / scale
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object exprs {
   import GraftSqlBridge.{column, expression}
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
@@ -1292,6 +1397,10 @@ object exprs {
   def nfcNormalize(c: Column): Column = column(NfcNormalize(expression(c)))
   def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Long, dim: Int): Column =
     column(HyperplaneBucket(expression(vec), nPlanes, seed, dim))
+  /** Fused JL ±1 projection: array<float|double>[inDim] → array<double>
+    * [outDim], one codegen pass (kernel ≡ HOF twin, parity spec-pinned). */
+  def randomProject(vec: Column, inDim: Int, outDim: Int, seed: Long): Column =
+    column(RandomProjectExpr(expression(vec), inDim, outDim, seed))
 
   /** Misra–Gries heavy hitters over a string column: array<struct<term,
     * count>> ranked (count desc, term asc). Exact when distinct ≤ k. */

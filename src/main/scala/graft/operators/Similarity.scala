@@ -534,13 +534,29 @@ object Similarity {
     *
     * Output: the input frame with `outCol` added as array<double> of
     * length `outDim` (castable to float for downstream kernels at the
-    * caller's discretion). */
+    * caller's discretion).
+    *
+    * Runs on the fused [[graft.functions.RandomProjectExpr]] codegen
+    * kernel — the HOF formulation ([[randomProjectHof]], kept for the
+    * parity spec) builds outDim separate interpreted zip_with+aggregate
+    * chains and measured 5× the cost of the fused 64-dim cosine kernel it
+    * is meant to undercut. */
   def randomProject(df: DataFrame, vecCol: String, outCol: String,
                     inDim: Int, outDim: Int = 16,
                     seed: Long = 42L): DataFrame = {
     require(inDim >= 1 && inDim <= 65536, s"bad inDim $inDim")
     require(outDim >= 1 && outDim <= inDim,
       s"outDim must be in [1, inDim], got $outDim (inDim $inDim)")
+    df.withColumn(outCol,
+      graft.functions.exprs.randomProject(col(vecCol), inDim, outDim, seed))
+  }
+
+  /** The declarative-HOF twin of [[randomProject]] — bit-identical output
+    * (spec-pinned), kept as the independently-derived reference the kernel
+    * is checked against, the [[lshBucketHof]] convention. */
+  private[graft] def randomProjectHof(df: DataFrame, vecCol: String,
+                                      outCol: String, inDim: Int,
+                                      outDim: Int, seed: Long): DataFrame = {
     val sgn = signMatrix(outDim, inDim, seed)
     val scale = math.sqrt(outDim.toDouble)
     val proj: Seq[Column] = (0 until outDim).map { j =>

@@ -120,6 +120,20 @@ class RandomProjectSpec extends SparkSuite {
       s"projected agreement ${overlaps.sum}/50 not even above chance")
   }
 
+  test("kernel == HOF twin bit-for-bit on random vectors") {
+    val rnd = new scala.util.Random(99L)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("id", "v")
+    def grab(frame: org.apache.spark.sql.DataFrame) =
+      frame.select(col("id"), col("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val kernel = grab(Similarity.randomProject(df, "v", "p", 64, 16, 5L))
+    val hof = grab(Similarity.randomProjectHof(df, "v", "p", 64, 16, 5L))
+    assert(kernel === hof, "fused kernel must equal the HOF formulation")
+  }
+
   test("dimension mismatch raises; validation") {
     val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val ex = intercept[Exception] {
