@@ -117,6 +117,12 @@ object SparkEntry {
     // round 11: quality-ranked token-budget fill — best docs first until
     // the budget, two-phase relational cumsum (no global data window)
     "quality_budget" -> (PipelineQueries.qualityBudgetQ _),
+    // round 11: C4 line-level cleaning (Raffel '20) — per-line terminal-
+    // punct/word-count/javascript rules + lorem/brace/min-kept page rules
+    "c4_rules" -> (PipelineQueries.c4RulesQ _),
+    // round 11: DoReMi-lite domain reweighting — held-out-loss softmax
+    // mixture weights (the fixed-reference closed form of the EG loop)
+    "domain_weights" -> (PipelineQueries.domainWeightsQ _),
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "gram_novelty" -> (PipelineQueries.gramNovelty _),
     "token_fertility" -> (PipelineQueries.tokenFertilityQ _),
@@ -287,6 +293,8 @@ object SparkEntry {
     "weighted_sample" -> Oracles.weightedSample,
     "cm_freq" -> Oracles.cmFreq,
     "quality_budget" -> Oracles.qualityBudget,
+    "c4_rules" -> Oracles.c4Rules,
+    "domain_weights" -> Oracles.domainWeights,
     "train_shuffle" -> Oracles.trainShuffle,
     "gram_novelty" -> Oracles.gramNovelty,
     "token_fertility" -> Oracles.tokenFertility,

@@ -233,6 +233,50 @@ object TextFunctions {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** C4 line-level cleaning (Raffel et al. '20 §2.2 — the filters behind
+    * the C4 web corpus) as a named audit, the [[gopherRules]] convention:
+    * per LINE, keep only lines that end in terminal punctuation
+    * (. ! ? "), hold at least `minLineWords` words, and do not mention
+    * "javascript" (case-insensitive); per PAGE, drop documents containing
+    * "lorem ipsum" or a curly brace, or retaining fewer than
+    * `minKeptLines` lines. (C4's three-sentence-span dedup is the
+    * separate [[graft.operators.Dedup.dedupLines]] /
+    * [[graft.operators.Dedup.dedupSubstrings]] family.)
+    *
+    * Output: (idCol, n_lines [non-blank], n_kept_lines, has_lorem,
+    * has_brace, keep, clean_text) — clean_text re-joins the kept lines
+    * with newlines for kept pages and is empty for dropped ones, so the
+    * audit frame doubles as the cleaning stage.
+    *
+    * Pure row-local array/regexp projection (RE2-safe patterns, engine-
+    * replayable) — no aggregation, no shuffle; a map-only pass at any
+    * scale. */
+  def c4Rules(df: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, minLineWords: Int = 5,
+              minKeptLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(minLineWords >= 1, s"bad minLineWords $minLineWords")
+    require(minKeptLines >= 0, s"bad minKeptLines $minKeptLines")
+    val text = col(textCol)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        lower(text).contains("lorem ipsum").as("has_lorem"),
+        text.contains("{").as("has_brace"),
+        kept.as("__kept"))
+      .withColumn("keep",
+        !col("has_lorem") && !col("has_brace") &&
+          col("n_kept_lines") >= minKeptLines)
+      .withColumn("clean_text",
+        when(col("keep"), array_join(col("__kept"), "\n")).otherwise(lit("")))
+      .drop("__kept")
+  }
+
   /** Markup stripping — the text-extraction stage of a web-corpus
     * pipeline: drop script/style/comment blocks wholesale, strip
     * remaining tags, decode the five standard HTML entities, collapse

@@ -143,6 +143,64 @@ object LanguageModel {
           .otherwise(round(exp(-col("__slp") / col("__nb")), 6)).as("ppl"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. '23) — the "lite" closed
+    * form: domains whose held-out text the reference LM finds HARD get
+    * upweighted, the worst-case-domain intuition of DoReMi's exponentiated-
+    * gradient loop. Full DoReMi interleaves proxy-model training with the
+    * weight updates; with a FIXED reference model (the relational bigram
+    * LM of [[bigramLmScoreHeldout]]), T exponentiated-gradient steps at
+    * rate η collapse exactly to one softmax at temperature T·η — so this
+    * implements that closed form plus DoReMi's uniform smoothing mix:
+    *
+    *   excess_d = avg val NLL of domain d − min over domains   (round-6)
+    *   w_d      = (1−s)·softmax(temperature·excess)_d + s/|D|  (round-9)
+    *
+    * Determinism: per-domain NLL recombines the round-6 per-doc
+    * avg_logprob as exact 1e-6-grid integers weighted by bigram counts;
+    * exp rounds to 9 (the LM family's round-after-transcendental rule);
+    * the softmax denominator sums 1e-9-quantized longs; the weight
+    * expression tree is mirrored verbatim in the oracle.
+    *
+    * Scale shape (100 TB): everything after the held-out scoring pass is
+    * |D|-row arithmetic (domain-cardinality frames, one-row aggregates
+    * entering via broadcast cross joins — the bounded-scalar class).
+    * Output: (domainCol, n_docs, avg_nll, weight), Σ w = 1 up to the
+    * quantization grid. */
+  def domainWeights(train: DataFrame, valDf: DataFrame, idCol: String,
+                    domainCol: String, textCol: String, alpha: Double = 0.5,
+                    temperature: Double = 1.0,
+                    smoothing: Double = 0.1): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    require(smoothing >= 0 && smoothing <= 1,
+      s"smoothing must be in [0,1], got $smoothing")
+    requireNoReserved(idCol)
+    require(!domainCol.startsWith("__"),
+      s"domain column must not use the reserved __ namespace")
+    val id = col(idCol)
+    val scored = bigramLmScoreHeldout(train, valDf, idCol, textCol, alpha)
+    val per = valDf.select(id, col(domainCol)).join(scored, Seq(idCol))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("__nb"),
+        sum(col("n_bigrams") *
+          round(col("avg_logprob") * 1e6, 0).cast("long")).as("__sq"))
+      .withColumn("avg_nll", when(col("__nb") === 0, 0.0)
+        .otherwise(round(-(col("__sq").cast("double") / 1e6) / col("__nb"), 6)))
+    val mn = per.agg(min(col("avg_nll")).as("__mn"))
+    val nd = per.agg(count(lit(1)).cast("double").as("__ndom"))
+    val withE = per.crossJoin(broadcast(mn))
+      .withColumn("__ex", round(col("avg_nll") - col("__mn"), 6))
+      .withColumn("__e", round(exp(lit(temperature) * col("__ex")), 9))
+    val se = withE.agg(
+      sum(round(col("__e") * 1e9, 0).cast("long")).as("__se"))
+    withE.crossJoin(broadcast(se)).crossJoin(broadcast(nd))
+      .withColumn("weight", round(
+        (lit(1.0) - lit(smoothing)) *
+          (col("__e") / (col("__se").cast("double") / 1e9))
+          + lit(smoothing) / col("__ndom"), 9))
+      .select(col(domainCol), col("n_docs"), col("avg_nll"), col("weight"))
+  }
+
   /** CCNet's head/middle/tail corpus split by LM perplexity: thresholds are
     * the 1/3 and 2/3 EXACT interpolated percentiles of ppl over documents
     * that have bigrams (degenerate docs still get bucketed — their ppl of

@@ -299,6 +299,79 @@ object Oracles {
       |FROM vl vd LEFT JOIN scored s ON vd.doc_id = s.doc_id
       |ORDER BY vd.doc_id""".stripMargin
 
+  /** domain_weights: the DoReMi-lite softmax reweighting replayed — the
+    * full lm_heldout chain with `lang` carried through, per-language NLL
+    * recombined from 1e-6-grid integers, round-6 excess over the min,
+    * round-9 exp, 1e-9-quantized softmax denominator, and the
+    * (1−s)·softmax + s/|D| mix with the identical expression tree. */
+  val domainWeights: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, text,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents),
+      |trl AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l
+      |  FROM b WHERE bucket < 204),
+      |vl AS (
+      |  SELECT doc_id, lang, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l
+      |  FROM b WHERE bucket >= 204 AND bucket < 230),
+      |trbg AS (
+      |  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+      |  FROM trl),
+      |model_big AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM trbg GROUP BY 1),
+      |model_uni AS (
+      |  SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+      |  FROM model_big GROUP BY 1),
+      |vocab AS (
+      |  SELECT count(DISTINCT string_split(bigram, ' ')[2]) AS v FROM model_big),
+      |vbg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+      |  FROM vl),
+      |doc_bg AS (SELECT doc_id, bigram, count(*) AS n FROM vbg GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS nb,
+      |    CAST(sum(d.n * CAST(round(round(ln((COALESCE(m.c12, 0) + 0.5)
+      |      / (COALESCE(u.c1, 0) + 0.5 * v.v)), 9) * 1e9) AS BIGINT))
+      |      AS DOUBLE) / 1e9 AS slp
+      |  FROM doc_bg d
+      |  LEFT JOIN model_big m USING (bigram)
+      |  LEFT JOIN model_uni u ON string_split(d.bigram, ' ')[1] = u.w1
+      |  CROSS JOIN vocab v
+      |  GROUP BY 1),
+      |docs2 AS (
+      |  SELECT vd.doc_id, vd.lang,
+      |    COALESCE(s.nb, 0) AS nb,
+      |    CASE WHEN COALESCE(s.nb, 0) = 0 THEN 0.0
+      |         ELSE round(s.slp / s.nb, 6) END AS alp
+      |  FROM vl vd LEFT JOIN scored s ON vd.doc_id = s.doc_id),
+      |per AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nb) AS BIGINT) AS nbs,
+      |    CAST(sum(nb * CAST(round(alp * 1e6) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM docs2 GROUP BY 1),
+      |per2 AS (
+      |  SELECT lang, n_docs,
+      |    CASE WHEN nbs = 0 THEN 0.0
+      |         ELSE round((-(CAST(sq AS DOUBLE) / 1e6)) / nbs, 6) END AS avg_nll
+      |  FROM per),
+      |mnw AS (SELECT min(avg_nll) AS mn FROM per2),
+      |ndw AS (SELECT CAST(count(*) AS DOUBLE) AS ndom FROM per2),
+      |wew AS (
+      |  SELECT lang, n_docs, avg_nll,
+      |    round(exp(10.0 * round(avg_nll - mnw.mn, 6)), 9) AS e
+      |  FROM per2 CROSS JOIN mnw),
+      |sew AS (SELECT CAST(sum(CAST(round(e * 1e9) AS BIGINT)) AS BIGINT) AS se FROM wew)
+      |SELECT lang, n_docs, avg_nll,
+      |  round((1.0 - 0.2) * (e / (CAST(sew.se AS DOUBLE) / 1e9))
+      |    + 0.2 / ndw.ndom, 9) AS weight
+      |FROM wew CROSS JOIN sew CROSS JOIN ndw ORDER BY lang""".stripMargin
+
   /** lm_backoff: the Brants '07 stupid-backoff trigram scorer retrained in
     * SQL — trigram/bigram/unigram count tables off the md5-bucket TRAIN
     * partition, val-doc trigram occurrences routed through the same 3-way
@@ -1986,6 +2059,47 @@ object Oracles {
       |SELECT vec_id, cell, dist2, cutoff, reason
       |FROM flagged WHERE reason IS NOT NULL
       |ORDER BY vec_id""".stripMargin
+
+  /** c4_rules: the C4 line/page filter replayed over the same constructed
+    * shell — trimmed non-blank lines, kept = terminal punctuation AND ≥ 5
+    * regex-split words AND no 'javascript'; page rules lorem/brace/
+    * min-kept; clean_text re-joins kept lines for kept pages. */
+  val c4Rules: String =
+    """WITH shell AS (
+      |  SELECT doc_id,
+      |    text || '.' || chr(10) || 'short line' || chr(10)
+      |    || 'Enable javascript to view doc ' || CAST(doc_id AS VARCHAR) || '.'
+      |    || chr(10) || 'This page has plenty of good words in it.'
+      |    || (CASE WHEN doc_id % 7 = 0
+      |             THEN chr(10) || 'more filler lorem ipsum text sits here.'
+      |             ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0
+      |             THEN chr(10) || 'if (x) { call(); }'
+      |             ELSE '' END) AS page
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, page,
+      |    list_filter(list_transform(string_split(page, chr(10)), x -> trim(x)),
+      |                x -> len(x) > 0) AS lines
+      |  FROM shell),
+      |k AS (
+      |  SELECT doc_id, page, lines,
+      |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+      |      AND len(list_filter(regexp_split_to_array(x, '\s+'),
+      |                          w -> len(w) > 0)) >= 5
+      |      AND NOT contains(lower(x), 'javascript')) AS kept
+      |  FROM l)
+      |SELECT doc_id,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      |  contains(lower(page), 'lorem ipsum') AS has_lorem,
+      |  contains(page, '{') AS has_brace,
+      |  (NOT contains(lower(page), 'lorem ipsum')) AND (NOT contains(page, '{'))
+      |    AND len(kept) >= 2 AS keep,
+      |  CASE WHEN (NOT contains(lower(page), 'lorem ipsum'))
+      |         AND (NOT contains(page, '{')) AND len(kept) >= 2
+      |       THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text
+      |FROM k ORDER BY doc_id""".stripMargin
 
   /** quality_budget: the quality-ranked budget fill replayed as the
     * SINGLE-window formulation — the engine's relational two-phase offsets

@@ -169,6 +169,19 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** DoReMi-lite domain reweighting: per-language mixture weights from
+    * the held-out bigram-LM losses — hard languages upweighted via
+    * softmax at temperature 10, mixed 20% with uniform. */
+  def domainWeightsQ(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = Sampling.hashSplit(t(spark, dir, "documents"), "doc_id")
+    LanguageModel.domainWeights(
+        withSplit.where(col("split") === "train"),
+        withSplit.where(col("split") === "val"),
+        "doc_id", "lang", "text",
+        alpha = 0.5, temperature = 10.0, smoothing = 0.2)
+      .orderBy(col("lang"))
+  }
+
   /** DSIR-style importance weighting: target model = the train split's
     * English docs, source model = the whole train split, val docs scored
     * by the per-token log-likelihood ratio; top 25% marked selected. */
@@ -397,6 +410,27 @@ object PipelineQueries {
           lit(" --><h1>Q&amp;A &lt;"), col("lang"), lit("&gt;</h1><p>"),
           col("text"), lit("</p></body></html>"))).as("stripped"))
       .orderBy(col("doc_id"))
+
+  /** C4 line-level cleaning over a constructed multi-line page shell:
+    * each doc's text becomes line 1 (+'.'), then a short junk line, a
+    * "javascript" line, and a good sentence; docs at id % 7 == 0 carry a
+    * "lorem ipsum" line and id % 11 == 0 a curly-brace line — so line
+    * rules AND both page rules flip across the corpus. */
+  def c4RulesQ(spark: SparkSession, dir: String): DataFrame = {
+    val shell = t(spark, dir, "documents").select(col("doc_id"),
+      concat(
+        col("text"), lit("."),
+        lit("\nshort line"),
+        lit("\nEnable javascript to view doc "), col("doc_id"), lit("."),
+        lit("\nThis page has plenty of good words in it."),
+        when(col("doc_id") % 7 === 0,
+          lit("\nmore filler lorem ipsum text sits here.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nif (x) { call(); }")).otherwise(lit(""))).as("page"))
+    TextFunctions.c4Rules(shell, "doc_id", "page",
+        minLineWords = 5, minKeptLines = 2)
+      .orderBy(col("doc_id"))
+  }
 
   /** Per-language dataset card over the corpus. */
   def corpusCardQ(spark: SparkSession, dir: String): DataFrame =

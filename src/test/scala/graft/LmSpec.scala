@@ -173,4 +173,49 @@ class LmSpec extends SparkSuite {
       LanguageModel.stupidBackoffScore(docs, docs, "doc_id", "text", alpha = 0.0)
     }
   }
+
+  test("domainWeights: hard domains upweighted, weights sum to 1") {
+    // train teaches the 'easy' domain's bigrams; the 'hard' domain's val
+    // text is all-unseen -> higher NLL -> larger softmax weight
+    val train = Seq(
+      (1L, "easy", "alpha beta gamma delta"),
+      (2L, "easy", "alpha beta gamma delta"),
+      (3L, "easy", "beta gamma delta alpha"),
+      (4L, "hard", "omega psi chi phi")).toDF("id", "dom", "text")
+    val valDf = Seq(
+      (10L, "easy", "alpha beta gamma"),
+      (11L, "easy", "beta gamma delta"),
+      (12L, "hard", "zz qq ww vv"),
+      (13L, "hard", "qq ww zz vv")).toDF("id", "dom", "text")
+    val got = LanguageModel.domainWeights(train, valDf, "id", "dom", "text",
+        temperature = 5.0, smoothing = 0.1)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got("easy")._1 === 2L && got("hard")._1 === 2L)
+    assert(got("hard")._2 > got("easy")._2, s"hard domain must score worse: $got")
+    assert(got("hard")._3 > got("easy")._3, s"hard domain must be upweighted: $got")
+    val total = got.values.map(_._3).sum
+    assert(math.abs(total - 1.0) < 1e-6, s"weights must sum to ~1, got $total")
+  }
+
+  test("domainWeights: smoothing=1 is exactly uniform; determinism") {
+    val train = Seq((1L, "a", "x y z"), (2L, "b", "p q r")).toDF("id", "dom", "text")
+    val valDf = Seq((10L, "a", "x y"), (11L, "b", "unseen words here"))
+      .toDF("id", "dom", "text")
+    def run(s: Double) = LanguageModel.domainWeights(
+      train, valDf, "id", "dom", "text", smoothing = s)
+      .orderBy("dom").collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    val uniform = run(1.0)
+    assert(uniform.forall(_._2 === 0.5), s"smoothing=1 must be uniform: $uniform")
+    assert(run(0.1) === run(0.1), "two runs must be bit-identical")
+    intercept[IllegalArgumentException] {
+      LanguageModel.domainWeights(train, valDf, "id", "dom", "text",
+        temperature = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.domainWeights(train, valDf, "id", "dom", "text",
+        smoothing = 1.5)
+    }
+  }
 }
