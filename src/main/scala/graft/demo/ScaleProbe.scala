@@ -414,6 +414,84 @@ object ScaleProbe {
       require(copiesNovel == 0L,
         s"$copiesNovel copy docs claim novel grams (must be 0)")
     }
+
+    // --- round-11 continuation probes: hashed sparse LR at a real bucket
+    // count, C4 cleaning throughput, weighted sampling at 1M rows, the
+    // Count-Min grid bound, and the quality-budget fill at 50k docs ---
+    locally {
+      val split = graft.operators.Sampling.hashSplit(docs, "doc_id")
+      val tr = split.where(col("split") === "train")
+      val va = split.where(col("split") === "val")
+      var preds = 0L
+      time("hashed sparse LR (B=2^18, 2 GD iters) over 50k docs") {
+        preds = graft.operators.Classifier.hashedLogReg(
+          tr.withColumn("label", (col("lang") === "en").cast("long")),
+          va, "doc_id", "label", "text", numBuckets = 1 << 18).count()
+        preds
+      }
+      require(preds == va.count(), "one prediction per val doc")
+      time("C4 line cleaning over 50k docs (map-only)") {
+        val c4 = graft.functions.TextFunctions.c4Rules(
+          docs, "doc_id", "text", minLineWords = 5, minKeptLines = 1)
+          .persist()
+        val bad = c4.where(col("keep") =!=
+          (!col("has_lorem") && !col("has_brace") &&
+            col("n_kept_lines") >= 1)).count()
+        require(bad == 0, s"keep != AND(rules) on $bad rows")
+        val n = c4.count()
+        c4.unpersist()
+        n
+      }
+      time("weighted sample: top 1000 of 1M rows by 10:1 weights") {
+        val big = spark.range(1000000L).select(col("id"),
+          when(col("id") % 10 === 0, 10.0).otherwise(1.0).as("w"))
+        val s = graft.operators.Sampling.weightedSample(
+          big, "id", "w", n = 1000).persist()
+        val heavy = s.where(col("id") % 10 === 0).count()
+        val total = s.count()
+        s.unpersist()
+        // heavy rows are 10% of the corpus at 10x weight: expect a clear
+        // majority of the kept set (E ~ 52%), far above the 10% base rate
+        require(heavy > total * 3 / 10,
+          s"weighted draw ignored weights: $heavy/$total heavy")
+        total
+      }
+      time("Count-Min sketch (d=4, w=1024) over the 50k-doc corpus") {
+        val sk = graft.operators.CorpusOps.cmSketch(
+          docs, "text", depth = 4, width = 1024).persist()
+        val rows = sk.count()
+        require(rows <= 4L * 1024L, s"grid bound violated: $rows")
+        // CM guarantee spot-check against exact counts for 5 corpus terms
+        val exact = docs.select(explode(
+            graft.functions.minhashExprs.wordGrams(
+              graft.functions.TextFunctions.normalized(col("text")), 1))
+            .as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("tc"))
+          .orderBy(col("tc").desc).limit(5).persist()
+        val joined = graft.operators.CorpusOps.cmEstimate(
+            sk, exact.select(col("token")), "token", depth = 4, width = 1024)
+          .join(exact, "token").collect()
+        exact.unpersist(); sk.unpersist()
+        joined.foreach { r =>
+          require(r.getLong(1) >= r.getLong(2),
+            s"CM underestimated ${r.getString(0)}")
+        }
+        rows
+      }
+      time("quality-budget fill: best 100k tokens of 50k docs") {
+        val scored = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+        val kept = graft.operators.Sampling.qualityBudgetFill(
+          scored, "doc_id", "nt", "q", budget = 100000L).persist()
+        val n = kept.count()
+        val worstKept = kept.agg(min(col("q"))).collect().head.getDouble(0)
+        kept.unpersist()
+        require(n > 0, "budget fill kept nothing")
+        println(f"  quality-budget: $n docs kept, min kept quality $worstKept%.3f")
+        n
+      }
+    }
     // --- round-10 probes: retrieval surface (BM25, hybrid RRF) and the
     // row-local Gopher filter at 10x ---
     locally {

@@ -250,13 +250,6 @@ object Maintenance {
     terms.reduce(_ bitwiseOR _)
   }
 
-  /** RESTORE to an earlier version: metadata-only commit re-activating the
-    * target snapshot's file set (and its schema, if evolved since); see
-    * [[DeltaFixtureWriter.restore]]. The path is de-schemed for the
-    * java.nio-based commit writer, like [[vacuum]]'s logCommit. */
-  def restore(spark: SparkSession, tablePath: String, version: Long): Unit =
-    DeltaFixtureWriter.restore(spark, DeltaLog.stripSchemeStr(tablePath), version)
-
   /** The DISTRIBUTED file-selection + bin-assignment frame of [[optimize]]:
     * (path, bin) for every small file in a ≥2-small-file partition. Exposed
     * separately so PlanAudit can verify the plan contains no driver file
@@ -336,6 +329,80 @@ object Maintenance {
     }
     snap.unpersist()
     gone.toSeq.map { case (p, s, _) => (p, s) }.toDF("path", "size")
+  }
+
+  /** RESTORE TABLE TO VERSION — Delta's `RESTORE` as a METADATA-ONLY
+    * commit: the new version's active file set becomes exactly the target
+    * snapshot's (remove every currently-active file absent at the target,
+    * re-add every target file not currently active). No data files are
+    * rewritten or copied — like OPTIMIZE's commit, only the log moves —
+    * so restoring a 100-TB table costs two manifest anti-joins plus one
+    * streamed commit. Fails fast (before writing anything) if a file to
+    * re-add has been physically removed by [[vacuum]] — Delta's own
+    * restore-after-vacuum failure contract. Restoring to the current
+    * version records a no-op RESTORE commit. A restore across a SCHEMA
+    * change additionally rolls the metaData authority back to the target
+    * snapshot's schema — that path delegates to the fixture-scope
+    * [[DeltaFixtureWriter.restore]] (which writes the metaData action),
+    * while the common same-schema case streams the commit with no driver
+    * file enumeration — the [[optimize]]-vs-`compact` split applied to
+    * restore.
+    *
+    * Cites delta-io/delta RESTORE semantics (PROTOCOL.md; the reference
+    * delta-lake-health engine itself has no restore, so this extends the
+    * maintenance family alongside MERGE/VACUUM/ZORDER/CDF). */
+  def restore(spark: SparkSession, tablePath: String, toVersion: Long): Unit = {
+    import spark.implicits._
+    val cur = DeltaLog.snapshot(spark, tablePath)
+    try {
+      require(toVersion >= 0 && toVersion <= cur.version,
+        s"restore target $toVersion outside [0, ${cur.version}]")
+      val logTable = DeltaLog.stripSchemeStr(tablePath)
+      if (toVersion == cur.version) {
+        DeltaFixtureWriter.logCommit(logTable, cur.version + 1, "RESTORE",
+          Seq("version" -> toVersion.toString, "numRestoredFiles" -> "0",
+            "numRemovedFiles" -> "0"))
+        return
+      }
+      val tgt = DeltaLog.snapshotAt(spark, tablePath, toVersion)
+      if (cur.tableSchema != tgt.tableSchema) {
+        // schema rollback: the metaData-writing fixture path
+        tgt.unpersist(); cur.unpersist()
+        DeltaFixtureWriter.restore(spark, logTable, toVersion)
+        return
+      }
+      try {
+        val curPaths = cur.activeFiles.select(col("path"))
+        val tgtFiles = tgt.activeFiles.select(col("path"), col("size"))
+        val adds = tgtFiles.join(curPaths, Seq("path"), "left_anti").cache()
+        val removes = curPaths
+          .join(tgtFiles.select(col("path")), Seq("path"), "left_anti").cache()
+        try {
+          val nAdds = adds.count()
+          val nRemoves = removes.count()
+          // vacuum check: every file to re-add must still exist on disk
+          val qualified = cur.qualifiedTablePath
+          val onDisk = StorageAnalyzer.folderFilesDistributed(spark, qualified)
+            .select(DeltaLog.relativize(col("path"), qualified).as("path"))
+          val missing = adds.select(col("path"))
+            .join(onDisk, Seq("path"), "left_anti")
+            .limit(5).as[String].collect()
+          require(missing.isEmpty,
+            s"restore to $toVersion impossible: ${missing.length}+ target " +
+              s"files no longer on disk (vacuumed?), e.g. ${missing.headOption.getOrElse("")}")
+          DeltaFixtureWriter.writeCommitStream(logTable, cur.version + 1,
+            "RESTORE",
+            Seq("version" -> toVersion.toString,
+              "numRestoredFiles" -> nAdds.toString,
+              "numRemovedFiles" -> nRemoves.toString),
+            adds = adds.orderBy(col("path")).as[(String, Long)]
+              .toLocalIterator().asScala,
+            removes = removes.orderBy(col("path")).as[String]
+              .toLocalIterator().asScala,
+            partitionBy = cur.partitionColumns)
+        } finally { adds.unpersist(); removes.unpersist(); () }
+      } finally tgt.unpersist()
+    } finally cur.unpersist()
   }
 
   /** Write a parquet checkpoint of the current snapshot state — active adds

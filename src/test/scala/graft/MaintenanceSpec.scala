@@ -26,6 +26,71 @@ class MaintenanceSpec extends SparkSuite {
     Seq(v0, v1, v2).foreach(_.unpersist())
   }
 
+  test("restore: file-set rollback, round trip, and history") {
+    val path = tmpDir("restore")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 20, "Tue" -> 20),
+      Seq("Dinner" -> 20, "Lunch" -> 20))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq("day"))       // v0: 40
+    DeltaFixtureWriter.write(df.limit(10), path, "append", Seq("day")) // v1: 50
+    DeltaFixtureWriter.delete(spark, path, "total_bill > 40")          // v2: < 50
+
+    def rows(): Set[String] = DeltaLog.snapshot(spark, path).data
+      .selectExpr("concat_ws('|', day, time, cast(total_bill as string))")
+      .collect().map(_.getString(0)).toSet
+    val v1Rows = {
+      val s = DeltaLog.snapshotAt(spark, path, 1)
+      val r = s.data
+        .selectExpr("concat_ws('|', day, time, cast(total_bill as string))")
+        .collect().map(_.getString(0)).toSet
+      s.unpersist(); r
+    }
+    assert(rows() !== v1Rows, "delete must have changed the data")
+
+    Maintenance.restore(spark, path, 1L)                               // v3
+    assert(rows() === v1Rows, "restore must reproduce version 1 exactly")
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.version === 3L)
+    assert(snap.history.where(col("operation") === "RESTORE").count() === 1L)
+    snap.unpersist()
+
+    // round trip further back, then forward again
+    Maintenance.restore(spark, path, 0L)                               // v4
+    assert(rows().size === 40)
+    Maintenance.restore(spark, path, 2L)                               // v5
+    val v2 = DeltaLog.snapshotAt(spark, path, 2)
+    val v2Rows = v2.data
+      .selectExpr("concat_ws('|', day, time, cast(total_bill as string))")
+      .collect().map(_.getString(0)).toSet
+    v2.unpersist()
+    assert(rows() === v2Rows, "restore forward to v2 must match v2")
+    // restore to current version = recorded no-op
+    Maintenance.restore(spark, path, 5L)
+    val s2 = DeltaLog.snapshot(spark, path)
+    assert(s2.version === 6L)
+    assert(rows() === v2Rows)
+    s2.unpersist()
+    // appends continue to work on a restored table
+    DeltaFixtureWriter.write(df.limit(3), path, "append", Seq("day"))
+    assert(rows().size >= v2Rows.size)
+  }
+
+  test("restore refuses when target files were vacuumed away") {
+    val path = tmpDir("restore_vac")
+    val df = TestFixtures.tips(spark, Seq("Mon" -> 10), Seq("Dinner" -> 10))
+    DeltaFixtureWriter.write(df, path, "overwrite", Seq.empty)         // v0
+    // v1 rewrites everything (delete-all predicate removes v0's files)
+    DeltaFixtureWriter.delete(spark, path, "total_bill >= 0")          // v1
+    Maintenance.vacuum(spark, path, retainMs = 0L)                     // v2
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.restore(spark, path, 0L)
+    }
+    assert(ex.getMessage.contains("no longer on disk"))
+    // and the failed restore wrote NO commit
+    val s = DeltaLog.snapshot(spark, path)
+    assert(s.version === 2L)
+    s.unpersist()
+  }
+
   test("checkpoint: replay survives deleting pre-checkpoint JSON commits") {
     val path = tmpDir("ckpt")
     val df = TestFixtures.tips(spark, Seq("Mon" -> 30, "Tue" -> 30),
