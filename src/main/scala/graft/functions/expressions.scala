@@ -1276,6 +1276,95 @@ object NfcNormalize {
   }
 }
 
+/** Count-Min sketch as ONE mergeable aggregation state: the dense
+  * depth×width long grid (bounded O(d·w) per group, elementwise-add merge —
+  * the mergeable-summaries property Structured Streaming's state-store
+  * combine relies on, like [[KmvSketchAgg]]/[[HeavyHittersAgg]]/
+  * [[KllQuantilesAgg]]). Cell (r, slot) uses the SAME engine-replayable
+  * hash as the relational [[graft.operators.CorpusOps.cmSketch]] — slot =
+  * int(md5(seed:r:token)[0:8], 16) mod width — so the aggregate's grid
+  * equals the groupBy form's sparse frame densified (spec-pinned). Returns
+  * array<long> of length depth·width, row-major. */
+case class CmSketchAgg(
+    child: Expression, depth: Int, width: Int, seed: Long,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 16, s"cm_sketch depth must be 1..16, got $depth")
+  require(width >= 2 && width <= 65536,
+    s"cm_sketch width must be 2..65536, got $width")
+  require(depth.toLong * width <= (1 << 20),
+    s"cm_sketch dense grid depth*width must be <= 2^20, got ${depth.toLong * width}")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cm_sketch"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName consumes STRING tokens, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val tok = v.asInstanceOf[UTF8String].toString
+      var r = 0
+      while (r < depth) {
+        val hex = md.digest(s"$seed:$r:$tok".getBytes("UTF-8"))
+        md.reset()
+        // first 8 hex digits = first 4 bytes, big-endian, unsigned
+        val h = ((hex(0) & 0xffL) << 24) | ((hex(1) & 0xffL) << 16) |
+          ((hex(2) & 0xffL) << 8) | (hex(3) & 0xffL)
+        buf(r * width + (h % width).toInt) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmSketchAgg =
+    copy(child = newChildren.head)
+}
+
 /** Fused JL ±1 random projection kernel: all `outDim` outputs in one pass
   * over the input vector, inside whole-stage codegen — the HOF twin
   * ([[graft.operators.Similarity.randomProjectHof]]) builds 16 separate
@@ -1401,6 +1490,24 @@ object exprs {
     * [outDim], one codegen pass (kernel ≡ HOF twin, parity spec-pinned). */
   def randomProject(vec: Column, inDim: Int, outDim: Int, seed: Long): Column =
     column(RandomProjectExpr(expression(vec), inDim, outDim, seed))
+  /** Count-Min sketch aggregate over string tokens: dense depth×width
+    * row-major long grid, mergeable O(d·w) state. */
+  def cmSketchAgg(c: Column, depth: Int, width: Int, seed: Long): Column =
+    column(CmSketchAgg(expression(c), depth, width, seed)
+      .toAggregateExpression())
+  /** Point-frequency estimate from a [[cmSketchAgg]] grid: min over hash
+    * rows of the cell the token maps to — plain Column arithmetic, stays
+    * in codegen. Same md5 slot hash as the aggregate/relational forms. */
+  def cmQuery(grid: Column, token: Column, depth: Int, width: Int,
+              seed: Long): Column = {
+    import org.apache.spark.sql.functions._
+    (0 until depth).map { r =>
+      element_at(grid,
+        (lit(r * width) +
+          (conv(substring(md5(concat(lit(s"$seed:$r:"), token)), 1, 8),
+            16, 10).cast("long") % width).cast("int") + lit(1)).cast("int"))
+    }.reduce((a, b) => least(a, b))
+  }
 
   /** Misra–Gries heavy hitters over a string column: array<struct<term,
     * count>> ranked (count desc, term asc). Exact when distinct ≤ k. */

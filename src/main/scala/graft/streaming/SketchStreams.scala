@@ -27,16 +27,24 @@ import graft.functions.exprs
 object SketchStreams {
 
   /** One-row corpus monitor: distinct-token estimate (KMV), top heavy
-    * hitters (Misra–Gries), and token-count quantiles (KLL) over a
-    * documents frame — batch or streaming alike.
+    * hitters (Misra–Gries), token-count quantiles (KLL), and a Count-Min
+    * term-frequency grid over a documents frame — batch or streaming
+    * alike. The CM grid (r11) makes the monitor answer "how often has
+    * term X arrived so far?" for ANY term with O(d·w) state — the
+    * point-query complement of MG's top-k list (query it with
+    * [[graft.functions.exprs.cmQuery]]).
     *
     * @param docs   (textCol) document frame (batch or streaming)
     * @param kKmv   KMV heap size (exact while distinct < k)
     * @param kHh    Misra–Gries summary size
     * @param kKll   KLL budget (exact while rows ≤ k)
-    * @return one row: (distinct_tokens, heavy_hitters, len_quantiles) */
+    * @param dCm    Count-Min hash rows
+    * @param wCm    Count-Min slots per row
+    * @return one row: (distinct_tokens, heavy_hitters, len_quantiles,
+    *         term_grid) */
   def corpusMonitor(docs: DataFrame, textCol: String, kKmv: Int = 4096,
-                    kHh: Int = 64, kKll: Int = 400): DataFrame = {
+                    kHh: Int = 64, kKll: Int = 400,
+                    dCm: Int = 4, wCm: Int = 1024): DataFrame = {
     // one exploded frame feeds all three sketches, but the doc-length
     // column survives only on each doc's FIRST token row (pos 0, or the
     // explode_outer null row of an empty doc) — KLL's null-skip then sees
@@ -54,6 +62,7 @@ object SketchStreams {
         .as("distinct_tokens"),
       exprs.heavyHitters(col("__t"), kHh).as("heavy_hitters"),
       exprs.kllQuantiles(col("__n"), kKll, Seq(0.25, 0.5, 0.75))
-        .as("len_quantiles"))
+        .as("len_quantiles"),
+      exprs.cmSketchAgg(col("__t"), dCm, wCm, 42L).as("term_grid"))
   }
 }

@@ -45,6 +45,23 @@ class SketchStreamsSpec extends SparkSuite {
     val hh = batch.getSeq[org.apache.spark.sql.Row](1)
     assert(hh.head.getString(0) === "alpha" && hh.head.getLong(1) === 9L)
     assert(batch.getSeq[Double](2) === Seq(2.0, 2.0, 4.0))
+    // the CM grid (r11): equals the relational cmSketch frame densified,
+    // and answers the 'alpha' point query with >= its true count 9
+    // (== 9 unless another corpus term collides in all 4 rows)
+    val grid = batch.getSeq[Long](3)
+    assert(grid.length === 4 * 1024)
+    assert(grid.sum === 4L * 26L, "4 hash rows x 26 token occurrences")
+    val relational = graft.operators.CorpusOps.cmSketch(
+        spark.read.parquet(dir), "text", depth = 4, width = 1024)
+      .collect().map(r => (r.getInt(0) * 1024 + r.getLong(1).toInt,
+        r.getLong(2))).toMap
+    grid.zipWithIndex.foreach { case (c, i) =>
+      assert(c === relational.getOrElse(i, 0L),
+        s"aggregate grid cell $i diverges from the relational form") }
+    val est = spark.range(1).select(graft.functions.exprs.cmQuery(
+        typedLit(grid), lit("alpha"), 4, 1024, 42L).as("e"))
+      .collect().head.getLong(0)
+    assert(est >= 9L && est <= 26L, s"cmQuery('alpha') = $est")
   }
 
   test("batch-slicing invariance: 1-file stream == 3-file stream") {
