@@ -123,6 +123,9 @@ object SparkEntry {
     // round 11: DoReMi-lite domain reweighting — held-out-loss softmax
     // mixture weights (the fixed-reference closed form of the EG loop)
     "domain_weights" -> (PipelineQueries.domainWeightsQ _),
+    // round 11: the NEW stages composed end-to-end — C4 clean → exact
+    // dedup → quality-budget fill → training order, one replayed chain
+    "corpus_pipeline_v2" -> (PipelineQueries.corpusPipelineV2Q _),
     "train_shuffle" -> (PipelineQueries.trainShuffle _),
     "gram_novelty" -> (PipelineQueries.gramNovelty _),
     "token_fertility" -> (PipelineQueries.tokenFertilityQ _),
@@ -295,6 +298,7 @@ object SparkEntry {
     "quality_budget" -> Oracles.qualityBudget,
     "c4_rules" -> Oracles.c4Rules,
     "domain_weights" -> Oracles.domainWeights,
+    "corpus_pipeline_v2" -> Oracles.corpusPipelineV2,
     "train_shuffle" -> Oracles.trainShuffle,
     "gram_novelty" -> Oracles.gramNovelty,
     "token_fertility" -> Oracles.tokenFertility,

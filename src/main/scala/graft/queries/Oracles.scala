@@ -2101,6 +2101,109 @@ object Oracles {
       |       THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text
       |FROM k ORDER BY doc_id""".stripMargin
 
+  /** corpus_pipeline_v2: the round-11 curation chain replayed as ONE CTE
+    * pipeline — the c4_rules shell + line/page filter, keep-min dedup on
+    * the normalized clean_text md5, the quality/token expressions over the
+    * SURVIVING clean_text, the single-window 3000-token budget fill, and
+    * the seed-7 4-shard training order over the kept set. */
+  val corpusPipelineV2: String =
+    """WITH shell AS (
+      |  SELECT doc_id,
+      |    text || '.' || chr(10) || 'short line' || chr(10)
+      |    || 'Enable javascript to view doc ' || CAST(doc_id AS VARCHAR) || '.'
+      |    || chr(10) || 'This page has plenty of good words in it.'
+      |    || (CASE WHEN doc_id % 7 = 0
+      |             THEN chr(10) || 'more filler lorem ipsum text sits here.'
+      |             ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0
+      |             THEN chr(10) || 'if (x) { call(); }'
+      |             ELSE '' END) AS page
+      |  FROM documents),
+      |lv AS (
+      |  SELECT doc_id, page,
+      |    list_filter(list_transform(string_split(page, chr(10)), x -> trim(x)),
+      |                x -> len(x) > 0) AS lines
+      |  FROM shell),
+      |kv AS (
+      |  SELECT doc_id, page,
+      |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+      |      AND len(list_filter(regexp_split_to_array(x, '\s+'),
+      |                          w -> len(w) > 0)) >= 5
+      |      AND NOT contains(lower(x), 'javascript')) AS kept
+      |  FROM lv),
+      |cleaned AS (
+      |  SELECT doc_id, array_to_string(kept, chr(10)) AS ct
+      |  FROM kv
+      |  WHERE (NOT contains(lower(page), 'lorem ipsum'))
+      |    AND (NOT contains(page, '{')) AND len(kept) >= 2),
+      |keepers AS (
+      |  SELECT min(doc_id) AS doc_id FROM (
+      |    SELECT doc_id,
+      |      md5(trim(regexp_replace(lower(ct), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |    FROM cleaned)
+      |  GROUP BY fp),
+      |base2 AS (
+      |  SELECT c.doc_id, c.ct AS text,
+      |    list_filter(regexp_split_to_array(trim(c.ct), '\s+'),
+      |                t -> length(t) > 0) AS toks,
+      |    list_filter(regexp_split_to_array(trim(lower(c.ct)), '\s+'),
+      |                t -> length(t) > 0) AS ltoks,
+      |    length(c.ct) - length(regexp_replace(c.ct, '[!-/:-@\[-`{-~]', '', 'g')) AS punct
+      |  FROM cleaned c JOIN keepers USING (doc_id)),
+      |c2 AS (
+      |  SELECT doc_id,
+      |    least(CAST(len(toks) AS DOUBLE) / 50, CAST(1 AS DOUBLE)) AS len_score,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |              / len(toks) END AS word_len,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE 1 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 5,
+      |                        CAST(1 AS DOUBLE)) END AS punct_score,
+      |    CASE WHEN len(ltoks) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(ltoks, t -> list_contains(
+      |                ['the','a','an','and','or','but','of','to','in','on','at','is',
+      |                 'are','was','were','be','been','it','this','that','with','for',
+      |                 'as','by','from','not','no','so','if','then','than','too'], t)))
+      |              AS DOUBLE) / len(ltoks) END AS stop_ratio,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(toks) END AS n_tokens
+      |  FROM base2),
+      |q2 AS (
+      |  SELECT doc_id,
+      |    round(len_score * 0.3
+      |      + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      |      + punct_score * 0.25
+      |      + least(stop_ratio * 4, CAST(1 AS DOUBLE)) * 0.25, 6) AS quality,
+      |    n_tokens
+      |  FROM c2),
+      |winv AS (
+      |  SELECT doc_id, quality, n_tokens,
+      |    sum(CAST(n_tokens AS BIGINT)) OVER (
+      |      ORDER BY quality DESC, md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM q2),
+      |filled AS (
+      |  SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |  FROM winv WHERE cum_tokens <= 3000),
+      |hv AS (
+      |  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS hx FROM filled),
+      |sv AS (
+      |  SELECT doc_id, hx,
+      |    CAST((((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16
+      |      + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16
+      |      + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT)
+      |      % 4 AS shard
+      |  FROM hv),
+      |ordered AS (
+      |  SELECT doc_id, shard,
+      |    CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+      |      AS BIGINT) AS pos
+      |  FROM sv)
+      |SELECT f.doc_id, f.quality, f.n_tokens, f.cum_tokens, o.shard, o.pos
+      |FROM filled f JOIN ordered o USING (doc_id)
+      |ORDER BY f.doc_id""".stripMargin
+
   /** quality_budget: the quality-ranked budget fill replayed as the
     * SINGLE-window formulation — the engine's relational two-phase offsets
     * (per-(score, md5-bucket) totals + distinct-score window) must equal

