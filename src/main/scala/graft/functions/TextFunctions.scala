@@ -259,9 +259,12 @@ object TextFunctions {
     val text = col(textCol)
     val lines = filter(transform(split(text, "\n"), l => trim(l)),
       l => length(l) > 0)
+    // word count = size(split) directly: lines are TRIMMED and non-empty,
+    // so a '\s+' split yields no empty tokens — no inner HOF needed (the
+    // ContractSpec nested-HOF guard rejects filter-inside-filter lambdas)
     val kept = filter(lines, l =>
       l.rlike("[.!?\"]$") &&
-        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+        size(split(l, "\\s+")) >= minLineWords &&
         !lower(l).contains("javascript"))
     df.select(col(idCol),
         size(lines).cast("long").as("n_lines"),

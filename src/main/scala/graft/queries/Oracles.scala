@@ -2085,8 +2085,7 @@ object Oracles {
       |k AS (
       |  SELECT doc_id, page, lines,
       |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
-      |      AND len(list_filter(regexp_split_to_array(x, '\s+'),
-      |                          w -> len(w) > 0)) >= 5
+      |      AND len(regexp_split_to_array(x, '\s+')) >= 5
       |      AND NOT contains(lower(x), 'javascript')) AS kept
       |  FROM l)
       |SELECT doc_id,
@@ -2127,8 +2126,7 @@ object Oracles {
       |kv AS (
       |  SELECT doc_id, page,
       |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
-      |      AND len(list_filter(regexp_split_to_array(x, '\s+'),
-      |                          w -> len(w) > 0)) >= 5
+      |      AND len(regexp_split_to_array(x, '\s+')) >= 5
       |      AND NOT contains(lower(x), 'javascript')) AS kept
       |  FROM lv),
       |cleaned AS (
