@@ -104,6 +104,9 @@ object SparkEntry {
     // round 11: JL random projection (Achlioptas ±1) — the pre-ANN /
     // pre-clustering dimensionality cut, a shuffle-free row-local map
     "rp_project" -> (PipelineQueries.rpProject _),
+    // round 11: per-dimension z-scoring — the normalization stage before
+    // clustering/indexing; one corpus pass + a d-row broadcast join back
+    "embed_standardize" -> (PipelineQueries.embedStandardize _),
     // round 11: cluster-diversified sampling — per-cell md5-priority caps
     // so the kept set spans semantic space instead of the head clusters
     "diverse_sample" -> (PipelineQueries.diverseSampleQ _),
@@ -292,6 +295,7 @@ object SparkEntry {
     "lr_hashed" -> Oracles.lrHashed,
     "pagerank" -> Oracles.pageRank,
     "rp_project" -> Oracles.rpProject,
+    "embed_standardize" -> Oracles.embedStandardize,
     "diverse_sample" -> Oracles.diverseSample,
     "weighted_sample" -> Oracles.weightedSample,
     "cm_freq" -> Oracles.cmFreq,

@@ -551,6 +551,47 @@ object Similarity {
       graft.functions.exprs.randomProject(col(vecCol), inDim, outDim, seed))
   }
 
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the feature-normalization stage in front of k-means / ANN indexing /
+    * outlier rules when dimensions carry different scales (a dominant-
+    * variance dimension otherwise owns every distance).
+    *
+    *   z_ij = (x_ij − μ_j) / σ_j,   σ_j = sqrt(E[x²]_j − μ_j²)
+    *
+    * (population σ; a zero-variance dimension standardizes to 0 rather
+    * than dividing by zero). Two passes: ONE per-dimension aggregation
+    * over the exploded corpus (Σx and Σx² as exact 1e-9/1e-6-grid integer
+    * sums — order-free across partitions and engines), then a map-shaped
+    * join of the d-row moment frame back onto the vectors. μ and σ round
+    * to 9, z to 6.
+    *
+    * Scale shape (100 TB): the explode is the only corpus-volume stage
+    * (map-side combined into d groups); the moment frame is d rows —
+    * broadcast-joined back, so standardizing any corpus is one pass plus
+    * a map. Output: (idCol, dim, z) long form. */
+  def standardize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val id = col(idCol)
+    val el = df.select(id, posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(id, col("dim").cast("long").as("dim"),
+        col("__x").cast("double").as("__x"))
+    val moments = el.groupBy(col("dim"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("__x") * 1e9, 0).cast("long")).as("__sq"),
+        sum(round(col("__x") * col("__x") * 1e6, 0).cast("long")).as("__sq2"))
+      .select(col("dim"),
+        round((col("__sq").cast("double") / 1e9) / col("__n"), 9).as("__mu"),
+        col("__n"), col("__sq2"))
+      .withColumn("__sigma", round(sqrt(greatest(
+        (col("__sq2").cast("double") / 1e6) / col("__n")
+          - col("__mu") * col("__mu"), lit(0.0))), 9))
+      .select(col("dim"), col("__mu"), col("__sigma"))
+    el.join(broadcast(moments), Seq("dim"))
+      .select(id, col("dim"),
+        when(col("__sigma") === 0.0, 0.0)
+          .otherwise(round((col("__x") - col("__mu")) / col("__sigma"), 6))
+          .as("z"))
+  }
+
   /** The declarative-HOF twin of [[randomProject]] — bit-identical output
     * (spec-pinned), kept as the independently-derived reference the kernel
     * is checked against, the [[lshBucketHof]] convention. */

@@ -712,6 +712,34 @@ object Oracles {
       |FROM el e JOIN signs sg ON sg.i = e.i
       |GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin
 
+  /** embed_standardize: the per-dimension z-scoring replayed — Σx on the
+    * 1e-9 grid and Σx² on the 1e-6 grid as exact BIGINTs, μ/σ round-9
+    * with the identical expression trees, z round-6, zero-variance dims
+    * standardize to 0. */
+  val embedStandardize: String =
+    """WITH el AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |mo AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(x * 1e9) AS BIGINT)) AS BIGINT) AS sq,
+      |    CAST(sum(CAST(round(x * x * 1e6) AS BIGINT)) AS BIGINT) AS sq2
+      |  FROM el GROUP BY 1),
+      |ms AS (
+      |  SELECT dim,
+      |    round((CAST(sq AS DOUBLE) / 1e9) / n, 9) AS mu,
+      |    round(sqrt(greatest((CAST(sq2 AS DOUBLE) / 1e6) / n
+      |      - round((CAST(sq AS DOUBLE) / 1e9) / n, 9)
+      |        * round((CAST(sq AS DOUBLE) / 1e9) / n, 9), 0.0)), 9) AS sigma
+      |  FROM mo)
+      |SELECT e.vec_id, e.dim,
+      |  CASE WHEN m.sigma = 0.0 THEN 0.0
+      |       ELSE round((e.x - m.mu) / m.sigma, 6) END AS z
+      |FROM el e JOIN ms m USING (dim)
+      |ORDER BY e.vec_id, e.dim""".stripMargin
+
   /** pagerank: the 5-iteration damped PageRank replayed — consecutive-doc
     * source edges (parallel edges weight a link via the row-count
     * out-degree), per-edge rank/deg contributions and the dangling mass

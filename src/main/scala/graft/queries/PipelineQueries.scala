@@ -257,6 +257,14 @@ object PipelineQueries {
         "vec_id", "embedding", k = 8, quota = 25, iters = 1)
       .orderBy(col("vec_id"))
 
+  /** Per-dimension z-scoring of the embeddings table — the feature
+    * normalization stage in front of clustering/indexing, in (vec_id,
+    * dim, z) long form for the value oracle. */
+  def embedStandardize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.standardize(t(spark, dir, "embeddings"),
+        "vec_id", "embedding")
+      .orderBy(col("vec_id"), col("dim"))
+
   /** Random-projection (JL) dimensionality reduction of the embeddings
     * table, 64 → 16 dims under the deterministic md5 ±1 sign matrix —
     * unpacked to (vec_id, dim, value) long form for the value oracle. */

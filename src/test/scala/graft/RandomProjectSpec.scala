@@ -134,6 +134,34 @@ class RandomProjectSpec extends SparkSuite {
     assert(kernel === hof, "fused kernel must equal the HOF formulation")
   }
 
+  test("standardize: hand-computed z-scores, zero-variance dims, moments") {
+    // dim0: values (0, 2) -> mu 1, sigma 1; dim1: (10, 30) -> mu 20,
+    // sigma 10; dim2 constant -> sigma 0 -> z = 0
+    val df = Seq(
+      (1L, Seq(0.0f, 10.0f, 7.0f)),
+      (2L, Seq(2.0f, 30.0f, 7.0f))).toDF("id", "v")
+    val got = Similarity.standardize(df, "id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 0L)) === -1.0 && got((2L, 0L)) === 1.0)
+    assert(got((1L, 1L)) === -1.0 && got((2L, 1L)) === 1.0)
+    assert(got((1L, 2L)) === 0.0 && got((2L, 2L)) === 0.0)
+
+    // on scaled random data every dimension comes out ~N(0,1)
+    val rnd = new scala.util.Random(3L)
+    val big = (0 until 500).map(i => (i.toLong,
+      Seq(rnd.nextGaussian().toFloat * 100f,
+        (rnd.nextGaussian() * 0.01 + 5).toFloat))).toDF("id", "v")
+    val z = Similarity.standardize(big, "id", "v")
+      .groupBy(col("dim"))
+      .agg(avg(col("z")).as("m"), stddev_pop(col("z")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    z.foreach { case (d, m, s) =>
+      assert(math.abs(m) < 1e-3, s"dim $d mean $m not ~0")
+      assert(math.abs(s - 1.0) < 1e-3, s"dim $d std $s not ~1")
+    }
+  }
+
   test("dimension mismatch raises; validation") {
     val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val ex = intercept[Exception] {
