@@ -171,6 +171,8 @@ object SparkEntry {
     "temperature_mix" -> (PipelineQueries.temperatureMix _),
     "token_budget_sample" -> (PipelineQueries.tokenBudgetSample _),
     "pack_plan" -> (PipelineQueries.packPlan _),
+    // round 11: per-pack fill/waste audit of the packing plan
+    "pack_stats" -> (PipelineQueries.packStatsQ _),
     "distinct_sketch" -> (PipelineQueries.distinctSketch _),
     "range_join_events" -> (PipelineQueries.rangeJoinEvents _),
     "interval_overlap_events" -> (PipelineQueries.intervalOverlapEvents _),
@@ -346,6 +348,7 @@ object SparkEntry {
     "temperature_mix" -> Oracles.temperatureMix,
     "token_budget_sample" -> Oracles.tokenBudgetSample,
     "pack_plan" -> Oracles.packPlan,
+    "pack_stats" -> Oracles.packStats,
     // exact-regime sketch (k >= distinct) ≡ COUNT(DISTINCT) — same
     // value-oracle trick as knn_ivf's full probe; the sub-k error regime
     // is measured in KmvSpec

@@ -73,28 +73,34 @@ object Multimodal {
     * would materialize over ~256 MB. */
   private[multimodal] val MaxDecodePixels: Long = 64L * 1024 * 1024
 
+  /** Bomb-guarded ImageIO read (header dims checked before any pixel
+    * allocation); null when the payload is undecodable or over the pixel
+    * ceiling. Shared by [[decodeImage]] and [[imageAHash]]. */
+  private[multimodal] def readGuardedImage(
+      content: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      if (iis == null) null
+      else try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            // header-only dims — no pixel allocation yet
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => null }
+
   private[multimodal] def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
-    val img =
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.content))
-        if (iis == null) null
-        else try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) null
-          else {
-            val reader = readers.next()
-            reader.setInput(iis)
-            try {
-              // header-only dims — no pixel allocation yet
-              val w = reader.getWidth(0)
-              val h = reader.getHeight(0)
-              if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) null
-              else reader.read(0)
-            } finally reader.dispose()
-          }
-        } finally iis.close()
-      } catch { case _: java.io.IOException | _: RuntimeException => null }
+    val img = readGuardedImage(r.content)
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
       val w = img.getWidth
@@ -334,6 +340,93 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint of one image payload:
+    * block-average the luma plane to an 8×8 grid (integer pixel sums per
+    * cell — deterministic, no resampling filter to disagree about), then
+    * bit k = 1 iff cell k's luma is strictly above the 64-cell mean.
+    * Robust to re-encoding/minor edits, cheap, and fully deterministic —
+    * the classic near-dup key for image corpora (the pHash family's
+    * simplest member). None when the payload is undecodable or over the
+    * bomb ceiling. */
+  private[graft] def imageAHash(content: Array[Byte]): Option[Long] = {
+    val img = readGuardedImage(content)
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(7, x * 8 / w)
+          val rgb = img.getRGB(x, y)
+          // integer luma (ITU-R 601 weights scaled by 1000) — exact sums
+          val luma = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+            114L * (rgb & 0xFF)
+          val c = cy * 8 + cx
+          sums(c) += luma
+          counts(c) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      // cell means on a fixed 1e-3 grid (all-integer arithmetic)
+      val cell = Array.tabulate(64)(i =>
+        if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+      val mean = cell.sum / 64.0
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (cell(i) > mean) bits |= 1L << i
+        i += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Per-image perceptual hashes for a media corpus: (media_id, ahash) for
+    * every decodable image row — batched per-partition like
+    * [[decodeFeatures]]. */
+  def imageHashes(media: Dataset[MediaRecord],
+                  batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap(r =>
+        imageAHash(r.content).map(hs => (r.media_id, hs))))
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate image pairs by Hamming distance over [[imageHashes]]:
+    * the 64-bit hash splits into 4 disjoint 16-bit bands; candidate pairs
+    * share at least one EXACT band (pigeonhole: any pair within
+    * `maxBits` ≤ 3 differing bits MUST agree on some band — the
+    * [[graft.operators.Dedup.simhashPairs]] chunk-blocking guarantee), and
+    * candidates verify with an exact popcount on the XOR. Blocking keeps
+    * the self-join band-local: shuffle scales with band-bucket candidate
+    * counts, never |images|². Output (id_a < id_b, hamming). */
+  def imageNearDupPairs(hashes: DataFrame, maxBits: Int = 3): DataFrame = {
+    require(maxBits >= 0 && maxBits <= 3,
+      s"4-band blocking guarantees recall only for maxBits <= 3, got $maxBits")
+    val banded = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("ahash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key")
+        && col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"),
+        bit_count(col("l.ahash").bitwiseXOR(col("r.ahash"))).as("hamming"))
+      .where(col("hamming") <= maxBits)
+      .distinct()
   }
 
   /** Metadata-level resize: rewrites width/height for image rows, payload

@@ -421,6 +421,20 @@ object CorpusOps {
     * quadratically), so the offsets self-join is a few-thousand-row
     * triangle even at web scale; the final aggregate is one row. No
     * windows, no driver state. */
+  /** Packing-efficiency audit over a [[packSequences]] plan: per (grp,
+    * pack_id) the document count, token total, and fill fraction against
+    * the budget — the waste metric a training-ingest pipeline watches
+    * (next-fit leaves tail gaps; fill > 1 flags an oversize single-doc
+    * pack, which packSequences isolates by contract). One bounded hash
+    * aggregation over the plan frame; output is pack-cardinality-sized. */
+  def packStats(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"bad budget $budget")
+    packed.groupBy(col("grp"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .withColumn("fill",
+        round(col("pack_tokens") / lit(budget.toDouble), 6))
+  }
+
   /** Count-Min sketch of the corpus token frequencies (Cormode &
     * Muthukrishnan '05) in relational form: the sketch IS a (row, slot,
     * cnt) frame of AT MOST depth×width rows. Each token occurrence maps to

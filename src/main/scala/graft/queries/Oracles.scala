@@ -1572,6 +1572,36 @@ object Oracles {
       |SELECT doc_id, n_tokens, CAST(grp AS BIGINT) AS grp, pack_id
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** pack_stats: the pack_plan recursion rolled up per (grp, pack_id) —
+    * doc counts, token totals (HUGEINT cast), fill = round-6 of
+    * tokens/256 (exact 2^-8-grid values, decimal-terminating, so the
+    * round is boundary-stable). */
+  val packStats: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                              x -> length(x) > 0)) END AS BIGINT) AS n_tokens,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 16 AS grp
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens, grp,
+      |        CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS BIGINT) AS rn
+      |      FROM t),
+      |s AS (
+      |  SELECT doc_id, n_tokens, grp, rn, n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.doc_id, r.n_tokens, r.grp, r.rn,
+      |    CASE WHEN s.acc + r.n_tokens > 256 THEN r.n_tokens ELSE s.acc + r.n_tokens END,
+      |    CASE WHEN s.acc + r.n_tokens > 256 THEN s.pack_id + 1 ELSE s.pack_id END
+      |  FROM s JOIN r ON r.grp = s.grp AND r.rn = s.rn + 1)
+      |SELECT CAST(grp AS BIGINT) AS grp, pack_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+      |  round(CAST(sum(n_tokens) AS DOUBLE) / 256.0, 6) AS fill
+      |FROM s GROUP BY 1, 2 ORDER BY grp, pack_id""".stripMargin
+
   /** TF-IDF top-3: same normalized tokens as vocab_topk, smoothed idf
     * ln((N+1)/(df+1))+1, ranked on the ROUNDED score (ln is not
     * correctly-rounded per IEEE — ranking on raw doubles could disagree

@@ -883,6 +883,19 @@ object PipelineQueries {
         col("grp").cast("long").as("grp"), col("pack_id"))
       .orderBy(col("doc_id"))
 
+  /** Packing-efficiency audit of the pack_plan: per-pack doc counts,
+    * token totals, and fill fraction vs the 256-token budget. */
+  def packStatsQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.packStats(
+        CorpusOps.packSequences(
+          t(spark, dir, "documents").select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 256, numGroups = 16),
+        budget = 256)
+      .select(col("grp").cast("long").as("grp"), col("pack_id"),
+        col("n_docs"), col("pack_tokens"), col("fill"))
+      .orderBy(col("grp"), col("pack_id"))
+
   /** Per-doc top-3 TF-IDF terms (smoothed idf, rank on the ROUNDED score so
     * the ordering is reproducible across engines' last-ulp log differences;
     * ties break on the term string). */

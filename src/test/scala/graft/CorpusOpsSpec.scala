@@ -287,6 +287,29 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.toSeq !== other.toSeq)
   }
 
+  test("packStats: fill bounded, oversize isolated, totals consistent") {
+    val df = ((1L to 30L).map(i => (i, (i % 7) * 10 + 5)) :+ (99L, 120L))
+      .toDF("id", "nt")
+    val packed = CorpusOps.packSequences(df, "id", "nt",
+      budget = 50, numGroups = 4)
+    val stats = CorpusOps.packStats(packed, budget = 50).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // token conservation through the rollup
+    assert(stats.map(_._2).sum === df.agg(sum(col("nt")))
+      .collect().head.getLong(0))
+    // a pack over budget (fill > 1) must be a single oversize doc
+    stats.filter(_._3 > 1.0).foreach { case (n, t, f) =>
+      assert(n === 1L, s"over-budget pack with $n docs (tokens $t fill $f)")
+    }
+    // multi-doc packs respect the budget
+    stats.filter(_._1 > 1).foreach { case (_, t, f) =>
+      assert(t <= 50L && f <= 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.packStats(packed, budget = 0)
+    }
+  }
+
   test("qualityBudgetFill: two-phase cumsum == single-order formulation") {
     // ties in score (only 3 distinct values) force the within-score
     // md5-bucket offsets to do real work; layouts must not matter

@@ -54,6 +54,55 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(Multimodal.decodeFeatures(broken).collect().length === 1)
   }
 
+  test("multimodal: aHash closed form, edit tolerance, near-dup pairs") {
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // closed form: left half black, right half white, 64x64 -> cells
+    // 0-3 of each row black (below mean), 4-7 white (above) -> the hash
+    // sets exactly the bits with cx >= 4
+    val half = png(64, 64)((x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    val expected = (for (cy <- 0 until 8; cx <- 4 until 8)
+      yield 1L << (cy * 8 + cx)).reduce(_ | _)
+    assert(Multimodal.imageAHash(half).get === expected)
+
+    // a small local edit keeps the hash within the near-dup budget
+    val edited = png(64, 64)((x, y) =>
+      if (x < 2 && y < 2) 0x808080 else if (x < 32) 0x000000 else 0xFFFFFF)
+    val hamEdit = java.lang.Long.bitCount(
+      Multimodal.imageAHash(half).get ^ Multimodal.imageAHash(edited).get)
+    assert(hamEdit <= 3, s"2x2-pixel edit moved $hamEdit bits")
+    // a structurally different image is far away
+    val checker = png(64, 64)((x, y) =>
+      if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xFFFFFF)
+    val hamFar = java.lang.Long.bitCount(
+      Multimodal.imageAHash(half).get ^ Multimodal.imageAHash(checker).get)
+    assert(hamFar > 10, s"checkerboard only $hamFar bits from half/half")
+
+    // end to end: hashes + banded Hamming pairs find the near-dup, skip
+    // the far pair; undecodable payloads drop out
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", half, Map.empty),
+      Multimodal.MediaRecord(2L, "image", edited, Map.empty),
+      Multimodal.MediaRecord(3L, "image", checker, Map.empty),
+      Multimodal.MediaRecord(4L, "image", Array[Byte](1, 2, 3), Map.empty),
+      Multimodal.MediaRecord(5L, "audio", half, Map.empty)).toDS()
+    val hashes = Multimodal.imageHashes(media)
+    assert(hashes.count() === 3, "3 decodable images hash")
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)),
+      s"expected exactly the planted near-dup pair, got ${pairs.toSeq}")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(hashes, maxBits = 4)
+    }
+  }
+
   test("multimodal: real WAV payload decodes to exact waveform statistics") {
     // 800 samples @ 8 kHz mono 16-bit LE: +8192 for 400 samples, then -8192
     // — every statistic has an exact closed form (8192/32768 = 0.25 exactly)
