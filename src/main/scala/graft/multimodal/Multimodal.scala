@@ -389,6 +389,82 @@ object Multimodal {
     }
   }
 
+  /** Energy-contour fingerprint of one PCM audio payload — the audio
+    * analogue of [[imageAHash]]: the mono waveform splits into 64 equal
+    * windows, each window's mean |amplitude| is computed exactly, and bit
+    * k = 1 iff window k's energy is strictly above the 64-window mean.
+    * Robust to gain-preserving re-encodes and small trims; deterministic
+    * (same sample-decode arithmetic as [[decodeAudio]], same PCM/frame
+    * guards). None for undecodable / non-PCM / oversized payloads. */
+  private[graft] def audioAHash(content: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val decoded =
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = ais.getFormat
+          val enc = fmt.getEncoding
+          val bits = fmt.getSampleSizeInBits
+          val frames = ais.getFrameLength
+          val pcmOk =
+            (enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+              (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+          if (!pcmOk || fmt.getChannels <= 0 || frames <= 0 ||
+              frames > MaxDecodeFrames) None
+          else Some((fmt, frames.toInt, ais.readAllBytes()))
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    decoded.flatMap { case (fmt, frames, bytes) =>
+      val channels = fmt.getChannels
+      val bits = fmt.getSampleSizeInBits
+      val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+      val big = fmt.isBigEndian
+      val bytesPerSample = bits / 8
+      val n = math.min(frames, bytes.length / (bytesPerSample * channels))
+      if (n < 64) None
+      else {
+        val sums = new Array[Double](64)
+        val counts = new Array[Long](64)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val off = (i * channels + c) * bytesPerSample
+            val v =
+              if (bits == 16) {
+                val (b0, b1) = (bytes(off), bytes(off + 1))
+                val s = if (big) (b0 << 8) | (b1 & 0xFF)
+                        else (b1 << 8) | (b0 & 0xFF)
+                s / 32768.0
+              } else if (signed) bytes(off) / 128.0
+              else ((bytes(off) & 0xFF) - 128) / 128.0
+            acc += v
+            c += 1
+          }
+          val w = math.min(63, (i.toLong * 64 / n).toInt)
+          sums(w) += math.abs(acc / channels)
+          counts(w) += 1L
+          i += 1
+        }
+        val energy = Array.tabulate(64)(k =>
+          if (counts(k) == 0) 0.0 else sums(k) / counts(k))
+        val mean = energy.sum / 64.0
+        var out = 0L
+        var k = 0
+        while (k < 64) {
+          if (energy(k) > mean) out |= 1L << k
+          k += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
   /** Per-image perceptual hashes for a media corpus: (media_id, ahash) for
     * every decodable image row — batched per-partition like
     * [[decodeFeatures]]. */
@@ -398,6 +474,18 @@ object Multimodal {
     media.filter(_.kind == "image").mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.iterator.flatMap(r =>
         imageAHash(r.content).map(hs => (r.media_id, hs))))
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Per-audio energy fingerprints: (media_id, ahash) for every decodable
+    * PCM audio row — [[imageHashes]]'s audio twin; pair with
+    * [[imageNearDupPairs]] (the banding is hash-generic). */
+  def audioHashes(media: Dataset[MediaRecord],
+                  batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap(r =>
+        audioAHash(r.content).map(hs => (r.media_id, hs))))
     }.toDF("media_id", "ahash")
   }
 

@@ -103,6 +103,54 @@ class MultimodalStreamingSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: audio energy fingerprint closed form and near-dups") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        data(2 * i) = (samples(i) & 0xFF).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    // 640 samples = 10 per window: silent first half, loud second half
+    // -> exactly bits 32..63 set
+    val base = Array.tabulate[Short](640)(i => if (i < 320) 0 else 8192)
+    val expected = (32 until 64).map(1L << _).reduce(_ | _)
+    assert(Multimodal.audioAHash(wav(base)).get === expected)
+    // a small local perturbation (one window gains mild noise) moves few bits
+    val edited = base.clone(); for (i <- 0 until 10) edited(i) = 512
+    val hamEdit = java.lang.Long.bitCount(
+      Multimodal.audioAHash(wav(base)).get ^
+        Multimodal.audioAHash(wav(edited)).get)
+    assert(hamEdit <= 3, s"one-window perturbation moved $hamEdit bits")
+    // alternating energy pattern is structurally far
+    val alt = Array.tabulate[Short](640)(i =>
+      if ((i / 10) % 2 == 0) 0 else 8192)
+    val hamFar = java.lang.Long.bitCount(
+      Multimodal.audioAHash(wav(base)).get ^
+        Multimodal.audioAHash(wav(alt)).get)
+    assert(hamFar > 10, s"alternating pattern only $hamFar bits away")
+    // end to end via audioHashes + the generic banded pair finder
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav(base), Map.empty),
+      Multimodal.MediaRecord(2L, "audio", wav(edited), Map.empty),
+      Multimodal.MediaRecord(3L, "audio", wav(alt), Map.empty),
+      Multimodal.MediaRecord(4L, "audio", Array[Byte](7, 7), Map.empty)).toDS()
+    val hashes = Multimodal.audioHashes(media)
+    assert(hashes.count() === 3)
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)), s"got ${pairs.toSeq}")
+    // sub-64-sample payloads cannot fill the contour -> None
+    assert(Multimodal.audioAHash(wav(Array.fill[Short](32)(100))).isEmpty)
+  }
+
   test("multimodal: real WAV payload decodes to exact waveform statistics") {
     // 800 samples @ 8 kHz mono 16-bit LE: +8192 for 400 samples, then -8192
     // — every statistic has an exact closed form (8192/32768 = 0.25 exactly)
