@@ -66,12 +66,21 @@ object Sampling {
     // compare on the STRING form of the stratum (rates keys are strings):
     // a non-string strata column matches its `String.valueOf` spelling
     // instead of being implicitly cast, and a NULL stratum matches no key
-    // at all — null-stratum rows always keep `defaultRate`
-    val cut = rates.foldLeft(lit((256 * defaultRate).toInt)) {
-      case (acc, (stratum, rate)) =>
-        when(col(strataCol).cast("string") === lit(stratum),
-          lit((256 * rate).toInt)).otherwise(acc)
-    }
+    // at all — null-stratum rows always keep `defaultRate` (element_at on
+    // a NULL key is NULL → coalesce). The lookup is a FLAT map literal,
+    // not a nested when-chain: Column→Expression conversion recurses on
+    // tree DEPTH, and a fold of N when().otherwise() nodes built an
+    // N-deep tree that overflowed the stack near N≈500 (map children are
+    // siblings — depth stays O(1) at any stratum count)
+    val cut =
+      if (rates.isEmpty) lit((256 * defaultRate).toInt)
+      else coalesce(
+        try_element_at(
+          map(rates.toSeq.flatMap { case (stratum, rate) =>
+            Seq(lit(stratum), lit((256 * rate).toInt))
+          }: _*),
+          col(strataCol).cast("string")),
+        lit((256 * defaultRate).toInt))
     df.where(hashBucket(col(idCol)) < cut)
   }
 
