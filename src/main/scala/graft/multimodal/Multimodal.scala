@@ -477,6 +477,57 @@ object Multimodal {
     }.toDF("media_id", "ahash")
   }
 
+  /** Per-frame majority fingerprint of an MJPEG payload — the video member
+    * of the aHash family: every sampled frame (same SOI split + decode
+    * stride as [[decodeVideoMjpeg]]) hashes through [[imageAHash]], and
+    * output bit k is set iff set in a strict MAJORITY of frames (ties →
+    * 0) — the [[graft.functions.BitMajorityAgg]] rule, making the
+    * fingerprint stable under per-frame noise and small cuts. None when no
+    * frame decodes. */
+  private[graft] def videoAHash(content: Array[Byte]): Option[Long] = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 2 < content.length) {
+      if (content(i) == 0xFF.toByte && content(i + 1) == 0xD8.toByte &&
+          content(i + 2) == 0xFF.toByte) starts += i
+      i += 1
+    }
+    if (starts.isEmpty) None
+    else {
+      val total = starts.length
+      val stride = math.max(1, (total + MaxVideoFrames - 1) / MaxVideoFrames)
+      val hashes = starts.indices.by(stride).take(MaxVideoFrames).flatMap { si =>
+        val from = starts(si)
+        val until = if (si + 1 < total) starts(si + 1) else content.length
+        imageAHash(java.util.Arrays.copyOfRange(content, from, until))
+      }
+      if (hashes.isEmpty) None
+      else {
+        val n = hashes.length
+        var out = 0L
+        var b = 0
+        while (b < 64) {
+          val ones = hashes.count(h => (h >> b & 1L) == 1L)
+          if (2 * ones > n) out |= 1L << b
+          b += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** Per-video fingerprints: (media_id, ahash) for every MJPEG row with at
+    * least one decodable frame — pairs flow through the hash-generic
+    * [[imageNearDupPairs]] banding. */
+  def videoHashes(media: Dataset[MediaRecord],
+                  batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap(r =>
+        videoAHash(r.content).map(hs => (r.media_id, hs))))
+    }.toDF("media_id", "ahash")
+  }
+
   /** Per-audio energy fingerprints: (media_id, ahash) for every decodable
     * PCM audio row — [[imageHashes]]'s audio twin; pair with
     * [[imageNearDupPairs]] (the banding is hash-generic). */

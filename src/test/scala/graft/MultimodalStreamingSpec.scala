@@ -103,6 +103,42 @@ class MultimodalStreamingSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: video majority fingerprint over MJPEG frames") {
+    def jpg(invert: Boolean, noise: Int = 0): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val base = if ((x < 32) != invert) 0x101010 else 0xF0F0F0
+        val v = if (noise > 0 && x < 2 && y < 2) 0x808080 else base
+        img.setRGB(x, y, v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val a = jpg(invert = false)
+    val b = jpg(invert = true)
+    def cat(frames: Array[Byte]*): Array[Byte] = frames.reduce(_ ++ _)
+    // majority of {A, A, B} is exactly A's frame hash, whatever B says
+    val vid = cat(a, a, b)
+    assert(Multimodal.videoAHash(vid).get ===
+      Multimodal.imageAHash(a).get)
+    // a mildly edited copy stays a near-dup; the inverted cut is far
+    val vidEdit = cat(jpg(invert = false, noise = 1),
+      jpg(invert = false, noise = 1), b)
+    val vidFar = cat(b, b, a)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", vid, Map.empty),
+      Multimodal.MediaRecord(2L, "video", vidEdit, Map.empty),
+      Multimodal.MediaRecord(3L, "video", vidFar, Map.empty)).toDS()
+    val hashes = Multimodal.videoHashes(media)
+    assert(hashes.count() === 3)
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)), s"got ${pairs.toSeq}")
+    assert(Multimodal.videoAHash(Array[Byte](0, 1, 2, 3)).isEmpty)
+  }
+
   test("multimodal: audio energy fingerprint closed form and near-dups") {
     def wav(samples: Array[Short]): Array[Byte] = {
       val data = new Array[Byte](samples.length * 2)
