@@ -257,7 +257,12 @@ object TextFunctions {
     require(minLineWords >= 1, s"bad minLineWords $minLineWords")
     require(minKeptLines >= 0, s"bad minKeptLines $minKeptLines")
     val text = col(textCol)
-    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+    // regexp trim, not trim(): trim strips only ASCII spaces, so a line
+    // with a leading tab would keep it — split('\s+') would then yield a
+    // leading empty token inflating the word count, and a trailing tab
+    // would defeat the terminal-punctuation check on real web text
+    val lines = filter(
+      transform(split(text, "\n"), l => regexp_replace(l, "^\\s+|\\s+$", "")),
       l => length(l) > 0)
     // word count = size(split) directly: lines are TRIMMED and non-empty,
     // so a '\s+' split yields no empty tokens — no inner HOF needed (the

@@ -152,7 +152,8 @@ object LanguageModel {
     * rate η collapse exactly to one softmax at temperature T·η — so this
     * implements that closed form plus DoReMi's uniform smoothing mix:
     *
-    *   excess_d = avg val NLL of domain d − min over domains   (round-6)
+    *   excess_d = avg val NLL of domain d − MAX over domains   (round-6,
+    *              ≤ 0 so the quantized softmax sum cannot overflow)
     *   w_d      = (1−s)·softmax(temperature·excess)_d + s/|D|  (round-9)
     *
     * Determinism: per-domain NLL recombines the round-6 per-doc
@@ -186,7 +187,13 @@ object LanguageModel {
           round(col("avg_logprob") * 1e6, 0).cast("long")).as("__sq"))
       .withColumn("avg_nll", when(col("__nb") === 0, 0.0)
         .otherwise(round(-(col("__sq").cast("double") / 1e6) / col("__nb"), 6)))
-    val mn = per.agg(min(col("avg_nll")).as("__mn"))
+    // subtract the MAX, not the min: excess ≤ 0 so exp ≤ 1 and the
+    // 1e-9-quantized softmax denominator can never overflow Long (with
+    // min-subtraction, temperature·excess > ~22.9 — only ~2.3 nats of NLL
+    // gap at temperature 10 — would overflow and silently saturate under
+    // Spark's non-ANSI cast while the oracle's CAST errors). The softmax
+    // value is shift-invariant, so weights are unchanged up to rounding.
+    val mn = per.agg(max(col("avg_nll")).as("__mn"))
     val nd = per.agg(count(lit(1)).cast("double").as("__ndom"))
     val withE = per.crossJoin(broadcast(mn))
       .withColumn("__ex", round(col("avg_nll") - col("__mn"), 6))

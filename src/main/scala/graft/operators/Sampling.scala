@@ -191,7 +191,9 @@ object Sampling {
     * Guard: the distinct-score frame must stay bounded for the offset
     * window — a measured limit-probe (the fitsExactNgram discipline)
     * rejects score columns with more than `maxDistinctScores` values
-    * (pass a ROUNDED score, e.g. the engine's round-6 qualityScore).
+    * (pass a ROUNDED score, e.g. the engine's round-6 qualityScore). The
+    * same probe rejects NULL scores (fail fast, not silent drop — see
+    * inline note).
     *
     * Adds `cum_tokens`; keeps rows with cum_tokens ≤ budget. */
   def qualityBudgetFill(df: DataFrame, idCol: String, tokensCol: String,
@@ -201,12 +203,24 @@ object Sampling {
     require(maxDistinctScores >= 1, s"bad maxDistinctScores")
     val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
     val score = col(scoreCol)
-    val nScores = df.select(score).distinct()
-      .limit((maxDistinctScores + 1).min(Int.MaxValue.toLong).toInt).count()
+    // one probe action checks BOTH guards: count(1) vs count(score) over
+    // the limited distinct frame detects a NULL score (NULL is one
+    // distinct value, so whenever the cardinality check passes the frame
+    // holds ALL distinct values incl. NULL). NULL scores are rejected
+    // rather than silently dropped: the offset frames join back on
+    // scoreCol equi-keys, and a NULL join key would never match — callers
+    // must coalesce scores upstream to choose where nulls rank.
+    val probe = df.select(score).distinct()
+      .limit((maxDistinctScores + 1).min(Int.MaxValue.toLong).toInt)
+      .agg(count(lit(1)).as("n"), count(score).as("nn")).head()
+    val nScores = probe.getLong(0)
     require(nScores <= maxDistinctScores,
       s"qualityBudgetFill: > $maxDistinctScores distinct values in " +
         s"'$scoreCol' — pass a rounded score so the offset frame stays " +
         s"bounded")
+    require(probe.getLong(1) == nScores,
+      s"qualityBudgetFill: '$scoreCol' contains NULLs, which cannot be " +
+        s"ranked — coalesce the score to a sentinel upstream")
     val base = df
       .withColumn("__pr", md5(col(idCol).cast("string")))
       .withColumn("__hb", hashBucket(col(idCol)))

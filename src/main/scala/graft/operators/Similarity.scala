@@ -547,6 +547,13 @@ object Similarity {
     require(inDim >= 1 && inDim <= 65536, s"bad inDim $inDim")
     require(outDim >= 1 && outDim <= inDim,
       s"outDim must be in [1, inDim], got $outDim (inDim $inDim)")
+    // the sign matrix is materialized on the driver and embedded in the
+    // plan as an outDim×inDim literal — bound the PRODUCT (the per-dim
+    // bounds alone would admit a ~4.3B-entry matrix that hangs/OOMs the
+    // driver), the CmSketchAgg depth·width-cap convention
+    require(inDim.toLong * outDim <= (1L << 24),
+      s"randomProject: sign matrix $outDim×$inDim = ${inDim.toLong * outDim}" +
+        s" entries exceeds the 2^24 driver-literal budget")
     df.withColumn(outCol,
       graft.functions.exprs.randomProject(col(vecCol), inDim, outDim, seed))
   }

@@ -301,7 +301,8 @@ object Oracles {
 
   /** domain_weights: the DoReMi-lite softmax reweighting replayed — the
     * full lm_heldout chain with `lang` carried through, per-language NLL
-    * recombined from 1e-6-grid integers, round-6 excess over the min,
+    * recombined from 1e-6-grid integers, round-6 excess over the MAX
+    * (overflow-safe: exponents ≤ 0, softmax shift-invariant),
     * round-9 exp, 1e-9-quantized softmax denominator, and the
     * (1−s)·softmax + s/|D| mix with the identical expression tree. */
   val domainWeights: String =
@@ -360,7 +361,7 @@ object Oracles {
       |    CASE WHEN nbs = 0 THEN 0.0
       |         ELSE round((-(CAST(sq AS DOUBLE) / 1e6)) / nbs, 6) END AS avg_nll
       |  FROM per),
-      |mnw AS (SELECT min(avg_nll) AS mn FROM per2),
+      |mnw AS (SELECT max(avg_nll) AS mn FROM per2),
       |ndw AS (SELECT CAST(count(*) AS DOUBLE) AS ndom FROM per2),
       |wew AS (
       |  SELECT lang, n_docs, avg_nll,
@@ -2137,7 +2138,8 @@ object Oracles {
       |  FROM documents),
       |l AS (
       |  SELECT doc_id, page,
-      |    list_filter(list_transform(string_split(page, chr(10)), x -> trim(x)),
+      |    list_filter(list_transform(string_split(page, chr(10)),
+      |                             x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
       |                x -> len(x) > 0) AS lines
       |  FROM shell),
       |k AS (
@@ -2178,7 +2180,8 @@ object Oracles {
       |  FROM documents),
       |lv AS (
       |  SELECT doc_id, page,
-      |    list_filter(list_transform(string_split(page, chr(10)), x -> trim(x)),
+      |    list_filter(list_transform(string_split(page, chr(10)),
+      |                             x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
       |                x -> len(x) > 0) AS lines
       |  FROM shell),
       |kv AS (

@@ -69,4 +69,24 @@ class C4RulesSpec extends SparkSuite {
         minLineWords = 0)
     }
   }
+
+  test("tab-framed lines: regexp trim, not ASCII-space trim") {
+    // trim() strips only spaces: a leading tab used to survive (inflating
+    // size(split('\s+')) by one empty token) and a trailing tab defeated
+    // the terminal-punctuation check. Both must now behave as if the line
+    // were cleanly trimmed.
+    val text = Seq(
+      "\tThis tabbed line has exactly enough words here.\t", // kept
+      "\tTab framed short line.\t",       // dropped: 4 words (not 5)
+      "Trailing tab then terminal punctuation stays kept.\t", // kept
+      "\t \t"                             // whitespace-only -> not a line
+    ).mkString("\n")
+    val (nLines, nKept, _, _, keep, clean) = run(text, minKeptLines = 2)
+    assert(nLines === 3, s"whitespace-only line must not count: $nLines")
+    assert(nKept === 2, s"both tab-framed passing lines must be kept: $nKept")
+    assert(keep)
+    assert(clean ===
+      "This tabbed line has exactly enough words here.\n" +
+        "Trailing tab then terminal punctuation stays kept.")
+  }
 }

@@ -370,6 +370,20 @@ class CorpusOpsSpec extends SparkSuite {
       maxDistinctScores = 40L).count() === 10L)
   }
 
+  test("qualityBudgetFill: NULL scores are rejected, not silently dropped") {
+    // the offset frames re-join on scoreCol equi-keys, so a NULL score
+    // row would never match and vanish from the output — the guard must
+    // fail fast instead (same single probe action as the cardinality
+    // check)
+    val df = Seq[(Long, Long, java.lang.Double)](
+      (1L, 5L, 0.9), (2L, 5L, null), (3L, 5L, 0.4))
+      .toDF("id", "toks", "score")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.qualityBudgetFill(df, "id", "toks", "score", 100L)
+    }
+    assert(ex.getMessage.contains("NULL"))
+  }
+
   test("weightedSample: plan is TakeOrdered (no global sort), guards work") {
     val df = (0L until 50L).map(i => (i, 1.0)).toDF("id", "w")
     val plan = Sampling.weightedSample(df, "id", "w", n = 5)

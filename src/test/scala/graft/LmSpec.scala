@@ -218,4 +218,29 @@ class LmSpec extends SparkSuite {
         smoothing = 1.5)
     }
   }
+
+  test("domainWeights: high temperature × wide NLL gap does not overflow") {
+    // With min-subtraction softmax, temperature·excess here exceeds
+    // ln(Long.Max/1e9) ≈ 22.9, so the 1e-9-quantized exp saturated the
+    // Long cast and the summed denominator wrapped — weights went
+    // negative. Max-subtraction keeps every exponent ≤ 0; pin weights in
+    // [0,1], summing to 1, hard domain still on top.
+    val train = Seq(
+      (1L, "easy", "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "easy", "alpha beta gamma delta"),
+      (3L, "hard", "omega psi chi phi mu nu xi rho sigma tau ups eps"))
+      .toDF("id", "dom", "text")
+    val valDf = Seq(
+      (10L, "easy", "alpha beta gamma delta"),
+      (11L, "hard", "zz qq ww vv kk jj hh gg ff dd ss aa"))
+      .toDF("id", "dom", "text")
+    val got = LanguageModel.domainWeights(train, valDf, "id", "dom", "text",
+        temperature = 20.0, smoothing = 0.1)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must stay in [0,1] at extreme temperature: $got")
+    val total = got.values.sum
+    assert(math.abs(total - 1.0) < 1e-6, s"weights must sum to ~1, got $got")
+    assert(got("hard") > got("easy"), s"hard domain must dominate: $got")
+  }
 }

@@ -176,5 +176,11 @@ class RandomProjectSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Similarity.randomProject(bad, "v", "p", inDim = 0, outDim = 0)
     }
+    // per-dim bounds alone admit a 65536×1024 = 2^26-entry sign matrix —
+    // a multi-GB driver-side plan literal; the PRODUCT guard must reject
+    // it before any driver work happens
+    intercept[IllegalArgumentException] {
+      Similarity.randomProject(bad, "v", "p", inDim = 65536, outDim = 1024)
+    }
   }
 }

@@ -48,8 +48,11 @@ def main():
     # oracles at large sf; record the measured reason in BASELINE.md)
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     excluded = set()
+    only = None
     if len(sys.argv) > 4 and sys.argv[3] == "--exclude":
         excluded = set(sys.argv[4].split(","))
+    if len(sys.argv) > 4 and sys.argv[3] == "--only":
+        only = set(sys.argv[4].split(","))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -60,8 +63,9 @@ def main():
     import time
     failures = []
     for name, sql in sorted(oracles.items()):
-        if name in excluded:
-            print(f"  SKIP {name}: excluded by name", flush=True)
+        if name in excluded or (only is not None and name not in only):
+            if only is None:
+                print(f"  SKIP {name}: excluded by name", flush=True)
             continue
         t0 = time.time()
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
