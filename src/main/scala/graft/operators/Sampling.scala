@@ -327,31 +327,43 @@ object Sampling {
     * L×L self-join — L is group cardinality (languages), bounded by
     * construction, and a global window (even one keyed by a constant,
     * which constant-folding empties back out) would drag the
-    * single-partition WindowExec warning into every consumer's logs. */
+    * single-partition WindowExec warning into every consumer's logs.
+    *
+    * Cost shape: ONE bounded action materializes the counts frame — the
+    * limit(+1) collect IS the cardinality guard (it never pulls past the
+    * cap), and the allocation then runs over the collected LocalRelation,
+    * so the upstream counts aggregation is computed exactly once instead
+    * of once per probe plus once per plan-subtree (`a`, `b`, `tot` each
+    * re-derived it before; at unimax_sample's sf0.1 shape that was 4
+    * scans of `documents` where 2 suffice). The collect is the audited
+    * bounded-driver-scalar class (a quota map, ≤ maxGroups rows). */
   def unimaxAllocation(counts: DataFrame, groupCol: String,
                        budget: Long, maxEpochs: Double,
                        maxGroups: Int = 10000): DataFrame = {
     require(budget > 0, s"bad budget $budget")
     require(maxEpochs > 0, s"bad maxEpochs $maxEpochs")
     require(maxGroups >= 1, s"bad maxGroups $maxGroups")
+    val sel = counts.select(col(groupCol), col("n"))
     // group-cardinality guard: the rank step below is a deliberate L×L
     // broadcast self-join (windowless — see the docblock), which is only
     // the right trade while L is group-bounded (languages). A caller
     // feeding a high-cardinality key must fail loudly before the broadcast
-    // — the limit(+1) probe never counts past the cap.
-    require(counts.limit(maxGroups + 1).count() <= maxGroups,
+    // — the limit(+1) collect never pulls past the cap.
+    val head = sel.limit(maxGroups + 1).collect()
+    require(head.length <= maxGroups,
       s"unimaxAllocation: > $maxGroups groups in '$groupCol' — UniMax " +
         "allocation is for bounded group sets (languages); raise " +
         "maxGroups only if the L x L rank join genuinely stays tractable")
-    val tot = counts.agg(count(lit(1)).as("__L"))
-    val a = counts.select(col(groupCol), col("n"))
-    val b = counts.select(col(groupCol).as("__g2"), col("n").as("__n2"))
+    val local = counts.sparkSession.createDataFrame(
+      java.util.Arrays.asList(head: _*), sel.schema)
+    val a = local
+    val b = local.select(col(groupCol).as("__g2"), col("n").as("__n2"))
     val ranked = a.join(broadcast(b),
         col("__n2") < col("n") ||
           (col("__n2") === col("n") && col("__g2") <= col(groupCol)))
       .groupBy(col(groupCol), col("n"))
       .agg(sum(col("__n2")).as("__cumn"), count(lit(1)).as("__i"))
-      .crossJoin(broadcast(tot))
+      .withColumn("__L", lit(head.length.toLong))
       .withColumn("__cap", col("n").cast("double") * maxEpochs)
       .withColumn("__r",
         (lit(budget.toDouble)
