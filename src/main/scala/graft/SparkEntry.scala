@@ -206,7 +206,11 @@ object SparkEntry {
     "dsir_select" -> (PipelineQueries.dsirSelect _),
     // round 10: UniMax water-filling language mixing (budget split as
     // evenly as epoch caps allow; bit-replayable integer/IEEE arithmetic)
-    "unimax_sample" -> (PipelineQueries.unimaxSampleQ _))
+    "unimax_sample" -> (PipelineQueries.unimaxSampleQ _),
+    // round 12: the multimodal banded-Hamming pair finder value-oracled
+    // over synthetic 60-bit hashes (brute-force-equivalence trick — the
+    // decode step stays suite-covered)
+    "media_hash_pairs" -> (PipelineQueries.mediaHashPairsQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -397,5 +401,6 @@ object SparkEntry {
     "corpus_pipeline_full" -> Oracles.corpusPipelineFull,
     "nb_classify" -> Oracles.nbClassify,
     "dsir_select" -> Oracles.dsirSelect,
-    "unimax_sample" -> Oracles.unimaxSample)
+    "unimax_sample" -> Oracles.unimaxSample,
+    "media_hash_pairs" -> Oracles.mediaHashPairs)
 }

@@ -3255,4 +3255,43 @@ object Oracles {
       |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** media_hash_pairs: the banded-Hamming pair finder value-checked by
+    * BRUTE FORCE — for maxBits ≤ 3 the engine's 4×16-bit banding is
+    * recall-lossless (pigeonhole), so its output set equals the all-pairs
+    * popcount filter computed here. The synthetic 60-bit hash replays the
+    * engine's conv(substr(md5(id),1,15),16,10) as a 15-nibble big-endian
+    * sum (exact: v·16^14 ≤ 15·2^56, summed as HUGEINT, cast back); plant
+    * masks and the band1-flip reject plant replay the engine arithmetic
+    * with table-alias-prefixed ids (DuckDB lateral aliasing would
+    * otherwise bind the CASE to the just-shifted id). */
+  val mediaHashPairs: String =
+    """WITH nib AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |    strpos('0123456789abcdef',
+      |           substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS v
+      |  FROM documents, range(1, 16) t(i)),
+      |base AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(sum(v * (1::BIGINT << ((15 - i) * 4))) AS BIGINT) AS ahash
+      |  FROM nib GROUP BY doc_id),
+      |near AS (
+      |  SELECT b.media_id + 1000000 AS media_id,
+      |    xor(b.ahash, CASE WHEN b.media_id % 3 = 0 THEN 1::BIGINT
+      |                      WHEN b.media_id % 3 = 1 THEN 131073::BIGINT
+      |                      ELSE 17180000257::BIGINT END) AS ahash
+      |  FROM base b WHERE b.media_id < 20),
+      |far AS (
+      |  SELECT b.media_id + 2000000 AS media_id,
+      |    xor(b.ahash, 4294901760::BIGINT) AS ahash
+      |  FROM base b WHERE b.media_id < 10),
+      |allh AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM near
+      |  UNION ALL SELECT * FROM far)
+      |SELECT l.media_id AS id_a, r.media_id AS id_b,
+      |  CAST(bit_count(xor(l.ahash, r.ahash)) AS BIGINT) AS hamming
+      |FROM allh l, allh r
+      |WHERE l.media_id < r.media_id
+      |  AND bit_count(xor(l.ahash, r.ahash)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 }

@@ -1273,4 +1273,45 @@ object PipelineQueries {
       .where(col("rank") === 1)
       .orderBy(col("query_id"))
   }
+
+  /** Banded-Hamming perceptual-hash pair finding
+    * ([[graft.multimodal.Multimodal.imageNearDupPairs]]) made DuckDB-
+    * checkable: the DECODE step can't replay in SQL, so the hashes are
+    * synthetic — a deterministic 60-bit value per doc_id (15 md5 hex
+    * nibbles; 60 not 64 so the band3·2^48 recombination can never overflow
+    * a signed long in either engine) — with planted neighbors at exactly
+    * 1/2/3 flipped bits (doc_id % 3 cycles the masks; +PlantShift ids) and
+    * a REJECT plant at Hamming 16 (band1 fully flipped: shares bands
+    * 0/2/3, so it IS a banded candidate and must be popcount-rejected —
+    * the verify path is value-exercised, not just the happy path).
+    *
+    * Oracle trick: for maxBits ≤ 3 the 4×16 banding is recall-LOSSLESS
+    * (pigeonhole — ≤3 differing bits can't touch all 4 bands), so the
+    * engine's banded-join output set EQUALS the brute-force all-pairs
+    * popcount filter, which is what the DuckDB side computes. */
+  def mediaHashPairsQ(spark: SparkSession, dir: String): DataFrame = {
+    val hash60 = conv(substring(
+      md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), hash60.as("ahash"))
+    // two-step selects: the Spark 4 lateral-alias hazard (see
+    // embeddingsWithPlants) — the mask must key on the ORIGINAL id
+    val near = base.where(col("media_id") < 20)
+      .select(col("media_id").as("orig_id"), col("ahash"))
+      .select(
+        (col("orig_id") + PlantShift).as("media_id"),
+        col("ahash").bitwiseXOR(
+          when(col("orig_id") % 3 === 0, lit(1L))                 // 1 bit
+            .when(col("orig_id") % 3 === 1, lit(131073L))         // bits 0,17
+            .otherwise(lit(17180000257L))).as("ahash"))           // 0,17,34
+    val far = base.where(col("media_id") < 10)
+      .select(col("media_id").as("orig_id"), col("ahash"))
+      .select(
+        (col("orig_id") + 2L * PlantShift).as("media_id"),
+        col("ahash").bitwiseXOR(lit(4294901760L)).as("ahash"))    // band1
+    graft.multimodal.Multimodal
+      .imageNearDupPairs(base.union(near).union(far), maxBits = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -103,6 +103,24 @@ class MultimodalStreamingSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: media_hash_pairs contract semantics (planted masks)") {
+    // the contract entry plants neighbors at EXACTLY 1/2/3 flipped bits
+    // cycling on doc_id % 3 and a band1-flip reject plant at Hamming 16 —
+    // the output must be exactly the 20 (id, id+1M) pairs with the mask's
+    // popcount, and NO +2M (reject) id may survive the popcount filter
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.PipelineQueries.mediaHashPairsQ(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 20, s"expected the 20 planted pairs: ${got.length}")
+    got.foreach { case (a, b, ham) =>
+      assert(b === a + 1000000L, s"pair ($a,$b) is not a near plant")
+      assert(ham === (a % 3 match { case 0 => 1L; case 1 => 2L; case _ => 3L }),
+        s"doc $a: hamming $ham does not match its planted mask")
+    }
+    assert(!got.exists(p => p._1 >= 2000000L || p._2 >= 2000000L),
+      "a Hamming-16 reject plant leaked through the popcount filter")
+  }
+
   test("multimodal: video majority fingerprint over MJPEG frames") {
     def jpg(invert: Boolean, noise: Int = 0): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(64, 64,
