@@ -210,7 +210,10 @@ object SparkEntry {
     // round 12: the multimodal banded-Hamming pair finder value-oracled
     // over synthetic 60-bit hashes (brute-force-equivalence trick — the
     // decode step stays suite-covered)
-    "media_hash_pairs" -> (PipelineQueries.mediaHashPairsQ _))
+    "media_hash_pairs" -> (PipelineQueries.mediaHashPairsQ _),
+    // round 12: the ANN-shaped hybrid plan at full probing — IVF leg
+    // provably ≡ brute force, so the hybrid_search oracle applies verbatim
+    "hybrid_search_ann_full" -> (PipelineQueries.hybridSearchAnnFullQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -402,5 +405,8 @@ object SparkEntry {
     "nb_classify" -> Oracles.nbClassify,
     "dsir_select" -> Oracles.dsirSelect,
     "unimax_sample" -> Oracles.unimaxSample,
-    "media_hash_pairs" -> Oracles.mediaHashPairs)
+    "media_hash_pairs" -> Oracles.mediaHashPairs,
+    // same SQL as hybrid_search — the full-probe IVF leg is equivalence-
+    // proven, so the brute-force oracle checks the ANN-shaped plan
+    "hybrid_search_ann_full" -> Oracles.hybridSearch)
 }

@@ -360,7 +360,20 @@ object PipelineQueries {
     * oracle entry; its fused-top-10 recall against the brute-force
     * [[hybridSearchQ]] is spec-pinned in PipelineSpec the same way
     * dedup_ngram_lsh's banding recall is. */
-  def hybridSearchAnnQ(spark: SparkSession, dir: String): DataFrame = {
+  def hybridSearchAnnQ(spark: SparkSession, dir: String): DataFrame =
+    hybridAnn(spark, dir, nprobe = 4)
+
+  /** The ANN-shaped hybrid plan at FULL probing (nprobe = nlist): the IVF
+    * leg is provably ≡ brute force (the knn_ivf full-probe trick), so the
+    * hybrid_search oracle applies VERBATIM to this composition — the
+    * 100-TB-shape code path (trained index, centroid routing, per-cell
+    * scoring, RRF fusion) is value-checked end to end, while the
+    * selective-probe twin above stays the bench/recall story. */
+  def hybridSearchAnnFullQ(spark: SparkSession, dir: String): DataFrame =
+    hybridAnn(spark, dir, nprobe = 16)
+
+  private def hybridAnn(spark: SparkSession, dir: String,
+                        nprobe: Int): DataFrame = {
     val docs = t(spark, dir, "documents")
     val lex = graft.operators.Search.bm25TopK(
       docs,
@@ -370,7 +383,7 @@ object PipelineQueries {
     val vec = liveMemo(ivfIndexes, dir, (_: Similarity.IvfIndex).isLive,
         (_: Similarity.IvfIndex).unpersist(),
         Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16))
-      .topK(e.where(col("vec_id") < 4), k = 20, nprobe = 4)
+      .topK(e.where(col("vec_id") < 4), k = 20, nprobe = nprobe)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     graft.operators.Search.rrfFuse(Seq(lex, vec), k = 10, c = 60)
       .orderBy(col("query_id"), col("rank"))
