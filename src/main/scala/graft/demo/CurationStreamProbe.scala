@@ -153,6 +153,51 @@ object CurationStreamProbe {
       s"heavies=$hs quantiles=${monStream.getSeq[Double](2)}")
     println("[curationprobe] PASS: stream == batch across gate, filter, " +
       "and sketch monitor")
+
+    // ---- restart leg: crash mid-stream AFTER a batch's state + curated
+    // writes but BEFORE its checkpoint commit (the worst failure point),
+    // then resume with a NEW gate instance over the same persisted state
+    // dirs + checkpoint. The replayed batch's docs exact-Jaccard-hit their
+    // own stored copies and drop, so the resumed run must converge to the
+    // byte-identical curated set with zero duplicate appends.
+    val t2 = System.nanoTime()
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    def inStream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true").parquet(inDir)
+    val qr = new NearDupIngest(s"$root/state_r", "doc_id", "text")
+      .ingest(inStream(), s"$root/ckpt_r", kept => {
+        curate(kept, s"$root/curated_r")
+        if (calls.incrementAndGet() == 4)
+          throw new RuntimeException("injected mid-stream crash")
+      })
+    val died = try { qr.awaitTermination(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+    assert(died && calls.get() == 4,
+      s"crash leg must die on its 4th batch (got died=$died calls=${calls.get()})")
+    println(s"[curationprobe] killed after batch 4 (state written, " +
+      s"checkpoint uncommitted); resuming from $root/ckpt_r")
+    val gateR2 = new NearDupIngest(s"$root/state_r", "doc_id", "text")
+    gateR2.ingest(inStream(), s"$root/ckpt_r",
+      kept => curate(kept, s"$root/curated_r")).awaitTermination()
+    val wallR = (System.nanoTime() - t2) / 1e9
+    val curR = spark.read.parquet(s"$root/curated_r")
+    val diffR = curR.select("doc_id")
+      .exceptAll(spark.read.parquet(s"$root/curated_s").select("doc_id"))
+      .unionAll(spark.read.parquet(s"$root/curated_s").select("doc_id")
+        .exceptAll(curR.select("doc_id"))).count()
+    val dupR = curR.count() - curR.select("doc_id").distinct().count()
+    val keptR = gateR2.kept(spark)
+    val dupK = keptR.count() - keptR.select("doc_id").distinct().count()
+    println(f"[curationprobe] RESTART: ${curR.count()} curated docs in " +
+      f"$wallR%.0f s (crash+resume); diff vs uninterrupted = $diffR, " +
+      f"duplicate curated rows = $dupR, duplicate kept rows = $dupK")
+    assert(diffR == 0L, "resumed curated set must equal the uninterrupted run")
+    assert(dupR == 0L && dupK == 0L,
+      "batch replay after the crash must not duplicate state or output")
+    println("[curationprobe] PASS: kill/resume converges to the identical " +
+      "curated corpus with no duplicate state")
     spark.stop()
   }
 }

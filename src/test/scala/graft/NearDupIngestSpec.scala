@@ -104,6 +104,75 @@ class NearDupIngestSpec extends SparkSuite {
     assert(kept === Set(1L, 2L, 11L))
   }
 
+  test("crash mid-stream, resume from checkpoint: kept set identical to " +
+      "the uninterrupted run, no duplicate state") {
+    // the crash is injected in onKept, which runs AFTER the batch's three
+    // state appends but BEFORE the checkpoint offset commit — the worst
+    // failure point: on resume the batch is REPLAYED against state that
+    // already contains it. The gate must be naturally idempotent there:
+    // every replayed doc exact-Jaccard-hits its own stored copy and drops,
+    // so kept/sigs/bands take no duplicate rows and the final corpus is
+    // byte-identical to a run that never crashed.
+    val inDir = tmpDir("ndi_restart_in")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val novelC = "fresh streaming doc about bounded state stores holding " +
+      "one open session per live user under event time watermarks across " +
+      "micro batch restarts"
+    val novelD = "entirely separate subject matter covering columnar " +
+      "encodings dictionary compression and run length encoded pages " +
+      "inside immutable parquet row groups at petabyte corpus scale"
+    Seq((1L, bodyA), (2L, bodyB)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$inDir/b1")
+    Thread.sleep(1100)
+    Seq((10L, nearCopy(bodyA, "restart copy")), (11L, novelC))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b2")
+    Thread.sleep(1100)
+    // batch 3 spans the crash boundary BOTH ways: 20/21 near-dup docs
+    // kept before the crash (state must survive the restart), 22 novel
+    Seq((20L, nearCopy(bodyB, "post restart tail")),
+        (21L, nearCopy(novelC, "late twin")),
+        (22L, novelD))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b3")
+    def in() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(inDir)
+
+    val state = tmpDir("ndi_restart_state")
+    val ckpt = tmpDir("ndi_restart_ckpt")
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q1 = new NearDupIngest(state, "doc_id", "text").ingest(in(), ckpt,
+      onKept = _ => if (calls.incrementAndGet() == 2)
+        throw new RuntimeException("injected crash: state written, " +
+          "checkpoint not committed"))
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000)
+    }
+    assert(crashed.getMessage.contains("injected crash"))
+    assert(calls.get() === 2, s"crash must land on batch 2: ${calls.get()}")
+
+    // resume: NEW gate instance, same state dir + checkpoint — batch 2
+    // replays against its own stored state, then batch 3 completes
+    val gate2 = new NearDupIngest(state, "doc_id", "text")
+    gate2.ingest(in(), ckpt).awaitTermination(120000)
+    val resumed = gate2.kept(spark)
+
+    // twin: the same files through an uninterrupted gate
+    val twin = new NearDupIngest(tmpDir("ndi_restart_twin"), "doc_id", "text")
+    twin.ingest(in(), tmpDir("ndi_restart_twin_ckpt"))
+      .awaitTermination(120000)
+
+    val a = resumed.collect().map(_.getLong(0)).toSet
+    val b = twin.kept(spark).collect().map(_.getLong(0)).toSet
+    assert(a === b, s"resumed $a != uninterrupted $b")
+    assert(a === Set(1L, 2L, 11L, 22L))
+    // the replayed batch must not have double-appended its survivors
+    assert(resumed.count() === resumed.select("doc_id").distinct().count(),
+      "replayed batch appended duplicate kept rows")
+  }
+
   test("estimate prefilter alone never drops: exact Jaccard is the gate") {
     import graft.functions.minhashExprs
     // a moderate edit whose exact Jaccard sits INSIDE the prefilter window
