@@ -150,9 +150,12 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
-    val bucketed = df
+    // tracked persist: consumed by the totals collect AND the returned
+    // plan — uncached, the caller's upstream chain executes twice
+    val bucketed = Dedup.track(df
       .withColumn("__pr", md5(col(idCol).cast("string")))
       .withColumn("__b", hashBucket(col(idCol)))
+      .persist())
     val totals = bucketed.groupBy(col("__b")).agg(sum(toks).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until 256)
@@ -203,6 +206,15 @@ object Sampling {
     require(maxDistinctScores >= 1, s"bad maxDistinctScores")
     val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
     val score = col(scoreCol)
+    // tracked persist (released by Dedup.unpersistAll, the pipeline-cache
+    // convention): the input is consumed three times — the guard probe
+    // below, the per-(score,bucket) totals, and the final join — and an
+    // uncached caller chain (c4 clean, dedup, scoring) would re-execute
+    // for each. The probe action doubles as the cache materializer.
+    val base = Dedup.track(df
+      .withColumn("__pr", md5(col(idCol).cast("string")))
+      .withColumn("__hb", hashBucket(col(idCol)))
+      .persist())
     // one probe action checks BOTH guards: count(1) vs count(score) over
     // the limited distinct frame detects a NULL score (NULL is one
     // distinct value, so whenever the cardinality check passes the frame
@@ -210,7 +222,7 @@ object Sampling {
     // rather than silently dropped: the offset frames join back on
     // scoreCol equi-keys, and a NULL join key would never match — callers
     // must coalesce scores upstream to choose where nulls rank.
-    val probe = df.select(score).distinct()
+    val probe = base.select(score).distinct()
       .limit((maxDistinctScores + 1).min(Int.MaxValue.toLong).toInt)
       .agg(count(lit(1)).as("n"), count(score).as("nn")).head()
     val nScores = probe.getLong(0)
@@ -221,9 +233,6 @@ object Sampling {
     require(probe.getLong(1) == nScores,
       s"qualityBudgetFill: '$scoreCol' contains NULLs, which cannot be " +
         s"ranked — coalesce the score to a sentinel upstream")
-    val base = df
-      .withColumn("__pr", md5(col(idCol).cast("string")))
-      .withColumn("__hb", hashBucket(col(idCol)))
     // per-(score, bucket) totals → within-score offsets (window over the
     // (score, bucket) frame, ≤ 256 rows per score class)
     val shTot = base.groupBy(score, col("__hb")).agg(sum(toks).as("__t"))

@@ -480,12 +480,18 @@ object PipelineQueries {
       .select(col("doc_id"), col("clean_text"))
     val keepers = Dedup.exactTextGroups(cleaned, "doc_id", "clean_text")
       .select(col("keeper_id").as("doc_id"))
+    // no external persist needed: qualityBudgetFill caches its augmented
+    // input internally (tracked), so the c4-clean + dedup + scoring chain
+    // above executes once even though the fill consumes it three times
     val scored = cleaned.join(keepers, "doc_id")
       .select(col("doc_id"),
         TextFunctions.qualityScore(col("clean_text")).as("quality"),
         TextFunctions.tokenCount(col("clean_text")).as("n_tokens"))
+    // budget-bounded output (≤3000 cumulative tokens) consumed twice —
+    // eager checkpoint is effectively free and cuts the second execution
     val filled = Sampling.qualityBudgetFill(scored, "doc_id", "n_tokens",
-      "quality", budget = 3000L)
+        "quality", budget = 3000L)
+      .localCheckpoint(true)
     val ordered = Sampling.trainOrder(filled.select(col("doc_id")),
       "doc_id", shards = 4, seed = 7L)
     filled.join(ordered, "doc_id")
@@ -764,11 +770,19 @@ object PipelineQueries {
       .select(col("keeper_id").as("doc_id"))
     val surviving = clean.join(keepers, "doc_id")
       .where(TextFunctions.qualityScore(col("text")) >= 0.3)
+    // EAGER localCheckpoint: `sampled` is consumed twice below (the pack
+    // plan and the cum_tokens join-back), and tokenBudgetSample's bucket-
+    // totals collect already ran the upstream once at build — without a
+    // cut, the keeper-join + quality-filter + cumsum-window chain executes
+    // three times per materialization. The frame is budget-bounded (docs
+    // until 2000 cumulative tokens — tens of rows), so the checkpoint is
+    // effectively free.
     val sampled = Sampling.tokenBudgetSample(
         surviving.select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 2000L)
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .localCheckpoint(true)
     CorpusOps.packSequences(sampled.select("doc_id", "n_tokens"),
         "doc_id", "n_tokens", budget = 256, numGroups = 16)
       .select(col("id").as("doc_id"), col("n_tokens"),
