@@ -213,7 +213,10 @@ object SparkEntry {
     "media_hash_pairs" -> (PipelineQueries.mediaHashPairsQ _),
     // round 12: the ANN-shaped hybrid plan at full probing — IVF leg
     // provably ≡ brute force, so the hybrid_search oracle applies verbatim
-    "hybrid_search_ann_full" -> (PipelineQueries.hybridSearchAnnFullQ _))
+    "hybrid_search_ann_full" -> (PipelineQueries.hybridSearchAnnFullQ _),
+    // round 12: exact k-NN graph over the bounded vec_id < 500 slice —
+    // ground truth for the NN-descent graph twin (knn_graph_nnd, bench)
+    "knn_graph" -> (PipelineQueries.knnGraphQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -258,7 +261,12 @@ object SparkEntry {
       graft.operators.Similarity.bruteForceTopK(
           proj.where(col("vec_id") < 10), proj, "vec_id", "pvec", k = 5)
         .orderBy(col("query_id"), col("rank"))
-    }))
+    }),
+    // round 12: NN-descent approximate k-NN graph over the FULL corpus —
+    // the graph-construction shape that never broadcasts the node set
+    // (LSH-seeded local-join rounds). Approximate by design; recall vs
+    // the exact knn_graph slice is spec-pinned in RandomProjectSpec
+    "knn_graph_nnd" -> (PipelineQueries.knnGraphNndQ _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -408,5 +416,6 @@ object SparkEntry {
     "media_hash_pairs" -> Oracles.mediaHashPairs,
     // same SQL as hybrid_search — the full-probe IVF leg is equivalence-
     // proven, so the brute-force oracle checks the ANN-shaped plan
-    "hybrid_search_ann_full" -> Oracles.hybridSearch)
+    "hybrid_search_ann_full" -> Oracles.hybridSearch,
+    "knn_graph" -> Oracles.knnGraph)
 }

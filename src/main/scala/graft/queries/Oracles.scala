@@ -3256,6 +3256,34 @@ object Oracles {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** knn_graph: the exact k-NN graph over the bounded vec_id < 500 slice —
+    * knn_bruteforce's oracle with the node set as its own query side
+    * (identical cosine/rank arithmetic, both sides sliced). */
+  val knnGraph: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nq,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS ne
+      |  FROM n q, n e WHERE q.vec_id <> e.vec_id),
+      |sim AS (
+      |  SELECT query_id, neighbor_id,
+      |    CASE WHEN nq = 0 OR ne = 0 THEN 0.0
+      |         ELSE dot / (sqrt(nq) * sqrt(ne)) END AS raw_cosine
+      |  FROM scored),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, raw_cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY raw_cosine DESC, neighbor_id ASC) AS rank
+      |  FROM sim)
+      |SELECT query_id, neighbor_id, round(raw_cosine, 6) AS cosine, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** media_hash_pairs: the banded-Hamming pair finder value-checked by
     * BRUTE FORCE — for maxBits ≤ 3 the engine's 4×16-bit banding is
     * recall-lossless (pigeonhole), so its output set equals the all-pairs

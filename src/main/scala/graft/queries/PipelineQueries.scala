@@ -1318,6 +1318,26 @@ object PipelineQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Exact k-NN GRAPH over a bounded slice (vec_id < 500 — the dedup_ngram
+    * sf-invariant-slice convention for deliberately-quadratic exact
+    * branches): rank-5 cosine neighbors for every node. The DuckDB-
+    * checkable ground truth whose approximate twin is the NN-descent
+    * bench/spec path ([[graft.operators.Similarity.nnDescent]]). */
+  def knnGraphQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(
+        t(spark, dir, "embeddings").where(col("vec_id") < 500),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** NN-descent approximate k-NN graph over the FULL embeddings corpus —
+    * the 100-TB graph-construction shape (LSH-seeded, local-join rounds,
+    * nothing broadcast): bench twin; recall vs the exact graph is
+    * spec-pinned in RandomProjectSpec. */
+  def knnGraphNndQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nnDescent(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
   /** Banded-Hamming perceptual-hash pair finding
     * ([[graft.multimodal.Multimodal.imageNearDupPairs]]) made DuckDB-
     * checkable: the DECODE step can't replay in SQL, so the hashes are
