@@ -216,7 +216,10 @@ object SparkEntry {
     "hybrid_search_ann_full" -> (PipelineQueries.hybridSearchAnnFullQ _),
     // round 12: exact k-NN graph over the bounded vec_id < 500 slice —
     // ground truth for the NN-descent graph twin (knn_graph_nnd, bench)
-    "knn_graph" -> (PipelineQueries.knnGraphQ _))
+    "knn_graph" -> (PipelineQueries.knnGraphQ _),
+    // round 12: UniMax allocation materialized into (doc, epoch)
+    // repetition rows — the manifest a repetition-tolerant trainer eats
+    "epoch_manifest" -> (PipelineQueries.epochManifestQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -417,5 +420,6 @@ object SparkEntry {
     // same SQL as hybrid_search — the full-probe IVF leg is equivalence-
     // proven, so the brute-force oracle checks the ANN-shaped plan
     "hybrid_search_ann_full" -> Oracles.hybridSearch,
-    "knn_graph" -> Oracles.knnGraph)
+    "knn_graph" -> Oracles.knnGraph,
+    "epoch_manifest" -> Oracles.epochManifest)
 }

@@ -388,6 +388,44 @@ object Sampling {
       .withColumn("epochs", round(col("alloc") / col("n"), 6))
   }
 
+  /** Training-epoch manifest: a [[unimaxAllocation]] with maxEpochs > 1
+    * MATERIALIZED into actual repetition rows — the (doc, epoch) manifest
+    * a repetition-tolerant trainer consumes, where [[unimaxSample]] only
+    * records the allocation. Group g's quota q expands to fullE = q / n
+    * complete epochs of EVERY doc plus one fractional epoch of the q % n
+    * top-md5-priority docs (the same deterministic order
+    * [[quotaPerGroups]] selects by, so the fractional epoch is an
+    * unbiased, rerun-stable subset).
+    *
+    * Scale shape: the allocation is the bounded-group driver table; the
+    * full-epoch expansion is a broadcast join + explode(sequence) whose
+    * output volume IS the training volume (you cannot emit less than the
+    * manifest); the fractional winners reuse the two-stage salted-window
+    * quota machinery. Output: (idCol, groupCol, epoch), epoch 0-based. */
+  def epochManifest(df: DataFrame, idCol: String, groupCol: String,
+                    budget: Long, maxEpochs: Double): DataFrame = {
+    val alloc = unimaxAllocation(
+        df.groupBy(col(groupCol)).agg(count(lit(1)).as("n")),
+        groupCol, budget, maxEpochs)
+      .select(col(groupCol), col("n"), col("quota"))
+      .withColumn("__fullE", floor(col("quota") / col("n")).cast("long"))
+      .withColumn("__rem", col("quota") % col("n"))
+    val base = df.select(col(idCol), col(groupCol))
+    val full = base
+      .join(broadcast(alloc.where(col("__fullE") > 0)
+        .select(col(groupCol), col("__fullE"))), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(0L), col("__fullE") - 1)).as("epoch"))
+    val frac = quotaPerGroups(base,
+        idCol, groupCol,
+        alloc.where(col("__rem") > 0)
+          .select(col(groupCol), col("__rem").as("quota")))
+      .join(broadcast(alloc.select(col(groupCol), col("__fullE"))),
+        Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("__fullE").as("epoch"))
+    full.union(frac)
+  }
+
   /** UniMax sampling: [[unimaxAllocation]] over the per-group counts, then
     * the top-quota rows of each group in md5-priority order
     * ([[quotaPerGroups]]). With maxEpochs ≤ 1 this is a subset sample;

@@ -1500,6 +1500,47 @@ object Oracles {
       |WHERE s.priority <= least(q.quota, q.n)
       |ORDER BY s.doc_id""".stripMargin
 
+  /** epoch_manifest: the unimax_sample allocation chain at maxEpochs=3 /
+    * budget=900, expanded into repetition rows — q // n full epochs of
+    * every doc, plus epoch q//n for the q % n top-md5-priority docs. */
+  val epochManifest: String =
+    """WITH counts AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+      |ranked AS (
+      |  SELECT lang, n, CAST(n AS DOUBLE) * 3.0 AS cap,
+      |    CAST(row_number() OVER
+      |      (ORDER BY n ASC, lang ASC) AS BIGINT) AS i,
+      |    CAST(sum(n) OVER (ORDER BY n ASC, lang ASC
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn,
+      |    (SELECT count(*) FROM counts) AS L
+      |  FROM counts),
+      |laddered AS (
+      |  SELECT lang, n, cap,
+      |    (900.0 - CAST(cumn - n AS DOUBLE) * 3.0) / (L - i + 1) AS r
+      |  FROM ranked),
+      |lev AS (SELECT max(CASE WHEN NOT (cap <= r) THEN r END) AS t
+      |  FROM laddered),
+      |q AS (
+      |  SELECT lang, n,
+      |    CAST(floor(least(cap, COALESCE(t, cap))) AS BIGINT) AS quota
+      |  FROM laddered CROSS JOIN lev),
+      |q2 AS (
+      |  SELECT lang, n, quota // n AS fullE, quota % n AS rem FROM q),
+      |sel AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+      |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) ASC,
+      |      doc_id ASC) AS BIGINT) AS priority
+      |  FROM documents),
+      |man AS (
+      |  SELECT s.doc_id, s.lang,
+      |    unnest(range(0, q2.fullE +
+      |      CASE WHEN s.priority <= q2.rem THEN 1 ELSE 0 END)) AS epoch
+      |  FROM sel s JOIN q2 USING (lang))
+      |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+      |FROM man ORDER BY doc_id, epoch""".stripMargin
+
   /** Stratified language mix: en keeps buckets < 76 (~30%), zh < 192
     * (~75%), everything else all 256. */
   val stratifiedSample: String =

@@ -207,6 +207,16 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Epoch-expansion manifest: the UniMax allocation at maxEpochs=3 over a
+    * 900-doc budget materialized into (doc, epoch) repetition rows — full
+    * epochs for every doc of a capped group, fractional epoch for the
+    * md5-priority winners of the remainder. */
+  def epochManifestQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochManifest(
+        t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", budget = 900L, maxEpochs = 3.0)
+      .orderBy(col("doc_id"), col("epoch"))
+
   /** Quality-ranked token-budget fill: the best documents by round-6
     * composite quality (md5-hash tie-break) until 2000 tokens — the
     * "take the top-quality N-token corpus" budget stage. */

@@ -80,6 +80,41 @@ class UnimaxSpec extends SparkSuite {
     assert(const === varq)
   }
 
+  test("epochManifest: hand-computed repetition rows, fractional winner " +
+      "is md5-minimal, deterministic") {
+    // A: 2 docs, B: 10 docs, budget 10, maxEpochs 3. Allocation (water
+    // fill): caps 6/30, ladder r_A = 10/2 = 5, r_B = (10-6)/1 = 4, both
+    // uncapped -> t = 5, quotas 5/5 (budget exactly used). Manifest:
+    // A fullE = 5/2 = 2 (both docs epochs {0,1}) + rem 1 (the md5-min doc
+    // also epoch 2); B fullE = 0, rem 5 (top-5 of 10 at epoch 0).
+    val docs = ((1L to 2L).map(i => (i, "A")) ++
+      (11L to 20L).map(i => (i, "B"))).toDF("doc_id", "lang")
+    val got = Sampling.epochManifest(docs, "doc_id", "lang",
+        budget = 10L, maxEpochs = 3.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length === 10, s"budget must be exactly used: ${got.length}")
+    val aRows = got.filter(_._2 == "A")
+    assert(aRows.count(_._3 == 0L) === 2 && aRows.count(_._3 == 1L) === 2,
+      s"both A docs must run 2 full epochs: ${aRows.toSeq}")
+    val aFrac = aRows.filter(_._3 == 2L).map(_._1)
+    // md5 priority = (2-hex bucket, id): doc 1 vs doc 2
+    val md5min = Seq(1L, 2L).minBy(i => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      ((h(0) & 0xFF), i)
+    })
+    assert(aFrac.toSeq === Seq(md5min),
+      s"fractional epoch must go to the md5-priority winner: $aFrac")
+    val bRows = got.filter(_._2 == "B")
+    assert(bRows.length === 5 && bRows.forall(_._3 == 0L),
+      s"B gets a 5-doc fractional epoch 0: ${bRows.toSeq}")
+    // deterministic under rerun
+    val rerun = Sampling.epochManifest(docs, "doc_id", "lang",
+        budget = 10L, maxEpochs = 3.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sorted.toSeq === rerun.sorted.toSeq)
+  }
+
   test("group-cardinality guard: high-cardinality key fails loudly") {
     val many = (1L to 50L).map(i => (s"g$i", 10L)).toDF("lang", "n")
     val e = intercept[IllegalArgumentException] {
