@@ -404,12 +404,16 @@ object Sampling {
     * quota machinery. Output: (idCol, groupCol, epoch), epoch 0-based. */
   def epochManifest(df: DataFrame, idCol: String, groupCol: String,
                     budget: Long, maxEpochs: Double): DataFrame = {
+    // eager checkpoint: the group-bounded allocation is consumed three
+    // times below (full-epoch join, fractional quotas, epoch join-back) —
+    // one materialization instead of three replays of the alloc plan
     val alloc = unimaxAllocation(
         df.groupBy(col(groupCol)).agg(count(lit(1)).as("n")),
         groupCol, budget, maxEpochs)
       .select(col(groupCol), col("n"), col("quota"))
       .withColumn("__fullE", floor(col("quota") / col("n")).cast("long"))
       .withColumn("__rem", col("quota") % col("n"))
+      .localCheckpoint(true)
     val base = df.select(col(idCol), col(groupCol))
     val full = base
       .join(broadcast(alloc.where(col("__fullE") > 0)
