@@ -773,7 +773,11 @@ object PipelineQueries {
     val contaminated = Dedup.decontaminate(norm, bench,
         "doc_id", "text", w = 3, minShared = 5)
       .select(col("doc_id")).distinct()
-    val deconed = norm.join(contaminated, Seq("doc_id"), "left_anti")
+    // persisted: the winnow strip consumes deconed TWICE (fingerprint pass
+    // + span application) and each consumption would otherwise re-run the
+    // decontaminate shingle chain feeding the anti-join
+    val deconed = Dedup.track(
+      norm.join(contaminated, Seq("doc_id"), "left_anti").persist())
     val clean = Dedup.track(Dedup.stripBoilerplate(deconed, "doc_id", "text",
       k = 8, w = 4, minDocs = 25).persist())
     val keepers = Dedup.exactTextGroups(clean, "doc_id", "text")
