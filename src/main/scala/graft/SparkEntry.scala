@@ -219,7 +219,10 @@ object SparkEntry {
     "knn_graph" -> (PipelineQueries.knnGraphQ _),
     // round 12: UniMax allocation materialized into (doc, epoch)
     // repetition rows — the manifest a repetition-tolerant trainer eats
-    "epoch_manifest" -> (PipelineQueries.epochManifestQ _))
+    "epoch_manifest" -> (PipelineQueries.epochManifestQ _),
+    // round 12: duplicate-cluster-keyed split — exact copies can never
+    // straddle the train/eval boundary (planted pairs value-check it)
+    "leak_safe_split" -> (PipelineQueries.leakSafeSplitQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -421,5 +424,6 @@ object SparkEntry {
     // proven, so the brute-force oracle checks the ANN-shaped plan
     "hybrid_search_ann_full" -> Oracles.hybridSearch,
     "knn_graph" -> Oracles.knnGraph,
-    "epoch_manifest" -> Oracles.epochManifest)
+    "epoch_manifest" -> Oracles.epochManifest,
+    "leak_safe_split" -> Oracles.leakSafeSplit)
 }

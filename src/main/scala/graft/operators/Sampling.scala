@@ -44,6 +44,24 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Leakage-safe [[hashSplit]]: rows are split by their DUPLICATE-CLUSTER
+    * key rather than their own id, so exact copies of a document can never
+    * straddle the train/eval boundary (the eval-contamination hole in a
+    * plain per-id split: a memorized train duplicate inflates eval). The
+    * cluster key here is the normalized-text md5 fingerprint (the
+    * dedup_exact identity); callers with NEAR-dup clusters pass their
+    * keep-list keeper id straight to [[hashSplit]] — the split column only
+    * ever sees the cluster key, so any clustering slots in. Adds
+    * `cluster`, `bucket`, `split`; one narrow projection, no shuffle, no
+    * RNG — and the whole cluster moves atomically between splits if the
+    * fractions change, never one member at a time. */
+  def leakSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                    trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame =
+    hashSplit(
+      df.withColumn("cluster",
+        graft.functions.TextFunctions.fingerprintMd5(col(textCol))),
+      "cluster", trainPct, valPct)
+
   /** Deterministic ~fraction sample: keep rows whose bucket falls under
     * 256·fraction. Same id ⇒ same decision on every run and engine. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {

@@ -1500,6 +1500,33 @@ object Oracles {
       |WHERE s.priority <= least(q.quota, q.n)
       |ORDER BY s.doc_id""".stripMargin
 
+  /** leak_safe_split: the cluster-keyed hash split replayed — fingerprint
+    * = md5(normalized text), bucket = 2-hex md5 of the FINGERPRINT string
+    * (not the doc id — that is the whole point), 205/26-bucket cuts.
+    * Planted exact copies share the cluster, so equal splits for every
+    * duplicate pair are value-checked, not assumed. */
+  val leakSafeSplit: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 20),
+      |fp AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS cluster
+      |  FROM uni),
+      |b AS (
+      |  SELECT doc_id, cluster,
+      |    CAST((strpos('0123456789abcdef', substr(md5(cluster), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(cluster), 2, 1)) - 1)
+      |      AS BIGINT) AS bucket
+      |  FROM fp)
+      |SELECT doc_id, cluster, bucket,
+      |  CASE WHEN bucket < 204 THEN 'train'
+      |       WHEN bucket < 230 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** epoch_manifest: the unimax_sample allocation chain at maxEpochs=3 /
     * budget=900, expanded into repetition rows — q // n full epochs of
     * every doc, plus epoch q//n for the q % n top-md5-priority docs. */

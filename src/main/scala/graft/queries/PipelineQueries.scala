@@ -207,6 +207,20 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe split over a corpus with planted EXACT duplicates
+    * (doc_id < 20 re-arrive verbatim under +PlantShift ids): both copies
+    * share the fingerprint cluster, so the oracle value-checks that no
+    * duplicate pair straddles the train/eval boundary. */
+  def leakSafeSplitQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val plants = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + PlantShift).as("doc_id"), col("text"))
+    Sampling.leakSafeSplit(docs.union(plants), "doc_id", "text")
+      .select(col("doc_id"), col("cluster"),
+        col("bucket").cast("long").as("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Epoch-expansion manifest: the UniMax allocation at maxEpochs=3 over a
     * 900-doc budget materialized into (doc, epoch) repetition rows — full
     * epochs for every doc of a capped group, fractional epoch for the

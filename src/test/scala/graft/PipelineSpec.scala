@@ -280,6 +280,35 @@ class PipelineSpec extends SparkSuite {
     assert(keptIds === reps)
   }
 
+  test("leakSafeSplit: duplicate clusters never straddle the train/eval " +
+      "boundary; per-id split would") {
+    import graft.operators.Sampling
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val plants = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val uni = docs.union(plants)
+    val got = Sampling.leakSafeSplit(uni, "doc_id", "text")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the leakage guarantee: every exact-copy pair shares its split
+    (0L until 20L).foreach { i =>
+      assert(got(i) === got(i + 1000000L),
+        s"duplicate pair ($i, ${i + 1000000L}) split apart: " +
+          s"${got(i)} vs ${got(i + 1000000L)}")
+    }
+    // contrast: the per-id split DOES leak on this corpus (if it didn't,
+    // this test would be vacuous — fixture self-check)
+    val perId = Sampling.hashSplit(uni, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until 20L).exists(i => perId(i) != perId(i + 1000000L)),
+      "fixture drifted: per-id split no longer separates any planted pair")
+    // distribution still ~80/10/10 over clusters
+    val frac = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(frac("train").toDouble / got.size > 0.7 &&
+      frac("train").toDouble / got.size < 0.9, s"split skewed: $frac")
+  }
+
   test("hashSplit: id-pure assignment is stable across layouts and repeatable") {
     import graft.operators.Sampling
     val docs = table("documents").select("doc_id")
