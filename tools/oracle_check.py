@@ -14,6 +14,7 @@ for testing; the engine itself is pure Scala/Spark).
 import glob
 import json
 import math
+import os
 import sys
 from collections import Counter
 
@@ -55,8 +56,12 @@ def main():
         only = set(sys.argv[4].split(","))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; Spark-written dirs (MakeSf1)
+        # are directories of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
