@@ -222,7 +222,10 @@ object SparkEntry {
     "epoch_manifest" -> (PipelineQueries.epochManifestQ _),
     // round 12: duplicate-cluster-keyed split — exact copies can never
     // straddle the train/eval boundary (planted pairs value-check it)
-    "leak_safe_split" -> (PipelineQueries.leakSafeSplitQ _))
+    "leak_safe_split" -> (PipelineQueries.leakSafeSplitQ _),
+    // round 12: re-crawl corpus diff — per-id added/removed/modified/
+    // unchanged by normalized-content fingerprint, one full-outer join
+    "corpus_diff" -> (PipelineQueries.corpusDiffQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -425,5 +428,6 @@ object SparkEntry {
     "hybrid_search_ann_full" -> Oracles.hybridSearch,
     "knn_graph" -> Oracles.knnGraph,
     "epoch_manifest" -> Oracles.epochManifest,
-    "leak_safe_split" -> Oracles.leakSafeSplit)
+    "leak_safe_split" -> Oracles.leakSafeSplit,
+    "corpus_diff" -> Oracles.corpusDiff)
 }

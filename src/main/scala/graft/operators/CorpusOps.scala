@@ -575,4 +575,29 @@ object CorpusOps {
           .otherwise(round(col("__nn").cast("double") / col("__ng"), 6))
           .as("novelty"))
   }
+
+  /** Corpus version diff — what changed between two crawls/snapshots of
+    * the same id space: per-id status ∈ added / removed / modified /
+    * unchanged, with content identity by normalized-text md5 fingerprint
+    * (the dedup_exact identity, so whitespace/punctuation-only churn
+    * counts as unchanged — the behavior a re-crawl audit wants).
+    *
+    * Scale shape: two map-only fingerprint projections and ONE full-outer
+    * equi-join on the id — fingerprints travel as 32-char strings instead
+    * of document bodies, so the shuffle is id+hash wide regardless of
+    * text size. The summary a curation run reports is one groupBy over
+    * the output. */
+  def corpusDiff(before: DataFrame, after: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val b = before.select(col(idCol),
+      TextFunctions.fingerprintMd5(col(textCol)).as("__fb"))
+    val a = after.select(col(idCol),
+      TextFunctions.fingerprintMd5(col(textCol)).as("__fa"))
+    b.join(a, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fb").isNull, "added")
+          .when(col("__fa").isNull, "removed")
+          .when(col("__fa") === col("__fb"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
 }

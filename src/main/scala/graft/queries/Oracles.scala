@@ -1500,6 +1500,33 @@ object Oracles {
       |WHERE s.priority <= least(q.quota, q.n)
       |ORDER BY s.doc_id""".stripMargin
 
+  /** corpus_diff: the re-crawl mutation + full-outer fingerprint diff
+    * replayed (USING coalesces doc_id in both engines). */
+  val corpusDiff: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fb
+      |  FROM documents),
+      |a0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' corpus diff edit'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 15),
+      |a AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fa
+      |  FROM a0)
+      |SELECT doc_id,
+      |  CASE WHEN fb IS NULL THEN 'added'
+      |       WHEN fa IS NULL THEN 'removed'
+      |       WHEN fa = fb THEN 'unchanged'
+      |       ELSE 'modified' END AS status
+      |FROM b FULL OUTER JOIN a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** leak_safe_split: the cluster-keyed hash split replayed — fingerprint
     * = md5(normalized text), bucket = 2-hex md5 of the FINGERPRINT string
     * (not the doc id — that is the whole point), 205/26-bucket cuts.

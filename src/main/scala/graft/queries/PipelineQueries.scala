@@ -207,6 +207,23 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Corpus version diff over a deterministic re-crawl mutation: doc_id %
+    * 7 == 3 dropped (removed), doc_id % 5 == 0 edited (modified), doc_id
+    * < 15 re-entering under +PlantShift ids (added), everything else
+    * unchanged — all four statuses value-exercised. */
+  def corpusDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val after = docs.where(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" corpus diff edit")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.where(col("doc_id") < 15)
+        .select((col("doc_id") + PlantShift).as("doc_id"), col("text")))
+    CorpusOps.corpusDiff(docs, after, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Leakage-safe split over a corpus with planted EXACT duplicates
     * (doc_id < 20 re-arrive verbatim under +PlantShift ids): both copies
     * share the fingerprint cluster, so the oracle value-checks that no

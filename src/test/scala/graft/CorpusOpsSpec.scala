@@ -370,6 +370,25 @@ class CorpusOpsSpec extends SparkSuite {
       maxDistinctScores = 40L).count() === 10L)
   }
 
+  test("corpusDiff: all four statuses; normalization-only churn is " +
+      "unchanged") {
+    val before = Seq(
+      (1L, "alpha beta gamma"),   // unchanged (modulo punctuation)
+      (2L, "delta epsilon"),      // modified (real word added)
+      (3L, "zeta eta")            // removed
+    ).toDF("doc_id", "text")
+    val after = Seq(
+      (1L, "Alpha, beta; GAMMA!"), // same normalized fingerprint
+      (2L, "delta epsilon theta"),
+      (4L, "brand new doc")        // added
+    ).toDF("doc_id", "text")
+    val got = graft.operators.CorpusOps
+      .corpusDiff(before, after, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("qualityBudgetFill: NULL scores are rejected, not silently dropped") {
     // the offset frames re-join on scoreCol equi-keys, so a NULL score
     // row would never match and vanish from the output — the guard must
