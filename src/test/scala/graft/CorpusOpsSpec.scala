@@ -389,6 +389,28 @@ class CorpusOpsSpec extends SparkSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("round-12 ops: empty/degenerate inputs yield empty outputs, not " +
+      "errors") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.CorpusOps
+      .corpusDiff(emptyDocs, emptyDocs, "doc_id", "text").count() === 0L)
+    // diff against an empty "after": everything removed
+    val one = Seq((1L, "only doc here")).toDF("doc_id", "text")
+    assert(graft.operators.CorpusOps
+      .corpusDiff(one, emptyDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "removed")))
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity
+      .nnDescent(emptyVecs, "vec_id", "embedding", k = 3).count() === 0L)
+    // a budget too small for even one fractional row still succeeds:
+    // quota 0 groups emit nothing
+    val tiny = Seq((1L, "A"), (2L, "A")).toDF("doc_id", "lang")
+    val m = Sampling.epochManifest(tiny, "doc_id", "lang",
+      budget = 1L, maxEpochs = 1.0)
+    assert(m.count() === 1L, "budget 1 = one fractional-row epoch")
+  }
+
   test("qualityBudgetFill: NULL scores are rejected, not silently dropped") {
     // the offset frames re-join on scoreCol equi-keys, so a NULL score
     // row would never match and vanish from the output — the guard must
