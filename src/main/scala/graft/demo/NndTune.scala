@@ -28,23 +28,36 @@ object NndTune {
         f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
+    // sample-rate (ρ) sweep at the defaults: candidate volume ∝ ρ²
+    for (rho <- Seq(1.0, 0.7, 0.5)) {
+      val t0 = System.nanoTime()
+      val got = edges(Similarity.nnDescent(e, "vec_id", "embedding",
+        k = 5, rho = rho))
+      val r = (got & exact).size.toDouble / exact.size
+      println(f"[nndtune] rho=$rho recall=$r%.3f " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
     // corpus-scale leg: the full graph at defaults; recall vs the TRUE
     // top-k (brute force against the whole corpus) of a 200-query sample
     args.headOption.foreach { path =>
       val big = spark.read.parquet(path)
       val n = big.count()
-      val t0 = System.nanoTime()
-      val g = Similarity.nnDescent(big, "vec_id", "embedding", k = 10)
-        .localCheckpoint(true)
-      val nEdges = g.count()
-      val wall = (System.nanoTime() - t0) / 1e9
       val sample = big.where(col("vec_id") < 200)
       val truth = edges(Similarity.bruteForceTopK(sample, big,
         "vec_id", "embedding", k = 10))
-      val gotS = edges(g.where(col("query_id") < 200))
-      val r = (gotS & truth).size.toDouble / truth.size
-      println(f"[nndtune] SCALE $path: n=$n edges=$nEdges " +
-        f"wall=$wall%.1f s sampled-recall@10=$r%.3f")
+      for (rho <- Seq(1.0, 0.7)) {
+        val t0 = System.nanoTime()
+        val g = Similarity.nnDescent(big, "vec_id", "embedding", k = 10,
+            rho = rho)
+          .localCheckpoint(true)
+        val nEdges = g.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val gotS = edges(g.where(col("query_id") < 200))
+        val r = (gotS & truth).size.toDouble / truth.size
+        println(f"[nndtune] SCALE $path: n=$n rho=$rho edges=$nEdges " +
+          f"wall=$wall%.1f s sampled-recall@10=$r%.3f")
+      }
     }
     spark.stop()
   }

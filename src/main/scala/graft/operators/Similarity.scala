@@ -605,10 +605,11 @@ object Similarity {
   def nnDescent(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int = 10, iterations: Int = 4, expand: Int = 3,
                 nPlanes: Int = 8, seed: Long = 7L, dim: Int = 64,
-                bucketCap: Int = 4096): DataFrame = {
+                bucketCap: Int = 4096, rho: Double = 1.0): DataFrame = {
     require(k >= 1, s"bad k $k")
     require(iterations >= 0, s"bad iterations $iterations")
     require(expand >= 1, s"bad expand $expand")
+    require(rho > 0.0 && rho <= 1.0, s"bad rho $rho")
     // descend with EXPANDED neighbor lists (K = expand·k, the paper's
     // sample-size-over-k headroom): the local join only discovers what the
     // current lists can reach, and lists cut to k too early starve it.
@@ -617,7 +618,12 @@ object Similarity {
     // 0.90/0.96 at expand=3 it=3/4; 0.99+ at expand=4 it=4. Defaults sit
     // at expand=3 it=4; per-round candidate volume is n·(expand·k)², so
     // expand is the quadratic knob — raise iterations first on clusterable
-    // corpora. Final output cuts back to rank ≤ k.
+    // corpora. `rho` is the paper's sample rate (candidate volume ∝ ρ²,
+    // discovery thinned, found neighbors never forgotten): at 500 nodes it
+    // only costs recall (0.96→0.90 at 0.7 — fixed overhead dominates), at
+    // 20k nodes ρ=0.7 is 19% faster at IDENTICAL 0.921 sampled recall —
+    // the knob to reach for at corpus scale, off by default. Final output
+    // cuts back to rank ≤ k.
     val kk = k * expand
     val vecs = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
     def topkOf(pairs: DataFrame): DataFrame = {
@@ -634,14 +640,25 @@ object Similarity {
         dim, bucketCap)
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val und = edges
+      val undAll = edges
         .select(col("query_id").as("__src"), col("neighbor_id").as("__dst"))
         .union(edges
           .select(col("neighbor_id").as("__src"), col("query_id").as("__dst")))
+      // the paper's sample rate ρ: thin each node's participation in the
+      // LOCAL JOIN to a deterministic md5-keyed subset of its edges —
+      // candidate volume scales ρ², recall decays gracefully (measured in
+      // NndTune: 500-node hard corpus, defaults, ρ 1.0/0.7/0.5). Current
+      // edges always stay in the top-k merge, so ρ never FORGETS a found
+      // neighbor — it only thins discovery.
+      val und = if (rho >= 1.0) undAll
+        else undAll.where(
+          Sampling.hashBucket(concat(col("__src").cast("string"), lit(":"),
+            col("__dst").cast("string"))) < (256 * rho).toInt)
       val non = und.as("a").join(und.as("b"),
           col("a.__dst") === col("b.__src") && col("a.__src") =!= col("b.__dst"))
         .select(col("a.__src").as("__src"), col("b.__dst").as("__dst"))
-      edges = topkOf(non.union(und.where(col("__src") =!= col("__dst"))))
+      edges = topkOf(non
+          .union(undAll.where(col("__src") =!= col("__dst"))))
         .localCheckpoint(true)
     }
     edges.where(col("rank") <= k)
