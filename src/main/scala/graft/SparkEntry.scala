@@ -225,7 +225,10 @@ object SparkEntry {
     "leak_safe_split" -> (PipelineQueries.leakSafeSplitQ _),
     // round 12: re-crawl corpus diff — per-id added/removed/modified/
     // unchanged by normalized-content fingerprint, one full-outer join
-    "corpus_diff" -> (PipelineQueries.corpusDiffQ _))
+    "corpus_diff" -> (PipelineQueries.corpusDiffQ _),
+    // round 12: pairwise source token-set Jaccard — the cross-source
+    // redundancy matrix a mixing recipe is tuned against
+    "source_overlap" -> (PipelineQueries.sourceOverlapQ _))
 
   /** BENCH-ONLY queries: timed by [[graft.Bench]] alongside [[queries]]
     * but NOT part of the Verify/oracle contract (no parquet dump, no
@@ -429,5 +432,6 @@ object SparkEntry {
     "knn_graph" -> Oracles.knnGraph,
     "epoch_manifest" -> Oracles.epochManifest,
     "leak_safe_split" -> Oracles.leakSafeSplit,
-    "corpus_diff" -> Oracles.corpusDiff)
+    "corpus_diff" -> Oracles.corpusDiff,
+    "source_overlap" -> Oracles.sourceOverlap)
 }

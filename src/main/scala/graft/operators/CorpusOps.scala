@@ -576,6 +576,56 @@ object CorpusOps {
           .as("novelty"))
   }
 
+  /** Pairwise source-overlap matrix: EXACT token-set Jaccard between every
+    * pair of groups (sources/domains/shards) — the cross-contamination /
+    * redundancy view a mixing recipe is tuned against ("how much of
+    * source B is already in source A's vocabulary"). Token identity is
+    * the corpus convention (whitespace tokens of normalized text, the
+    * cm_freq/vocab identity).
+    *
+    * Scale shape: one distinct (group, token) hash aggregation, a
+    * token-keyed self-join whose output is bounded by G² per SHARED token
+    * (G = group cardinality, guarded — sources, not ids), and G²-sized
+    * aggregations after. For unbounded vocabularies the KMV min-wise
+    * Jaccard sketch family is the approximate path; this is the exact
+    * matrix for the bounded-G case every corpus report actually has.
+    * Output: (group_a < group_b, n_a, n_b, n_shared, jaccard). */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    maxGroups: Int = 1000): DataFrame = {
+    require(maxGroups >= 2, s"bad maxGroups $maxGroups")
+    val gt = df.select(col(groupCol).as("__g"),
+        explode(graft.functions.minhashExprs.wordGrams(
+          TextFunctions.normalized(col(textCol)), 1)).as("__tok"))
+      .distinct()
+    val groups = df.select(col(groupCol)).distinct()
+    require(groups.limit(maxGroups + 1).count() <= maxGroups,
+      s"sourceOverlap: > $maxGroups groups in '$groupCol' — the overlap " +
+        "matrix is G² and the token self-join emits up to G² rows per " +
+        "shared token; use the KMV Jaccard sketches for unbounded keys")
+    val sizes = gt.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val inter = gt.as("a").join(gt.as("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // EVERY unordered pair appears, including fully disjoint ones at
+    // Jaccard 0 — a report row that is absent reads as "not measured",
+    // not "no overlap". The pair frame is G² over the guarded group set.
+    val pairs = groups.select(col(groupCol).as("group_a"))
+      .join(groups.select(col(groupCol).as("group_b")),
+        col("group_a") < col("group_b"))
+    pairs
+      .join(inter, Seq("group_a", "group_b"), "left")
+      .join(broadcast(sizes.select(col("__g").as("group_a"),
+        col("__n").as("n_a"))), "group_a")
+      .join(broadcast(sizes.select(col("__g").as("group_b"),
+        col("__n").as("n_b"))), "group_b")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")), 6))
+  }
+
   /** Corpus version diff — what changed between two crawls/snapshots of
     * the same id space: per-id status ∈ added / removed / modified /
     * unchanged, with content identity by normalized-text md5 fingerprint

@@ -1500,6 +1500,37 @@ object Oracles {
       |WHERE s.priority <= least(q.quota, q.n)
       |ORDER BY s.doc_id""".stripMargin
 
+  /** source_overlap: distinct (source, token) pairs under the cm_freq
+    * token identity, token-keyed self-join for pairwise intersections,
+    * per-source vocabulary sizes, exact Jaccard. */
+  val sourceOverlap: String =
+    """WITH gt AS (
+      |  SELECT DISTINCT source AS g,
+      |    unnest(list_filter(
+      |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM gt GROUP BY g),
+      |inter AS (
+      |  SELECT a.g AS group_a, b.g AS group_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.source AS group_a, b.source AS group_b
+      |  FROM (SELECT DISTINCT source FROM documents) a,
+      |       (SELECT DISTINCT source FROM documents) b
+      |  WHERE a.source < b.source)
+      |SELECT p.group_a, p.group_b, sa.n AS n_a, sb.n AS n_b,
+      |  COALESCE(i.n_shared, 0) AS n_shared,
+      |  round(CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+      |    / (sa.n + sb.n - COALESCE(i.n_shared, 0)), 6) AS jaccard
+      |FROM pairs p
+      |LEFT JOIN inter i USING (group_a, group_b)
+      |JOIN sizes sa ON sa.g = p.group_a
+      |JOIN sizes sb ON sb.g = p.group_b
+      |ORDER BY group_a, group_b""".stripMargin
+
   /** corpus_diff: the re-crawl mutation + full-outer fingerprint diff
     * replayed (USING coalesces doc_id in both engines). */
   val corpusDiff: String =

@@ -207,6 +207,12 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("priority"))
       .orderBy(col("doc_id"))
 
+  /** Pairwise source-overlap matrix over the corpus sources — exact
+    * token-set Jaccard per source pair. */
+  def sourceOverlapQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.sourceOverlap(t(spark, dir, "documents"), "source", "text")
+      .orderBy(col("group_a"), col("group_b"))
+
   /** Corpus version diff over a deterministic re-crawl mutation: doc_id %
     * 7 == 3 dropped (removed), doc_id % 5 == 0 edited (modified), doc_id
     * < 15 re-entering under +PlantShift ids (added), everything else

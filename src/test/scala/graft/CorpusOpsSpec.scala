@@ -370,6 +370,31 @@ class CorpusOpsSpec extends SparkSuite {
       maxDistinctScores = 40L).count() === 10L)
   }
 
+  test("sourceOverlap: hand-computed Jaccard matrix, ordering, guard") {
+    val df = Seq(
+      (1L, "A", "alpha beta gamma"),
+      (2L, "A", "beta delta"),          // A vocab: {alpha,beta,gamma,delta}
+      (3L, "B", "beta gamma epsilon"),  // B vocab: {beta,gamma,epsilon}
+      (4L, "C", "zeta")                 // C vocab: {zeta} — disjoint
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.CorpusOps
+      .sourceOverlap(df, "source", "text")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // A∩B = {beta,gamma} (2), union 5 -> 0.4; disjoint pairs 0.0
+    assert(got(("A", "B")) === ((4L, 3L, 2L, 0.4)))
+    assert(got(("A", "C")) === ((4L, 1L, 0L, 0.0)))
+    assert(got(("B", "C")) === ((3L, 1L, 0L, 0.0)))
+    assert(got.size === 3, "each unordered pair exactly once")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.CorpusOps.sourceOverlap(
+        (1L to 20L).map(i => (i, s"s$i", "x")).toDF("doc_id", "source", "text"),
+        "source", "text", maxGroups = 5)
+    }
+    assert(e.getMessage.contains("overlap matrix is G"))
+  }
+
   test("corpusDiff: all four statuses; normalization-only churn is " +
       "unchanged") {
     val before = Seq(
