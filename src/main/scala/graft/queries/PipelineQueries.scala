@@ -758,10 +758,15 @@ object PipelineQueries {
     * chunk stage under Bench's `.count()`; the earlier stages all change
     * the row count, so none of them can be pruned. */
   def corpusPipelineQ(spark: SparkSession, dir: String): DataFrame = {
-    val norm = t(spark, dir, "documents").select(col("doc_id"),
-      exprs.nfcNormalize(col("text")).as("text"))
-    val clean = Dedup.stripBoilerplate(norm, "doc_id", "text",
-      k = 8, w = 4, minDocs = 25)
+    // both persisted (the corpusPipelineFullQ convention, released by
+    // Dedup.unpersistAll): the winnow strip consumes `norm` twice
+    // (fingerprint pass + span application) and the dedup/quality stages
+    // consume the whole strip output `clean` twice
+    val norm = Dedup.track(t(spark, dir, "documents")
+      .select(col("doc_id"), exprs.nfcNormalize(col("text")).as("text"))
+      .persist())
+    val clean = Dedup.track(Dedup.stripBoilerplate(norm, "doc_id", "text",
+      k = 8, w = 4, minDocs = 25).persist())
     val keepers = Dedup.exactTextGroups(clean, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
     val surviving = clean.join(keepers, "doc_id")
