@@ -132,10 +132,20 @@ object Bench {
     val qs = ok.map(n => "\"" + n + "\":" + r3(med(n))).mkString("{", ",", "}")
     val errJson = errors.map { case (n, m) => "\"" + n + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
+    // An entry that errored mid-run (cap kill, exception) keeps its earlier
+    // samples, so its median is over the SURVIVING runs only — r12's headline
+    // printed a healthy 3.4 s median for span_similarity next to a cap kill
+    // in the errors map, and the partial basis was easy to miss. `partial`
+    // names every such entry with how many of the planned rounds actually
+    // produced a sample, so the headline self-describes its own basis.
+    val partialJson = ok.filter(n => samples(n).size < rounds).map { n =>
+      "\"" + n + "\":{\"runs\":" + samples(n).size + ",\"of\":" + rounds +
+        (if (errors.contains(n)) ",\"error\":\"" + errors(n) + "\"" else "") + "}"
+    }.mkString("{", ",", "}")
     val total = med.values.sum
     // the machine-readable headline is the LAST printed line and kept compact
     // (3-decimal medians, no spread) so it fits the output tail intact
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"entries":${names.size},"queries":$qs,"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"entries":${names.size},"queries":$qs,"errors":$errJson,"partial":$partialJson,"runs":$rounds,"sf":"$sfDir"}""")
     // teardown: release every session-lifetime cache the bench populated so
     // a long-lived embedding JVM reusing this code path starts clean
     graft.queries.PipelineQueries.clearIndexCaches()

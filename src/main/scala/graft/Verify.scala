@@ -18,8 +18,28 @@ object Verify {
     // The driver never sets this, so the driver's gate is always full.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail loudly, not skip the entry while the run
+    // reports success (r12 ADVICE)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names no registered query: ${unknown.mkString(",")}")
+    }
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(p => names(p._1))
+      case Some(names) =>
+        // stale dump dirs from a prior build would otherwise survive in
+        // outDir and a later full oracle_check would compare old parquet
+        // against the current oracle SQL — refuse the mix by clearing
+        // every UNSELECTED query's dump (selected ones are overwritten)
+        SparkEntry.queries.keysIterator.filterNot(names).foreach { n =>
+          val d = Paths.get(outDir, n)
+          if (Files.exists(d)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+          }
+        }
+        SparkEntry.queries.filter(p => names(p._1))
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

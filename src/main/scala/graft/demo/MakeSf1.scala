@@ -6,8 +6,13 @@ import org.apache.spark.sql.functions._
   * each table unioned 10× with CONSISTENT key shifts (copy i shifts every
   * join key by i·10^8, so referential integrity — orders↔lineitem↔part↔
   * supplier, customer↔orders — survives and join/agg cardinalities scale
-  * honestly). nation/region stay as-is (dimensions). Usage:
-  * `runMain graft.demo.MakeSf1 [outDir]` (default /tmp/graft_sf1). */
+  * honestly). Content tables (documents text, embeddings vectors) perturb
+  * copies i ≥ 1 DETERMINISTICALLY instead of replicating verbatim — see
+  * the inline notes — so the corpus scales without planting organic exact
+  * duplicates that the plant-arithmetic oracles don't model (the r12 sf1
+  * gate's 4 fixture-artifact exclusions). nation/region stay as-is
+  * (dimensions). Usage: `runMain graft.demo.MakeSf1 [outDir]` (default
+  * /tmp/graft_sf1). */
 object MakeSf1 {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -36,8 +41,58 @@ object MakeSf1 {
     for ((t, (step, keys)) <- shifts) {
       val base = spark.read.parquet(s"$dir/$t.parquet")
       val x10 = (0 until 10).map { i =>
-        keys.foldLeft(base)((df, k) =>
+        val shifted = keys.foldLeft(base)((df, k) =>
           df.withColumn(k, col(k) + lit(i.toLong * step)))
+        // Copies i ≥ 1 of content tables are PERTURBED, not verbatim
+        // (r12 verdict item 4): verbatim 10× replication planted organic
+        // exact duplicates that the plant-arithmetic oracles don't model —
+        // a cosine-1.0 copy outranked the 0.9936 planted neighbor in
+        // knn_lsh, copy-pairs flooded dedup_embedding, and identical-text
+        // floods blew dedup_simhash's band buckets past the cap. Copy 0
+        // stays verbatim so sf-invariant slices keep their identity.
+        if (i == 0) shifted
+        else if (t == "documents")
+          // deterministic ~20% token swap keyed by (doc_id, position):
+          // every token whose (position + doc_id) ≡ 0 (mod 5) becomes an
+          // id-salted synthetic token — this breaks every ≥5-token
+          // shingle/winnow window, drops word-set Jaccard to ≈ 2/3
+          // ((1-f)/(1+f) at f=0.2), and moves unigram simhash well past
+          // the ≤3-bit band threshold, so copies are decisively NOT
+          // near-dups of their base (or of each other: the salt includes
+          // the shifted doc_id, so each copy swaps DIFFERENT tokens to
+          // DIFFERENT synthetic values)
+          shifted.withColumn("text",
+            array_join(
+              transform(split(col("text"), " "),
+                (tok, pos) => when(
+                  pmod(pos.cast("long") + col("doc_id"), lit(5L)) === 0L,
+                  concat(lit("zq"),
+                    pmod(abs(xxhash64(col("doc_id"), pos)), lit(99991L))
+                      .cast("string")))
+                  .otherwise(tok)),
+              " "))
+            // keep the derived-length column honest after the swap
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        else if (t == "embeddings") {
+          // deterministic ε-rotation: additive per-component noise with
+          // RMS ≈ the vector's own component RMS (ε ≈ 1.07 ⇒ expected
+          // cosine(copy, base) ≈ 1/sqrt(1+ε²/3) ≈ 0.85, copy↔copy ≈ 0.72
+          // — both far below the 0.9936 plant margin and the 0.95
+          // near-dup thresholds, so copies neither outrank planted
+          // neighbors nor form organic near-dup pairs). Noise is keyed by
+          // (shifted vec_id, component), so it is reproducible and
+          // independent across copies.
+          val rms = sqrt(
+            aggregate(col("embedding"), lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))
+              / greatest(size(col("embedding")).cast("double"), lit(1.0d)))
+          shifted.withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              (x.cast("double") + lit(1.07d) * rms *
+                ((pmod(xxhash64(col("vec_id"), j), lit(2000001L))
+                  .cast("double") / lit(1000000.0d)) - lit(1.0d)))
+                .cast("float")))
+        } else shifted
       }.reduce(_ unionByName _)
       x10.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")

@@ -586,23 +586,54 @@ object CorpusOps {
     * Scale shape: one distinct (group, token) hash aggregation, a
     * token-keyed self-join whose output is bounded by G² per SHARED token
     * (G = group cardinality, guarded — sources, not ids), and G²-sized
-    * aggregations after. For unbounded vocabularies the KMV min-wise
-    * Jaccard sketch family is the approximate path; this is the exact
-    * matrix for the bounded-G case every corpus report actually has.
+    * aggregations after. The guard bounds the JOIN, not just the output:
+    * at the default maxGroups=64 a token shared by every group emits at
+    * most 64²/2 ≈ 2k pair rows, so the shuffle is ≤ vocab × 2k regardless
+    * of corpus size. For more groups, either raise the guard consciously
+    * (vocab × G²/2 shuffle), set `tokenDfCap` (below), or use the KMV
+    * min-wise Jaccard sketch family — this is the exact matrix for the
+    * bounded-G case every corpus report actually has.
+    *
+    * `tokenDfCap` (0 = off, the exact default): when > 0, tokens present
+    * in MORE than `tokenDfCap` groups are dropped from the vocabulary —
+    * from both the shared counts AND the per-group sizes, so the Jaccard
+    * stays internally consistent. This is the distinctive-vocabulary
+    * Jaccard (the winnowSimilarity boilerplate-cap convention): ubiquitous
+    * tokens carry no discrimination and dominate the join volume, so
+    * capping them bounds the self-join at vocab × cap²/2 while barely
+    * moving the matrix. It is a documented APPROXIMATION of the exact
+    * token-set Jaccard, not a fence.
+    *
+    * Groups whose docs all normalize to zero tokens still appear in every
+    * pair row, with n = 0 and jaccard 0.0 (empty union defined as 0).
     * Output: (group_a < group_b, n_a, n_b, n_shared, jaccard). */
   def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
-                    maxGroups: Int = 1000): DataFrame = {
+                    maxGroups: Int = 64, tokenDfCap: Int = 0): DataFrame = {
     require(maxGroups >= 2, s"bad maxGroups $maxGroups")
-    val gt = df.select(col(groupCol).as("__g"),
+    val gt0 = df.select(col(groupCol).as("__g"),
         explode(graft.functions.minhashExprs.wordGrams(
           TextFunctions.normalized(col(textCol)), 1)).as("__tok"))
       .distinct()
+    val gt = if (tokenDfCap > 0) {
+      // per-token group-df, then keep only distinctive tokens; the df
+      // frame is vocab-sized (one row per token) and the filter join is
+      // the same token-keyed shuffle the intersection pays anyway
+      val keep = gt0.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= tokenDfCap).select(col("__tok"))
+      gt0.join(keep, "__tok")
+    } else gt0
     val groups = df.select(col(groupCol)).distinct()
     require(groups.limit(maxGroups + 1).count() <= maxGroups,
       s"sourceOverlap: > $maxGroups groups in '$groupCol' — the overlap " +
         "matrix is G² and the token self-join emits up to G² rows per " +
         "shared token; use the KMV Jaccard sketches for unbounded keys")
-    val sizes = gt.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    // sizes come from the GROUP set, not the token frame: a token-empty
+    // group has no gt row, and an inner join on its size would silently
+    // drop every pair involving it from the matrix (r12 ADVICE)
+    val sizes = groups.select(col(groupCol).as("__g"))
+      .join(gt.groupBy(col("__g")).agg(count(lit(1)).as("__cnt")),
+        Seq("__g"), "left")
+      .select(col("__g"), coalesce(col("__cnt"), lit(0L)).as("__n"))
     val inter = gt.as("a").join(gt.as("b"),
         col("a.__tok") === col("b.__tok") && col("a.__g") < col("b.__g"))
       .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
@@ -613,6 +644,7 @@ object CorpusOps {
     val pairs = groups.select(col(groupCol).as("group_a"))
       .join(groups.select(col(groupCol).as("group_b")),
         col("group_a") < col("group_b"))
+    val union = col("n_a") + col("n_b") - col("n_shared")
     pairs
       .join(inter, Seq("group_a", "group_b"), "left")
       .join(broadcast(sizes.select(col("__g").as("group_a"),
@@ -622,8 +654,8 @@ object CorpusOps {
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("jaccard",
-        round(col("n_shared").cast("double")
-          / (col("n_a") + col("n_b") - col("n_shared")), 6))
+        when(union === 0L, 0.0)
+          .otherwise(round(col("n_shared").cast("double") / union, 6)))
   }
 
   /** Corpus version diff — what changed between two crawls/snapshots of

@@ -34,6 +34,13 @@ object Sampling {
                 trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 1.0,
       s"bad split fractions: train=$trainPct val=$valPct")
+    // withColumn REPLACES an existing column of the same name — a caller
+    // frame that already carries bucket/split would be silently clobbered
+    // and the old assignment lost (r12 ADVICE); fail loudly instead
+    Seq("bucket", "split").foreach(c =>
+      require(!df.columns.contains(c),
+        s"hashSplit adds a '$c' column but the input already has one — " +
+          "rename or drop it first"))
     val trainCut = (256 * trainPct).toInt
     val valCut = (256 * (trainPct + valPct)).toInt
     val b = hashBucket(col(idCol))
@@ -56,11 +63,16 @@ object Sampling {
     * RNG — and the whole cluster moves atomically between splits if the
     * fractions change, never one member at a time. */
   def leakSafeSplit(df: DataFrame, idCol: String, textCol: String,
-                    trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame =
+                    trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
+    require(!df.columns.contains("cluster"),
+      "leakSafeSplit adds a 'cluster' column but the input already has " +
+        "one — rename or drop it first (or pass your cluster key straight " +
+        "to hashSplit)")
     hashSplit(
       df.withColumn("cluster",
         graft.functions.TextFunctions.fingerprintMd5(col(textCol))),
       "cluster", trainPct, valPct)
+  }
 
   /** Deterministic ~fraction sample: keep rows whose bucket falls under
     * 256·fraction. Same id ⇒ same decision on every run and engine. */
@@ -163,17 +175,21 @@ object Sampling {
     * prefix, so (bucket, priority) order IS priority order and the result
     * equals the single-window formulation exactly. Adds `cum_tokens`. */
   def tokenBudgetSample(df: DataFrame, idCol: String, tokensCol: String,
-                        budget: Long): DataFrame = {
+                        budget: Long, cache: Boolean = true): DataFrame = {
     require(budget >= 0, s"bad budget $budget")
     val spark = df.sparkSession
     import spark.implicits._
     val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
     // tracked persist: consumed by the totals collect AND the returned
-    // plan — uncached, the caller's upstream chain executes twice
-    val bucketed = Dedup.track(df
+    // plan — uncached, the caller's upstream chain executes twice. The
+    // pin lives until Dedup.unpersistAll() (the pipeline-cache
+    // convention the bench loop drives); library callers outside that
+    // loop who would rather recompute than hold a pinned cache pass
+    // cache=false (the lshIndex convention — r12 ADVICE).
+    val marked = df
       .withColumn("__pr", md5(col(idCol).cast("string")))
       .withColumn("__b", hashBucket(col(idCol)))
-      .persist())
+    val bucketed = if (cache) Dedup.track(marked.persist()) else marked
     val totals = bucketed.groupBy(col("__b")).agg(sum(toks).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until 256)
@@ -219,7 +235,8 @@ object Sampling {
     * Adds `cum_tokens`; keeps rows with cum_tokens ≤ budget. */
   def qualityBudgetFill(df: DataFrame, idCol: String, tokensCol: String,
                         scoreCol: String, budget: Long,
-                        maxDistinctScores: Long = 1L << 20): DataFrame = {
+                        maxDistinctScores: Long = 1L << 20,
+                        cache: Boolean = true): DataFrame = {
     require(budget >= 0, s"bad budget $budget")
     require(maxDistinctScores >= 1, s"bad maxDistinctScores")
     val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
@@ -229,10 +246,12 @@ object Sampling {
     // below, the per-(score,bucket) totals, and the final join — and an
     // uncached caller chain (c4 clean, dedup, scoring) would re-execute
     // for each. The probe action doubles as the cache materializer.
-    val base = Dedup.track(df
+    // Library callers outside the unpersistAll loop who would rather
+    // recompute than hold a pinned cache pass cache=false (r12 ADVICE).
+    val marked = df
       .withColumn("__pr", md5(col(idCol).cast("string")))
       .withColumn("__hb", hashBucket(col(idCol)))
-      .persist())
+    val base = if (cache) Dedup.track(marked.persist()) else marked
     // one probe action checks BOTH guards: count(1) vs count(score) over
     // the limited distinct frame detects a NULL score (NULL is one
     // distinct value, so whenever the cardinality check passes the frame

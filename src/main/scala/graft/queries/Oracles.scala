@@ -1502,7 +1502,11 @@ object Oracles {
 
   /** source_overlap: distinct (source, token) pairs under the cm_freq
     * token identity, token-keyed self-join for pairwise intersections,
-    * per-source vocabulary sizes, exact Jaccard. */
+    * per-source vocabulary sizes, exact Jaccard. Sizes LEFT JOIN from the
+    * group set (token-empty groups keep their pairs at n=0, jaccard 0) —
+    * the same semantics as CorpusOps.sourceOverlap after the r12 ADVICE
+    * fix; on the contract corpus no group is token-empty so rows are
+    * unchanged, but the engines now agree on degenerate inputs too. */
   val sourceOverlap: String =
     """WITH gt AS (
       |  SELECT DISTINCT source AS g,
@@ -1510,21 +1514,25 @@ object Oracles {
       |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
       |      t -> len(t) > 0)) AS tok
       |  FROM documents),
-      |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM gt GROUP BY g),
+      |grp AS (SELECT DISTINCT source AS g FROM documents),
+      |sizes AS (
+      |  SELECT grp.g, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |  FROM grp LEFT JOIN
+      |    (SELECT g, count(*) AS n FROM gt GROUP BY g) c USING (g)),
       |inter AS (
       |  SELECT a.g AS group_a, b.g AS group_b,
       |    CAST(count(*) AS BIGINT) AS n_shared
       |  FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g
       |  GROUP BY 1, 2),
       |pairs AS (
-      |  SELECT a.source AS group_a, b.source AS group_b
-      |  FROM (SELECT DISTINCT source FROM documents) a,
-      |       (SELECT DISTINCT source FROM documents) b
-      |  WHERE a.source < b.source)
+      |  SELECT a.g AS group_a, b.g AS group_b
+      |  FROM grp a, grp b
+      |  WHERE a.g < b.g)
       |SELECT p.group_a, p.group_b, sa.n AS n_a, sb.n AS n_b,
       |  COALESCE(i.n_shared, 0) AS n_shared,
-      |  round(CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
-      |    / (sa.n + sb.n - COALESCE(i.n_shared, 0)), 6) AS jaccard
+      |  CASE WHEN sa.n + sb.n - COALESCE(i.n_shared, 0) = 0 THEN 0.0
+      |       ELSE round(CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+      |         / (sa.n + sb.n - COALESCE(i.n_shared, 0)), 6) END AS jaccard
       |FROM pairs p
       |LEFT JOIN inter i USING (group_a, group_b)
       |JOIN sizes sa ON sa.g = p.group_a

@@ -1277,7 +1277,15 @@ object PipelineQueries {
     * the dir's parquet, NOT session-bound — no liveness/release to
     * manage, so a plain putIfAbsent publication suffices.
     * [[bpeMergesQ]] stays UN-memoized on purpose: it IS the induction
-    * benchmark, and its oracle row pins the induction itself. */
+    * benchmark, and its oracle row pins the induction itself.
+    *
+    * Staleness contract (r12 ADVICE): the memo keys on the DIR PATH with
+    * no content stamp — parquet regenerated under the same path within a
+    * live JVM is served the PRIOR corpus's merge table. That matches the
+    * bench/verify convention (the driver regenerates testdata only
+    * between JVM runs, and clearIndexCaches() is the session-reset
+    * hook); a long-lived embedding JVM that rewrites a dir in place must
+    * call [[clearIndexCaches]] after the rewrite. */
   private def bpeTable(spark: SparkSession, dir: String): Seq[(String, String)] =
     bpeTables.getOrElse(dir, {
       val learned = CorpusOps

@@ -395,6 +395,36 @@ class CorpusOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("overlap matrix is G"))
   }
 
+  test("sourceOverlap: token-empty group keeps its pairs at n=0/jaccard 0; " +
+      "tokenDfCap drops ubiquitous tokens from shared AND sizes") {
+    // group E normalizes to zero tokens (punctuation only) — before the
+    // r12 ADVICE fix the inner size join silently dropped all its pairs
+    val df = Seq(
+      (1L, "A", "alpha beta"),
+      (2L, "B", "beta gamma"),
+      (3L, "E", "!!! ...")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.CorpusOps
+      .sourceOverlap(df, "source", "text")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size === 3, "all three unordered pairs, including E's")
+    assert(got(("A", "E")) === ((2L, 0L, 0L, 0.0)))
+    assert(got(("B", "E")) === ((2L, 0L, 0L, 0.0)))
+    assert(got(("A", "B")) === ((2L, 2L, 1L, 0.333333)))
+    // tokenDfCap=1: 'beta' (df 2) leaves the vocabulary entirely — sizes
+    // shrink with it, so the distinctive-Jaccard stays internally
+    // consistent (A={alpha}, B={gamma}, shared 0)
+    val capped = graft.operators.CorpusOps
+      .sourceOverlap(df, "source", "text", tokenDfCap = 1)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(capped(("A", "B")) === ((1L, 1L, 0L, 0.0)))
+    assert(capped.size === 3)
+  }
+
   test("corpusDiff: all four statuses; normalization-only churn is " +
       "unchanged") {
     val before = Seq(

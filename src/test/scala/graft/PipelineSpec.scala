@@ -327,6 +327,26 @@ class PipelineSpec extends SparkSuite {
     assert(s > 0 && s < docs.count())
   }
 
+  test("split output columns refuse to clobber same-named input columns") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val withSplit = Seq((1L, "x", "old")).toDF("doc_id", "text", "split")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(withSplit, "doc_id")
+    }
+    assert(e1.getMessage.contains("'split'"))
+    val withCluster = Seq((1L, "x", "old")).toDF("doc_id", "text", "cluster")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.leakSafeSplit(withCluster, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("'cluster'"))
+    val withBucket = Seq((1L, "x", 3)).toDF("doc_id", "text", "bucket")
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(withBucket, "doc_id")
+    }
+    assert(e3.getMessage.contains("'bucket'"))
+  }
+
   test("decontamination flags every original whose plant is in the benchmark") {
     val docs = PipelineQueries.docsWithPlants(spark, sf())
     val hits = Dedup.crossNgramOverlap(
