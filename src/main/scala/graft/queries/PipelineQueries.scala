@@ -1084,8 +1084,15 @@ object PipelineQueries {
     * is exactly the DuckDB-computable planted set: a full value oracle on
     * LSH recall AND the cosine math. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    // planes = 0 (auto-scale), not a pinned 4: the auto rule resolves to
+    // the SAME 4 planes at every small contract SF (≤ 2k vectors), but at
+    // the sf1 corpus (20k) a pinned 4 put ~1250 vectors in each of the 16
+    // buckets — past the 1000 cap, so the guard's deterministic truncation
+    // dropped planted pairs (spark=1 vs oracle=20 at the r13 sf1 gate).
+    // Auto picks 7 planes there and every bucket stays under cap; the
+    // plants (cosine ≈ 0.994) survive the Hamming-1 probe either way.
     Dedup.embeddingPairs(embeddingsWithPlants(spark, dir), "vec_id", "embedding",
-        threshold = 0.98, planes = 4, probe = true)
+        threshold = 0.98, planes = 0, probe = true)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Full dedup pipeline end-to-end: MinHash LSH pairs → connected
@@ -1157,15 +1164,22 @@ object PipelineQueries {
   }
 
   /** KMV distinct-count sketch in its EXACT regime: per-returnflag distinct
-    * part keys over lineitem with k = 2¹⁷, far above sf0.1's 20k distinct
-    * parts, so the bounded sketch provably equals COUNT(DISTINCT) and
+    * part keys over lineitem with k = 2¹⁸, far above every contract SF's
+    * distinct parts (20k at sf0.1, ~200k at sf1), so the bounded sketch
+    * provably equals COUNT(DISTINCT) and
     * DuckDB value-checks the whole pipeline (hash, flip, bounded heap,
     * partial-aggregate merges, estimate finisher). The sub-k ERROR regime
     * — the reason the sketch exists at 100 TB — is spec-tested with
     * measured relative error (KmvSpec), the same split as knn_ivf's
     * full-probe trick. */
   def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
-    val k = 1 << 17
+    // 2^18, not 2^17: the sf1 fixture has ~200k distinct partkeys and at
+    // 2^17 the sketch legitimately dropped to its ESTIMATE regime there
+    // (0.37% error — working as designed, but a gate exclusion). 2^18
+    // keeps the provable exact regime at every contract SF including sf1;
+    // the estimate regime stays spec-measured in KmvSpec (r12 verdict
+    // item 4 companion fix).
+    val k = 1 << 18
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
