@@ -226,6 +226,7 @@ object SparkEntry {
     // round 12: re-crawl corpus diff — per-id added/removed/modified/
     // unchanged by normalized-content fingerprint, one full-outer join
     "corpus_diff" -> (PipelineQueries.corpusDiffQ _),
+    "corpus_drift" -> (PipelineQueries.corpusDriftQ _),
     // round 12: pairwise source token-set Jaccard — the cross-source
     // redundancy matrix a mixing recipe is tuned against
     "source_overlap" -> (PipelineQueries.sourceOverlapQ _))
@@ -433,5 +434,6 @@ object SparkEntry {
     "epoch_manifest" -> Oracles.epochManifest,
     "leak_safe_split" -> Oracles.leakSafeSplit,
     "corpus_diff" -> Oracles.corpusDiff,
+    "corpus_drift" -> Oracles.corpusDrift,
     "source_overlap" -> Oracles.sourceOverlap)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -681,5 +681,87 @@ object CorpusOps {
           .when(col("__fa").isNull, "removed")
           .when(col("__fa") === col("__fb"), "unchanged")
           .otherwise("modified").as("status"))
+  }
+
+  /** Token-DISTRIBUTION drift between two corpus snapshots, per group
+    * (source/domain/shard): Jensen-Shannon divergence (nats) and L1
+    * distance between each group's unigram occurrence distributions —
+    * the distribution-level companion of [[corpusDiff]]'s id-level view,
+    * and the drift monitor a recurring crawl runs ("did source X's
+    * content shift, not just its doc set"). Token identity is the corpus
+    * convention (whitespace tokens of normalized text, occurrence-
+    * weighted — the cm_freq identity, NOT the distinct-set identity of
+    * [[sourceOverlap]]).
+    *
+    *   p_t = c_before(t)/T_before,  q_t = c_after(t)/T_after
+    *   JS  = ½ Σ p·ln(2p/(p+q)) + ½ Σ q·ln(2q/(p+q))   ∈ [0, ln 2]
+    *   L1  = Σ |p − q|                                  ∈ [0, 2]
+    *
+    * A group absent from one snapshot has q ≡ 0 (or p ≡ 0) as the ZERO
+    * MEASURE — its KL and L1 legs contribute nothing — so JS = ln2/2, L1 = 1:
+    * the JS ceiling under this convention, which is what "the source
+    * vanished" reads as (two PROPER distributions never exceed ln 2
+    * overall and hit it only when disjoint).
+    * Cross-engine determinism: each ln rounds to the 1e-9 grid and each
+    * term quantizes to a 1e-9-grid long before the sum (order-free
+    * integer addition, the lm_score convention); count products go
+    * through doubles BEFORE multiplying so 100-TB token totals cannot
+    * overflow long.
+    *
+    * Scale shape (100 TB): two (group, token) hash aggregations (map-side
+    * combined), ONE full-outer equi-join on (group, token) — counts
+    * travel, never text — two map-only per-group total scans joined back
+    * broadcast (group-cardinality-sized), and one final per-group
+    * aggregation. No windows, no self-joins, no G² anything: cost is
+    * linear in vocabulary × groups.
+    * Output: (group, n_before, n_after, js_div, l1_dist). */
+  def distributionDrift(before: DataFrame, after: DataFrame,
+                        groupCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(groupCol).as("__g"),
+      explode(graft.functions.minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), 1)).as("__tok"))
+    def totals(df: DataFrame, as: String) = df
+      .select(col(groupCol).as("__g"),
+        size(graft.functions.minhashExprs.wordGrams(
+          TextFunctions.normalized(col(textCol)), 1)).cast("long").as("__n"))
+      .groupBy(col("__g")).agg(sum(col("__n")).as(as))
+    val cb = toks(before).groupBy(col("__g"), col("__tok"))
+      .agg(count(lit(1)).as("__cb"))
+    val ca = toks(after).groupBy(col("__g"), col("__tok"))
+      .agg(count(lit(1)).as("__ca"))
+    val joined = cb.join(ca, Seq("__g", "__tok"), "full_outer")
+      .select(col("__g"), col("__tok"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"))
+      .join(broadcast(totals(before, "__tb")), Seq("__g"), "left")
+      .join(broadcast(totals(after, "__ta")), Seq("__g"), "left")
+      .select(col("__g"), col("__cb"), col("__ca"),
+        coalesce(col("__tb"), lit(0L)).as("__tb"),
+        coalesce(col("__ta"), lit(0L)).as("__ta"))
+    val d = (c: Column) => c.cast("double")
+    val p = when(col("__tb") === 0L, 0.0).otherwise(d(col("__cb")) / d(col("__tb")))
+    val q = when(col("__ta") === 0L, 0.0).otherwise(d(col("__ca")) / d(col("__ta")))
+    // ln(2p/(p+q)) with the denominators cleared: 2·cb·ta/(cb·ta + ca·tb)
+    // — all-double products (overflow-safe), one deterministic division.
+    // cb = 0 ⇒ term 0 (0·ln 0 = 0); ta = 0 ⇒ q ≡ 0 ⇒ ratio exactly 2.
+    val lnP = when(col("__cb") === 0L, 0.0)
+      .when(col("__ta") === 0L, round(log(lit(2.0)), 9))
+      .otherwise(round(log(lit(2.0) * d(col("__cb")) * d(col("__ta"))
+        / (d(col("__cb")) * d(col("__ta")) + d(col("__ca")) * d(col("__tb")))), 9))
+    val lnQ = when(col("__ca") === 0L, 0.0)
+      .when(col("__tb") === 0L, round(log(lit(2.0)), 9))
+      .otherwise(round(log(lit(2.0) * d(col("__ca")) * d(col("__tb"))
+        / (d(col("__cb")) * d(col("__ta")) + d(col("__ca")) * d(col("__tb")))), 9))
+    joined
+      .select(col("__g"), col("__cb"), col("__ca"),
+        round(p * lnP * 1e9, 0).cast("long").as("__jp"),
+        round(q * lnQ * 1e9, 0).cast("long").as("__jq"),
+        round(abs(p - q) * 1e9, 0).cast("long").as("__l1"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__cb")).as("n_before"), sum(col("__ca")).as("n_after"),
+        round((sum(col("__jp")) + sum(col("__jq"))).cast("double") / 2e9, 6)
+          .as("js_div"),
+        round(sum(col("__l1")).cast("double") / 1e9, 6).as("l1_dist"))
+      .withColumnRenamed("__g", groupCol)
   }
 }

@@ -1566,6 +1566,71 @@ object Oracles {
       |FROM b FULL OUTER JOIN a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** corpus_drift: per-source unigram-distribution JS divergence + L1
+    * under the corpus_diff mutation (sources kept on re-added docs) —
+    * the full arithmetic replayed: occurrence counts, per-source totals,
+    * the cleared-denominator ln ratio rounded to 1e-9, per-term 1e-9-grid
+    * integer quantization, order-free long sums (the lm_score
+    * convention). Count products go through DOUBLE before multiplying,
+    * same as the Spark side. */
+  val corpusDrift: String =
+    """WITH a0 AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' corpus diff edit'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT source, text FROM documents WHERE doc_id < 15),
+      |bt AS (
+      |  SELECT source,
+      |    unnest(list_filter(
+      |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |at AS (
+      |  SELECT source,
+      |    unnest(list_filter(
+      |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      t -> len(t) > 0)) AS tok
+      |  FROM a0),
+      |cb AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cb FROM bt GROUP BY 1, 2),
+      |ca AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS ca FROM at GROUP BY 1, 2),
+      |tb AS (SELECT source, CAST(count(*) AS BIGINT) AS tb FROM bt GROUP BY 1),
+      |ta AS (SELECT source, CAST(count(*) AS BIGINT) AS ta FROM at GROUP BY 1),
+      |j AS (
+      |  SELECT COALESCE(cb.source, ca.source) AS source,
+      |    COALESCE(cb.cb, 0) AS cb, COALESCE(ca.ca, 0) AS ca
+      |  FROM cb FULL OUTER JOIN ca
+      |    ON cb.source = ca.source AND cb.tok = ca.tok),
+      |j2 AS (
+      |  SELECT j.source, j.cb, j.ca,
+      |    COALESCE(tb.tb, 0) AS tb, COALESCE(ta.ta, 0) AS ta
+      |  FROM j LEFT JOIN tb ON tb.source = j.source
+      |         LEFT JOIN ta ON ta.source = j.source),
+      |terms AS (
+      |  SELECT source, cb, ca,
+      |    CASE WHEN tb = 0 THEN 0.0 ELSE CAST(cb AS DOUBLE) / tb END AS p,
+      |    CASE WHEN ta = 0 THEN 0.0 ELSE CAST(ca AS DOUBLE) / ta END AS q,
+      |    CASE WHEN cb = 0 THEN 0.0
+      |         WHEN ta = 0 THEN round(ln(2.0), 9)
+      |         ELSE round(ln(2.0 * CAST(cb AS DOUBLE) * CAST(ta AS DOUBLE)
+      |           / (CAST(cb AS DOUBLE) * CAST(ta AS DOUBLE)
+      |              + CAST(ca AS DOUBLE) * CAST(tb AS DOUBLE))), 9) END AS lnp,
+      |    CASE WHEN ca = 0 THEN 0.0
+      |         WHEN tb = 0 THEN round(ln(2.0), 9)
+      |         ELSE round(ln(2.0 * CAST(ca AS DOUBLE) * CAST(tb AS DOUBLE)
+      |           / (CAST(cb AS DOUBLE) * CAST(ta AS DOUBLE)
+      |              + CAST(ca AS DOUBLE) * CAST(tb AS DOUBLE))), 9) END AS lnq
+      |  FROM j2)
+      |SELECT source,
+      |  CAST(sum(cb) AS BIGINT) AS n_before,
+      |  CAST(sum(ca) AS BIGINT) AS n_after,
+      |  round(CAST(sum(CAST(round(p * lnp * 1e9) AS BIGINT))
+      |    + sum(CAST(round(q * lnq * 1e9) AS BIGINT)) AS DOUBLE) / 2e9, 6) AS js_div,
+      |  round(CAST(sum(CAST(round(abs(p - q) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS l1_dist
+      |FROM terms GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** leak_safe_split: the cluster-keyed hash split replayed — fingerprint
     * = md5(normalized text), bucket = 2-hex md5 of the FINGERPRINT string
     * (not the doc id — that is the whole point), 205/26-bucket cuts.

@@ -230,6 +230,24 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source token-distribution drift under the corpus_diff mutation
+    * (same deterministic re-crawl: %7 removals, %5 edits, doc_id < 15
+    * re-additions — here KEEPING their source so each source's
+    * distribution shifts, not just its doc set): JS divergence + L1 per
+    * source between before and after. */
+  def corpusDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val after = docs.where(col("doc_id") % 7 =!= 3)
+      .select(col("source"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" corpus diff edit")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.where(col("doc_id") < 15).select(col("source"), col("text")))
+    CorpusOps.distributionDrift(docs, after, "source", "text")
+      .orderBy(col("source"))
+  }
+
   /** Leakage-safe split over a corpus with planted EXACT duplicates
     * (doc_id < 20 re-arrive verbatim under +PlantShift ids): both copies
     * share the fingerprint cluster, so the oracle value-checks that no

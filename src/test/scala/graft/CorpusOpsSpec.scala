@@ -425,6 +425,37 @@ class CorpusOpsSpec extends SparkSuite {
     assert(capped.size === 3)
   }
 
+  test("distributionDrift: hand-computed JS/L1; identical snapshot is 0; " +
+      "vanished group is ln2/2") {
+    // group A before: tokens {x:2, y:2} (T=4); after: {x:1, y:3} (T=4)
+    //   p = (.5, .5), q = (.25, .75), m = (.375, .625)
+    //   JS = .5*(.5 ln(.5/.375) + .5 ln(.5/.625))
+    //      + .5*(.25 ln(.25/.375) + .75 ln(.75/.625)) ≈ 0.033822
+    //   L1 = |.5-.25| + |.5-.75| = 0.5
+    val before = Seq(("A", "x x y y"), ("B", "w w")).toDF("source", "text")
+    val after = Seq(("A", "x y y y")).toDF("source", "text")
+    val got = graft.operators.CorpusOps
+      .distributionDrift(before, after, "source", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (nbA, naA, jsA, l1A) = got("A")
+    assert((nbA, naA) === ((4L, 4L)))
+    assert(math.abs(jsA - 0.033822) < 1e-5, s"JS(A) = $jsA")
+    assert(l1A === 0.5)
+    // group B vanished: q is the ZERO MEASURE (no after distribution
+    // exists), so its KL and L1 legs contribute nothing ⇒ JS = ln2/2, L1 = 1
+    val (nbB, naB, jsB, l1B) = got("B")
+    assert((nbB, naB) === ((2L, 0L)))
+    assert(math.abs(jsB - math.log(2.0) / 2) < 1e-5, s"JS(B) = $jsB")
+    assert(l1B === 1.0)
+    // identical snapshots drift 0 exactly
+    val same = graft.operators.CorpusOps
+      .distributionDrift(before, before, "source", "text")
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(same.forall(_ == ((0.0, 0.0))), same.mkString(","))
+  }
+
   test("corpusDiff: all four statuses; normalization-only churn is " +
       "unchanged") {
     val before = Seq(
