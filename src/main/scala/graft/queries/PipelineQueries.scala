@@ -248,6 +248,31 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Quality-ranked keep-list over planted near-dup pairs: doc_id < 20
+    * re-arrive under +PlantShift with a deterministic quality NUDGE —
+    * even ids gain stopwords (quality up), odd ids gain punctuation
+    * (quality down) — and the pair set links each original to its plant.
+    * keepBest must keep the higher-quality member of every pair (the
+    * plant for even ids, the original for odd) and every singleton; the
+    * oracle replays the full quality arithmetic and the argmax. */
+  def keepBestQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val plants = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + PlantShift).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" the and of to in is are")))
+          .otherwise(concat(col("text"), lit(" !!! ;;; ??? %%% @@@")))
+          .as("text"))
+    val uni = docs.union(plants)
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+    val pairs = docs.where(col("doc_id") < 20)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + PlantShift).as("id_b"))
+    Dedup.keepBest(uni, "doc_id", "quality", pairs)
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Leakage-safe split over a corpus with planted EXACT duplicates
     * (doc_id < 20 re-arrive verbatim under +PlantShift ids): both copies
     * share the fingerprint cluster, so the oracle value-checks that no

@@ -395,6 +395,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("overlap matrix is G"))
   }
 
+  test("keepBest: argmax per component, ties break to min id, null scores " +
+      "lose, singletons kept, string ids rejected") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, 0.2), (2L, 0.9),            // component {1,2,3}: 2 wins on score
+      (3L, 0.9),                       //   (2 < 3 tie -> min id 2)
+      (10L, 0.5),                      // singleton
+      (20L, Double.NaN), (21L, 0.1)    // NaN treated as a real double by
+    ).toDF("id", "score")              //   Spark ordering (NaN > any) —
+      .withColumn("score",             //   use null instead for "no score"
+        when(col("id") === 20L, lit(null).cast("double"))
+          .otherwise(col("score")))
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBest(df, "id", "score", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 10L, 21L),
+      s"expected argmax keepers + singleton, got $kept")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keepBest(Seq(("a", 1.0)).toDF("id", "score"), "id", "score",
+        pairs)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("sourceOverlap: token-empty group keeps its pairs at n=0/jaccard 0; " +
       "tokenDfCap drops ubiquitous tokens from shared AND sizes") {
     // group E normalizes to zero tokens (punctuation only) — before the
