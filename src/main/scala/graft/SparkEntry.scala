@@ -228,6 +228,7 @@ object SparkEntry {
     "corpus_diff" -> (PipelineQueries.corpusDiffQ _),
     "corpus_drift" -> (PipelineQueries.corpusDriftQ _),
     "keep_best" -> (PipelineQueries.keepBestQ _),
+    "source_overlap_kmv" -> (PipelineQueries.sourceOverlapSketchQ _),
     // round 12: pairwise source token-set Jaccard — the cross-source
     // redundancy matrix a mixing recipe is tuned against
     "source_overlap" -> (PipelineQueries.sourceOverlapQ _))
@@ -437,5 +438,6 @@ object SparkEntry {
     "corpus_diff" -> Oracles.corpusDiff,
     "corpus_drift" -> Oracles.corpusDrift,
     "keep_best" -> Oracles.keepBest,
+    "source_overlap_kmv" -> Oracles.sourceOverlapKmv,
     "source_overlap" -> Oracles.sourceOverlap)
 }

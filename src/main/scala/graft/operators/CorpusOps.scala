@@ -658,6 +658,53 @@ object CorpusOps {
           .otherwise(round(col("n_shared").cast("double") / union, 6)))
   }
 
+  /** KMV-sketch path of [[sourceOverlap]] — the unbounded-vocabulary form
+    * its docblock routes to: one distinct (group, token) aggregation
+    * collapses each group's vocabulary to a k-minimum-values sketch
+    * (Beyer et al., SIGMOD 2007 — [[graft.functions.exprs.kmvSketch]]),
+    * and the G² pair frame then compares SKETCHES (k longs each), never
+    * tokens: per-group distinct-size estimates via kmvEstimate and
+    * min-wise Jaccard via kmvJaccard. EXACT whenever |A ∪ B| ≤ k (both
+    * finishers collapse to true counts/Jaccard — the value-oracle-able
+    * regime); past k the error is the sketch family's measured ~1/√k.
+    *
+    * Scale shape (100 TB): vocabulary never reaches the pair join — the
+    * token-keyed work is ONE hash aggregation into G sketch rows of k
+    * longs, so the pair frame costs G²·k array arithmetic regardless of
+    * corpus or vocabulary size (vs the exact matrix's vocab × G² shuffle).
+    * `maxGroups` guards the G² output like the exact form. Token-empty
+    * groups keep their pairs (empty sketch → estimate 0, jaccard 0).
+    * Output: (group_a < group_b, est_a, est_b, jaccard_est). */
+  def sourceOverlapSketch(df: DataFrame, groupCol: String, textCol: String,
+                          k: Int = 1 << 12,
+                          maxGroups: Int = 1024): DataFrame = {
+    import graft.functions.exprs
+    require(k > 1, s"bad k $k")
+    require(maxGroups >= 2, s"bad maxGroups $maxGroups")
+    val gt = df.select(col(groupCol).as("__g"),
+        explode(graft.functions.minhashExprs.wordGrams(
+          TextFunctions.normalized(col(textCol)), 1)).as("__tok"))
+      .distinct()
+    val groups = df.select(col(groupCol)).distinct()
+    require(groups.limit(maxGroups + 1).count() <= maxGroups,
+      s"sourceOverlapSketch: > $maxGroups groups in '$groupCol' — the " +
+        "pair matrix is G²·k; raise the guard consciously")
+    val emptySk = array().cast("array<long>")
+    val sk = groups.select(col(groupCol).as("__g"))
+      .join(gt.groupBy(col("__g"))
+          .agg(exprs.kmvSketch(col("__tok"), k).as("__sk0")),
+        Seq("__g"), "left")
+      .select(col("__g"), coalesce(col("__sk0"), emptySk).as("__sk"))
+    val a = sk.select(col("__g").as("group_a"), col("__sk").as("__ska"))
+    val b = sk.select(col("__g").as("group_b"), col("__sk").as("__skb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        round(exprs.kmvEstimate(col("__ska"), k), 6).as("est_a"),
+        round(exprs.kmvEstimate(col("__skb"), k), 6).as("est_b"),
+        round(exprs.kmvJaccard(col("__ska"), col("__skb"), k), 6)
+          .as("jaccard_est"))
+  }
+
   /** Corpus version diff — what changed between two crawls/snapshots of
     * the same id space: per-id status ∈ added / removed / modified /
     * unchanged, with content identity by normalized-text md5 fingerprint

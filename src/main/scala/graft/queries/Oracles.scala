@@ -1566,6 +1566,42 @@ object Oracles {
       |FROM b FULL OUTER JOIN a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** source_overlap_kmv: the sketch path in its exact regime — vocab ≪ k,
+    * so the KMV finishers equal the exact distinct counts and Jaccard;
+    * this replay IS the exact arithmetic (the knn_ivf full-probe trick). */
+  val sourceOverlapKmv: String =
+    """WITH gt AS (
+      |  SELECT DISTINCT source AS g,
+      |    unnest(list_filter(
+      |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |grp AS (SELECT DISTINCT source AS g FROM documents),
+      |sizes AS (
+      |  SELECT grp.g, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |  FROM grp LEFT JOIN
+      |    (SELECT g, count(*) AS n FROM gt GROUP BY g) c USING (g)),
+      |inter AS (
+      |  SELECT a.g AS group_a, b.g AS group_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.g AS group_a, b.g AS group_b
+      |  FROM grp a, grp b
+      |  WHERE a.g < b.g)
+      |SELECT p.group_a, p.group_b,
+      |  round(CAST(sa.n AS DOUBLE), 6) AS est_a,
+      |  round(CAST(sb.n AS DOUBLE), 6) AS est_b,
+      |  CASE WHEN sa.n + sb.n - COALESCE(i.n_shared, 0) = 0 THEN 0.0
+      |       ELSE round(CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+      |         / (sa.n + sb.n - COALESCE(i.n_shared, 0)), 6) END AS jaccard_est
+      |FROM pairs p
+      |LEFT JOIN inter i USING (group_a, group_b)
+      |JOIN sizes sa ON sa.g = p.group_a
+      |JOIN sizes sb ON sb.g = p.group_b
+      |ORDER BY group_a, group_b""".stripMargin
+
   /** corpus_drift: per-source unigram-distribution JS divergence + L1
     * under the corpus_diff mutation (sources kept on re-added docs) —
     * the full arithmetic replayed: occurrence counts, per-source totals,

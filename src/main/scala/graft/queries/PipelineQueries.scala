@@ -213,6 +213,19 @@ object PipelineQueries {
     CorpusOps.sourceOverlap(t(spark, dir, "documents"), "source", "text")
       .orderBy(col("group_a"), col("group_b"))
 
+  /** Sketch-path source overlap in its EXACT regime: the corpus
+    * vocabulary (~31 distinct tokens) sits far below k = 4096, so every
+    * per-group KMV sketch holds the whole token set and the estimate /
+    * min-wise Jaccard finishers provably equal the exact distinct counts
+    * and exact Jaccard — DuckDB value-checks the entire sketch pipeline
+    * (hash-distinct, bounded heap, merges, both finishers) against the
+    * exact arithmetic. The ESTIMATE regime is spec-measured (KmvSpec
+    * convention). */
+  def sourceOverlapSketchQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.sourceOverlapSketch(t(spark, dir, "documents"),
+        "source", "text")
+      .orderBy(col("group_a"), col("group_b"))
+
   /** Corpus version diff over a deterministic re-crawl mutation: doc_id %
     * 7 == 3 dropped (removed), doc_id % 5 == 0 edited (modified), doc_id
     * < 15 re-entering under +PlantShift ids (added), everything else

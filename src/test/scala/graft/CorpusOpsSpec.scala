@@ -449,6 +449,45 @@ class CorpusOpsSpec extends SparkSuite {
     assert(capped.size === 3)
   }
 
+  test("sourceOverlapSketch: exact-regime equality to the exact matrix; " +
+      "estimate regime within the 1/sqrt(k) envelope; empty group kept") {
+    val df = Seq(
+      (1L, "A", "alpha beta gamma"),
+      (2L, "A", "beta delta"),
+      (3L, "B", "beta gamma epsilon"),
+      (4L, "E", "!!! ...")            // token-empty group
+    ).toDF("doc_id", "source", "text")
+    val exact = graft.operators.CorpusOps
+      .sourceOverlap(df, "source", "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2).toDouble, r.getLong(3).toDouble, r.getDouble(5)))).toMap
+    val sk = graft.operators.CorpusOps
+      .sourceOverlapSketch(df, "source", "text", k = 64).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(sk.keySet === exact.keySet, "same pair frame incl. E's pairs")
+    sk.foreach { case (pair, got) =>
+      assert(got === exact(pair), s"exact regime must be exact at $pair")
+    }
+    // estimate regime: two groups of 2000 mostly-overlapping synthetic
+    // tokens (true J = 1500/2500 = 0.6) at k = 256 — measured error, not
+    // an oracle; the min-wise estimator's std dev is ~sqrt(J(1-J)/k) ≈
+    // 0.031, assert within 4 sigma
+    val big = (1 to 2000).map(i => (i.toLong, "X", s"tok$i"))
+      .++((501 to 2500).map(i => (i.toLong + 10000, "Y", s"tok$i")))
+      .toDF("doc_id", "source", "text")
+    val est = graft.operators.CorpusOps
+      .sourceOverlapSketch(big, "source", "text", k = 256)
+      .collect().head
+    info(f"estimate regime: est_a=${est.getDouble(2)}%.1f " +
+      f"est_b=${est.getDouble(3)}%.1f j=${est.getDouble(4)}%.4f (true 0.6)")
+    assert(math.abs(est.getDouble(4) - 0.6) < 0.125,
+      s"Jaccard estimate off: ${est.getDouble(4)}")
+    assert(math.abs(est.getDouble(2) - 2000) / 2000 < 0.15 &&
+      math.abs(est.getDouble(3) - 2000) / 2000 < 0.15,
+      s"size estimates off: ${est.getDouble(2)}, ${est.getDouble(3)}")
+  }
+
   test("distributionDrift: hand-computed JS/L1; identical snapshot is 0; " +
       "vanished group is ln2/2") {
     // group A before: tokens {x:2, y:2} (T=4); after: {x:1, y:3} (T=4)
