@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.CorpusOps
+import graft.streaming.{DriftStreams, EventStreams}
+
+/** Streaming drift monitor: the MG-summary + literal-reference finisher
+  * must reproduce the batch distributionDrift arithmetic exactly (same
+  * quantization grid), and the stream must equal the batch plan over the
+  * same rows through state merges. */
+class DriftStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("source", StringType), StructField("text", StringType)))
+
+  private def driftMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+  test("batch driftMonitor == distributionDrift on streamed groups " +
+      "(exact MG regime)") {
+    val ref = Seq(("A", "x x y y"), ("B", "w w"), ("C", "only ref"))
+      .toDF("source", "text")
+    val cur = Seq(("A", "x y y y"), ("B", "w v"))
+      .toDF("source", "text")
+    val mon = driftMap(DriftStreams.driftMonitor(cur, ref, "source", "text"))
+    val batch = driftMap(
+      CorpusOps.distributionDrift(ref, cur, "source", "text"))
+    // the monitor emits rows for STREAMED groups; each must equal the
+    // batch operator bit-for-bit (same quantization convention)
+    assert(mon.keySet === Set("A", "B"))
+    mon.foreach { case (g, got) =>
+      assert(got === batch(g), s"group $g: monitor $got vs batch ${batch(g)}")
+    }
+    // a group with no reference profile reads as pure novelty: q-only
+    // terms, JS = ln2/2 under the zero-measure convention
+    val novel = driftMap(DriftStreams.driftMonitor(
+      Seq(("Z", "brand new tokens")).toDF("source", "text"),
+      ref, "source", "text"))("Z")
+    assert(novel._1 === 0L)
+    assert(math.abs(novel._3 - math.log(2.0) / 2) < 1e-5)
+  }
+
+  test("stream (2 micro-batches, complete mode) == batch over the union") {
+    val dir = tmpDir("drift_stream")
+    val parts = Seq(
+      Seq(("A", "x y y y"), ("B", "w v")),
+      Seq(("A", "x x z"), ("D", "fresh source words")))
+    parts.foreach(_.toDF("source", "text").coalesce(1)
+      .write.mode("append").parquet(dir))
+    val ref = Seq(("A", "x x y y"), ("B", "w w")).toDF("source", "text")
+    val batch = driftMap(DriftStreams.driftMonitor(
+      spark.read.parquet(dir), ref, "source", "text"))
+    val stream = driftMap(EventStreams.runToMemory(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir),
+      df => DriftStreams.driftMonitor(df, ref, "source", "text"),
+      "drift_monitor_stream"))
+    assert(stream === batch,
+      s"stream $stream diverged from batch $batch across state merges")
+    // and the union also equals the relational batch operator
+    val rel = driftMap(CorpusOps.distributionDrift(
+      ref, spark.read.parquet(dir), "source", "text"))
+    stream.foreach { case (g, got) => assert(got === rel(g), s"group $g") }
+  }
+}
