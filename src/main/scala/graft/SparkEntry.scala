@@ -229,6 +229,7 @@ object SparkEntry {
     "corpus_drift" -> (PipelineQueries.corpusDriftQ _),
     "keep_best" -> (PipelineQueries.keepBestQ _),
     "source_overlap_kmv" -> (PipelineQueries.sourceOverlapSketchQ _),
+    "drift_monitor" -> (PipelineQueries.driftMonitorQ _),
     // round 12: pairwise source token-set Jaccard — the cross-source
     // redundancy matrix a mixing recipe is tuned against
     "source_overlap" -> (PipelineQueries.sourceOverlapQ _))
@@ -439,5 +440,8 @@ object SparkEntry {
     "corpus_drift" -> Oracles.corpusDrift,
     "keep_best" -> Oracles.keepBest,
     "source_overlap_kmv" -> Oracles.sourceOverlapKmv,
+    // the monitor's batch form reproduces corpus_drift exactly (every
+    // source streams): one oracle pins both paths to the same SQL
+    "drift_monitor" -> Oracles.corpusDrift,
     "source_overlap" -> Oracles.sourceOverlap)
 }

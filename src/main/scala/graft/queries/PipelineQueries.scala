@@ -213,6 +213,26 @@ object PipelineQueries {
     CorpusOps.sourceOverlap(t(spark, dir, "documents"), "source", "text")
       .orderBy(col("group_a"), col("group_b"))
 
+  /** The STREAMING drift monitor run in its batch form over the same
+    * corpus_drift mutation: every source streams rows, so the output must
+    * equal the relational distributionDrift row-for-row — one oracle
+    * value-checks the MG-summary aggregation path, the literal-reference
+    * finisher, and the batch operator against each other (the stream ≡
+    * batch leg is DriftStreamsSpec). */
+  def driftMonitorQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val after = docs.where(col("doc_id") % 7 =!= 3)
+      .select(col("source"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" corpus diff edit")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.where(col("doc_id") < 15).select(col("source"), col("text")))
+    graft.streaming.DriftStreams.driftMonitor(after,
+        docs.select(col("source"), col("text")), "source", "text")
+      .orderBy(col("source"))
+  }
+
   /** Sketch-path source overlap in its EXACT regime: the corpus
     * vocabulary (~31 distinct tokens) sits far below k = 4096, so every
     * per-group KMV sketch holds the whole token set and the estimate /
