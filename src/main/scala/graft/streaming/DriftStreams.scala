@@ -74,43 +74,47 @@ object DriftStreams {
     val agged = toks.groupBy(col("__g"))
       .agg(exprs.heavyHitters(col("__tok"), k).as("__hh"))
 
-    // finisher: per-group maps m (streamed counts, exact in the ≤ k
-    // regime) and r (reference), then the batch operator's term
-    // arithmetic over the key union — reference is "before" (p), the
-    // stream is "after" (q)
-    val m = map_from_entries(transform(col("__hh"),
-      e => struct(e.getField("term"), e.getField("count"))))
-    val r = coalesce(element_at(refLit, col("__g")),
-      typedLit(Map.empty[String, Long]))
-    val tb = coalesce(element_at(refTotLit, col("__g")), lit(0L))
-    val ta = aggregate(col("__hh"), lit(0L),
-      (acc, e) => acc + e.getField("count"))
+    // finisher stage 1 — HOIST every HOF-derived value (the streamed
+    // count map, the streamed total) into plain columns of an
+    // intermediate projection: Catalyst HOFs are interpreted with no CSE
+    // across lambda scopes, so a sum lambda that references a transform/
+    // aggregate EXPRESSION re-evaluates it per key — the O(vocab²) shape
+    // ContractSpec's quadratic-HOF lint exists to catch (and did, r13).
+    // After hoisting, the sum lambdas below reference only bound columns.
+    val prepared = agged.select(col("__g"),
+      map_from_entries(transform(col("__hh"),
+        e => struct(e.getField("term"), e.getField("count")))).as("__m"),
+      coalesce(element_at(refLit, col("__g")),
+        typedLit(Map.empty[String, Long])).as("__r"),
+      coalesce(element_at(refTotLit, col("__g")), lit(0L)).as("__tb"),
+      aggregate(col("__hh"), lit(0L),
+        (acc, e) => acc + e.getField("count")).as("__ta"))
+    // finisher stage 2: the batch operator's term arithmetic over the
+    // key union — reference is "before" (p), the stream is "after" (q)
+    val mm = col("__m"); val rr = col("__r")
+    val tb = col("__tb"); val ta = col("__ta")
     def d(c: Column) = c.cast("double")
-    def termSums(mm: Column, rr: Column): (Column, Column, Column) = {
-      val keys = array_union(map_keys(mm), map_keys(rr))
-      def per(key: Column): (Column, Column, Column) = {
-        val cb = coalesce(element_at(rr, key), lit(0L))
-        val ca = coalesce(element_at(mm, key), lit(0L))
-        val p = when(tb === 0L, 0.0).otherwise(d(cb) / d(tb))
-        val q = when(ta === 0L, 0.0).otherwise(d(ca) / d(ta))
-        val den = d(cb) * d(ta) + d(ca) * d(tb)
-        val lnP = when(cb === 0L, 0.0)
-          .when(ta === 0L, round(log(lit(2.0)), 9))
-          .otherwise(round(log(lit(2.0) * d(cb) * d(ta) / den), 9))
-        val lnQ = when(ca === 0L, 0.0)
-          .when(tb === 0L, round(log(lit(2.0)), 9))
-          .otherwise(round(log(lit(2.0) * d(ca) * d(tb) / den), 9))
-        (round(p * lnP * 1e9, 0).cast("long"),
-          round(q * lnQ * 1e9, 0).cast("long"),
-          round(abs(p - q) * 1e9, 0).cast("long"))
-      }
-      val jp = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._1)
-      val jq = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._2)
-      val l1 = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._3)
-      (jp, jq, l1)
+    val keys = array_union(map_keys(mm), map_keys(rr))
+    def per(key: Column): (Column, Column, Column) = {
+      val cb = coalesce(element_at(rr, key), lit(0L))
+      val ca = coalesce(element_at(mm, key), lit(0L))
+      val p = when(tb === 0L, 0.0).otherwise(d(cb) / d(tb))
+      val q = when(ta === 0L, 0.0).otherwise(d(ca) / d(ta))
+      val den = d(cb) * d(ta) + d(ca) * d(tb)
+      val lnP = when(cb === 0L, 0.0)
+        .when(ta === 0L, round(log(lit(2.0)), 9))
+        .otherwise(round(log(lit(2.0) * d(cb) * d(ta) / den), 9))
+      val lnQ = when(ca === 0L, 0.0)
+        .when(tb === 0L, round(log(lit(2.0)), 9))
+        .otherwise(round(log(lit(2.0) * d(ca) * d(tb) / den), 9))
+      (round(p * lnP * 1e9, 0).cast("long"),
+        round(q * lnQ * 1e9, 0).cast("long"),
+        round(abs(p - q) * 1e9, 0).cast("long"))
     }
-    val (jp, jq, l1) = termSums(m, r)
-    agged.select(col("__g").as(groupCol),
+    val jp = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._1)
+    val jq = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._2)
+    val l1 = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._3)
+    prepared.select(col("__g").as(groupCol),
       tb.as("n_before"), ta.as("n_after"),
       round((jp + jq).cast("double") / 2e9, 6).as("js_div"),
       round(l1.cast("double") / 1e9, 6).as("l1_dist"))
