@@ -230,6 +230,7 @@ object SparkEntry {
     "keep_best" -> (PipelineQueries.keepBestQ _),
     "source_overlap_kmv" -> (PipelineQueries.sourceOverlapSketchQ _),
     "drift_monitor" -> (PipelineQueries.driftMonitorQ _),
+    "snapshot_novelty" -> (PipelineQueries.snapshotNoveltyQ _),
     // round 12: pairwise source token-set Jaccard — the cross-source
     // redundancy matrix a mixing recipe is tuned against
     "source_overlap" -> (PipelineQueries.sourceOverlapQ _))
@@ -443,5 +444,6 @@ object SparkEntry {
     // the monitor's batch form reproduces corpus_drift exactly (every
     // source streams): one oracle pins both paths to the same SQL
     "drift_monitor" -> Oracles.corpusDrift,
+    "snapshot_novelty" -> Oracles.snapshotNovelty,
     "source_overlap" -> Oracles.sourceOverlap)
 }

@@ -658,6 +658,48 @@ object CorpusOps {
           .otherwise(round(col("n_shared").cast("double") / union, 6)))
   }
 
+  /** Cross-snapshot n-gram novelty, per group: of each group's distinct
+    * word n-grams in the AFTER snapshot, the fraction absent from the
+    * entire BEFORE snapshot — "how much of the new crawl is genuinely new
+    * text" (the cross-corpus sibling of [[gramNovelty]]'s within-corpus
+    * first-occurrence measure; n > 1 sees phrase-level novelty that the
+    * unigram [[distributionDrift]] cannot). Novelty is measured against
+    * the WHOLE before corpus, not per-group: a group plagiarizing another
+    * group's old text is not novel.
+    *
+    * Scale shape (100 TB): distinct-gram aggregation on each side
+    * (hash-shuffled on the gram), one LEFT ANTI equi-join on the gram —
+    * grams travel as strings once, counts thereafter — and a per-group
+    * count aggregation. No windows, no self-joins.
+    * Output: (group, n_grams, n_novel, novelty ∈ [0,1], round 6);
+    * gram-empty groups report 0/0/0.0. */
+  def snapshotNovelty(before: DataFrame, after: DataFrame,
+                      groupCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, s"gram order must be in [1,8], got $n")
+    def grams(df: DataFrame, cols: Seq[Column]) = df.select(cols :+
+      explode(graft.functions.minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), n)).as("__gram"): _*)
+    val beforeGrams = grams(before, Seq.empty).select(col("__gram")).distinct()
+    val afterGrams = grams(after, Seq(col(groupCol).as("__g")))
+      .select(col("__g"), col("__gram")).distinct()
+    val novel = afterGrams.join(beforeGrams, Seq("__gram"), "left_anti")
+      .groupBy(col("__g")).agg(count(lit(1)).as("__nn"))
+    val per = afterGrams.groupBy(col("__g")).agg(count(lit(1)).as("__ng"))
+      .join(novel, Seq("__g"), "left")
+      .select(col("__g"), col("__ng"),
+        coalesce(col("__nn"), lit(0L)).as("__nn"))
+    // every group of the after snapshot appears, even gram-empty ones
+    after.select(col(groupCol).as("__g")).distinct()
+      .join(per, Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"),
+        when(coalesce(col("__ng"), lit(0L)) === 0L, 0.0)
+          .otherwise(round(col("__nn").cast("double") / col("__ng"), 6))
+          .as("novelty"))
+  }
+
   /** KMV-sketch path of [[sourceOverlap]] — the unbounded-vocabulary form
     * its docblock routes to: one distinct (group, token) aggregation
     * collapses each group's vocabulary to a k-minimum-values sketch

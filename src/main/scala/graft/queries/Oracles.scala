@@ -1566,6 +1566,54 @@ object Oracles {
       |FROM b FULL OUTER JOIN a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** snapshot_novelty: cross-snapshot trigram novelty per source — the
+    * gram_novelty trigram replay, novelty measured as LEFT ANTI against
+    * the whole before corpus's distinct trigrams. */
+  val snapshotNovelty: String =
+    """WITH a0 AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' corpus diff edit'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT source, text FROM documents WHERE doc_id < 15),
+      |bl AS (
+      |  SELECT list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l
+      |  FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT tri FROM (
+      |    SELECT unnest(list_transform(range(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tri
+      |    FROM bl)),
+      |al AS (
+      |  SELECT source, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    x -> len(x) > 0) AS l
+      |  FROM a0),
+      |ag AS (
+      |  SELECT DISTINCT source, tri FROM (
+      |    SELECT source, unnest(list_transform(range(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tri
+      |    FROM al)),
+      |novel AS (
+      |  SELECT ag.source, CAST(count(*) AS BIGINT) AS nn
+      |  FROM ag LEFT JOIN bg USING (tri)
+      |  WHERE bg.tri IS NULL
+      |  GROUP BY 1),
+      |per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS ng FROM ag GROUP BY 1)
+      |SELECT g.source,
+      |  COALESCE(p.ng, 0) AS n_grams,
+      |  COALESCE(nv.nn, 0) AS n_novel,
+      |  CASE WHEN COALESCE(p.ng, 0) = 0 THEN 0.0
+      |       ELSE round(CAST(COALESCE(nv.nn, 0) AS DOUBLE) / p.ng, 6) END AS novelty
+      |FROM (SELECT DISTINCT source FROM a0) g
+      |LEFT JOIN per p USING (source)
+      |LEFT JOIN novel nv USING (source)
+      |ORDER BY g.source""".stripMargin
+
   /** source_overlap_kmv: the sketch path in its exact regime — vocab ≪ k,
     * so the KMV finishers equal the exact distinct counts and Jaccard;
     * this replay IS the exact arithmetic (the knn_ivf full-probe trick). */

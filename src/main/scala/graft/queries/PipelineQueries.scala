@@ -213,6 +213,24 @@ object PipelineQueries {
     CorpusOps.sourceOverlap(t(spark, dir, "documents"), "source", "text")
       .orderBy(col("group_a"), col("group_b"))
 
+  /** Cross-snapshot trigram novelty per source under the corpus_diff
+    * mutation: removals take no grams away from "before" (novelty is vs
+    * the FULL old corpus), edits add the one edit-phrase window set, and
+    * re-added docs are entirely old text — so novelty is small and
+    * precisely computable. */
+  def snapshotNoveltyQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val after = docs.where(col("doc_id") % 7 =!= 3)
+      .select(col("source"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" corpus diff edit")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.where(col("doc_id") < 15).select(col("source"), col("text")))
+    CorpusOps.snapshotNovelty(docs, after, "source", "text")
+      .orderBy(col("source"))
+  }
+
   /** The STREAMING drift monitor run in its batch form over the same
     * corpus_drift mutation: every source streams rows, so the output must
     * equal the relational distributionDrift row-for-row — one oracle

@@ -488,6 +488,31 @@ class CorpusOpsSpec extends SparkSuite {
       s"size estimates off: ${est.getDouble(2)}, ${est.getDouble(3)}")
   }
 
+  test("snapshotNovelty: hand-computed fractions; cross-group text is " +
+      "not novel; gram-empty group reports 0") {
+    val before = Seq(
+      (1L, "A", "a b c d"),          // before grams: {a b, b c, c d}
+      (2L, "B", "x y z")             //               {x y, y z}
+    ).toDF("doc_id", "source", "text")
+    val after = Seq(
+      ("A", "a b c q"),              // {a b, b c, c q}: 1 of 3 novel
+      ("B", "x y z"),                // all old: 0 of 2
+      ("C", "a b new"),              // {a b (old, from GROUP A!), b new}:
+                                     //   1 of 2 — cross-group is not novel
+      ("E", "!")                     // gram-empty
+    ).toDF("source", "text")
+    val got = graft.operators.CorpusOps
+      .snapshotNovelty(before, after, "source", "text", n = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("A") === ((3L, 1L, 0.333333)))
+    assert(got("B") === ((2L, 0L, 0.0)))
+    assert(got("C") === ((2L, 1L, 0.5)))
+    assert(got("E") === ((0L, 0L, 0.0)))
+    assert(got.size === 4)
+  }
+
   test("distributionDrift: hand-computed JS/L1; identical snapshot is 0; " +
       "vanished group is ln2/2") {
     // group A before: tokens {x:2, y:2} (T=4); after: {x:1, y:3} (T=4)
