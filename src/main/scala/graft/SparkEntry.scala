@@ -231,6 +231,7 @@ object SparkEntry {
     "source_overlap_kmv" -> (PipelineQueries.sourceOverlapSketchQ _),
     "drift_monitor" -> (PipelineQueries.driftMonitorQ _),
     "snapshot_novelty" -> (PipelineQueries.snapshotNoveltyQ _),
+    "incremental_dedup" -> (PipelineQueries.incrementalDedupQ _),
     // round 12: pairwise source token-set Jaccard — the cross-source
     // redundancy matrix a mixing recipe is tuned against
     "source_overlap" -> (PipelineQueries.sourceOverlapQ _))
@@ -445,5 +446,6 @@ object SparkEntry {
     // source streams): one oracle pins both paths to the same SQL
     "drift_monitor" -> Oracles.corpusDrift,
     "snapshot_novelty" -> Oracles.snapshotNovelty,
+    "incremental_dedup" -> Oracles.incrementalDedup,
     "source_overlap" -> Oracles.sourceOverlap)
 }

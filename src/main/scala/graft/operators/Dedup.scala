@@ -175,6 +175,91 @@ object Dedup {
       bucketCap, "minhash")
   }
 
+  /** Train-once MinHash signature index for INCREMENTAL batch dedup — the
+    * text sibling of [[Similarity.lshIndex]]'s handle convention, and the
+    * batch form of [[graft.streaming.NearDupIngest]]'s stream-static state
+    * join: sign and band the standing corpus ONCE, then each increment
+    * ("today's crawl") signs only itself and meets the stored bands in one
+    * equi-join — the standing corpus is never re-shingled per batch.
+    * Within-increment duplicates remain [[minhashPairs]]' job on the
+    * increment alone (division of labor; compose both for a full gate).
+    *
+    * Scale shape (100 TB): the index is two columnar frames — (id, sh,
+    * sig) and the capped (id, band, bkey) — that a production deployment
+    * persists as tables (exactly NearDupIngest's `sigs`/`bands` state
+    * layout); per increment the work is one band equi-join (increment-
+    * sized left side), the signature-estimate prefilter, and exact
+    * verification on the survivors. Both band sides are bucket-capped so
+    * a degenerate bucket cannot go quadratic. */
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   bucketCap: Int = 1000, cache: Boolean = true): MinhashIndex = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    val signed0 = corpus.select(
+        col(idCol).as("id"),
+        minhashExprs.wordShingleSet(col(textCol), 3).as("sh"))
+      .withColumn("sig", minhashExprs.minhashSig(col("sh"), numHashes))
+    val signed = if (cache) track(signed0.cache()) else signed0
+    val banded0 = ScaleOps.capBuckets(
+      signed
+        .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
+      Seq("band", "bkey"), bucketCap, "minhash_index")
+    val banded = if (cache) track(banded0.cache()) else banded0
+    new MinhashIndex(signed, banded, numHashes, bands, rows, bucketCap)
+  }
+
+  /** Standing-corpus MinHash index handle — see [[minhashIndex]]. */
+  final class MinhashIndex private[Dedup](
+      signed: DataFrame, banded: DataFrame, numHashes: Int, bands: Int,
+      rowsPerBand: Int, bucketCap: Int) {
+    /** Cross near-dup pairs between the INDEXED corpus and an increment:
+      * (id_a = indexed id, id_b = incoming id, jaccard ≥ threshold) —
+      * exact set Jaccard after the standard two-stage verification. */
+    def pairsAgainst(incoming: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.7): DataFrame = {
+      val inSigned = track(incoming.select(
+          col(idCol).as("id"),
+          minhashExprs.wordShingleSet(col(textCol), 3).as("sh"))
+        .withColumn("sig", minhashExprs.minhashSig(col("sh"), numHashes))
+        .cache())
+      val inBanded = ScaleOps.capBuckets(
+        inSigned
+          .select(col("id"),
+            explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+          .select(col("id"), col("bk.band").as("band"),
+            col("bk.bkey").as("bkey")),
+        Seq("band", "bkey"), bucketCap, "minhash_index_incoming")
+      val candidates = banded.alias("a")
+        .join(inBanded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      candidates
+        .join(signed.select(col("id").as("id_a"), col("sh").as("sh_a"),
+          col("sig").as("sig_a")), "id_a")
+        .join(inSigned.select(col("id").as("id_b"), col("sh").as("sh_b"),
+          col("sig").as("sig_b")), "id_b")
+        .where(minhashExprs.arrayAgreeCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes >= threshold - 0.2)
+        .withColumn("inter",
+          minhashExprs.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard",
+          when(size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, 0.0)
+            .otherwise(col("inter").cast("double")
+              / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
+    /** Release the index's persisted frames. */
+    def unpersist(): Unit = { signed.unpersist(); banded.unpersist(); () }
+    /** False once the owning SparkSession is stopped (memoized handles
+      * must rebuild, not serve dead cached frames). */
+    def isLive: Boolean = !signed.sparkSession.sparkContext.isStopped
+  }
+
   /** Shared LSH candidate generation + two-stage verification:
     * band self-join → signature-estimate prefilter (O(numHashes) per pair)
     * → exact set Jaccard (sorted-merge intersect kernel) only for

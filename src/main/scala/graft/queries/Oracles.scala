@@ -2068,6 +2068,48 @@ object Oracles {
     s"""WITH $minhashPairsCte
       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2""".stripMargin
 
+  /** incremental_dedup: the brute-force CROSS truth set — every
+    * (corpus doc, increment doc) pair's exact shingle Jaccard ≥ 0.7.
+    * |corpus| × 20 pairs, cheap; the index's banded path must reproduce
+    * it verbatim (the dedup_minhash recall premise on this corpus). */
+  val incrementalDedup: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0) AS t
+      |  FROM documents),
+      |shingle AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) = 0 THEN []
+      |         ELSE list_distinct(list_transform(range(1, len(t) - least(len(t), 3) + 2),
+      |                i -> array_to_string(t[i:i + least(len(t), 3) - 1], ' ')))
+      |    END AS s
+      |  FROM toks),
+      |inc0 AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    text || ' graft planted near duplicate suffix' AS text
+      |  FROM documents WHERE doc_id < 20),
+      |itoks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0) AS t
+      |  FROM inc0),
+      |ishingle AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) = 0 THEN []
+      |         ELSE list_distinct(list_transform(range(1, len(t) - least(len(t), 3) + 2),
+      |                i -> array_to_string(t[i:i + least(len(t), 3) - 1], ' ')))
+      |    END AS s
+      |  FROM itoks)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      |FROM shingle a JOIN ishingle b ON TRUE
+      |WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+      |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+      |ORDER BY 1, 2""".stripMargin
+
   /** int8 round-trip — same affine code arithmetic, floor(x+0.5) rounding
     * (engine-portable, unlike round()'s half-even/half-up split). */
   val embeddingQuant: String =

@@ -213,6 +213,28 @@ object PipelineQueries {
     CorpusOps.sourceOverlap(t(spark, dir, "documents"), "source", "text")
       .orderBy(col("group_a"), col("group_b"))
 
+  /** Incremental dedup through the train-once [[Dedup.minhashIndex]]: the
+    * standing corpus is signed+banded once (memoized like the knn
+    * indexes), and the increment — the established planted convention,
+    * doc_id < 20 re-arriving with the near-dup suffix under +PlantShift —
+    * meets the stored bands in one equi-join. The oracle is the
+    * brute-force CROSS truth set (every corpus×increment pair's exact
+    * shingle Jaccard ≥ 0.7): banded recall over exactly these pairs is
+    * the property dedup_minhash already proves on this corpus, so the
+    * index path must reproduce the truth set verbatim. */
+  def incrementalDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val incoming = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + PlantShift).as("doc_id"),
+        concat(col("text"), lit(" graft planted near duplicate suffix"))
+          .as("text"))
+    liveMemo(minhashIndexes, dir, (_: Dedup.MinhashIndex).isLive,
+        (_: Dedup.MinhashIndex).unpersist(),
+        Dedup.minhashIndex(docs, "doc_id", "text"))
+      .pairsAgainst(incoming, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Cross-snapshot trigram novelty per source under the corpus_diff
     * mutation: removals take no grams away from "before" (novelty is vs
     * the FULL old corpus), edits add the one edit-phrase window set, and
@@ -1376,6 +1398,8 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[String, Similarity.LshIndex]
   private val bpeTables =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private val minhashIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, Dedup.MinhashIndex]
 
   /** The collected 8-merge BPE table per sf dir — the knn-index
     * train-once/query-many pattern applied to the induction that
@@ -1444,6 +1468,7 @@ object PipelineQueries {
     drain(ivfIndexes)(i => if (i.isLive) i.unpersist())
     drain(ivfpqIndexes)(i => if (i.isLive) i.unpersist())
     drain(lshIndexes)(i => if (i.isLive) i.unpersist())
+    drain(minhashIndexes)(i => if (i.isLive) i.unpersist())
     bpeTables.clear() // plain driver data, nothing to release
   }
 

@@ -395,6 +395,38 @@ class CorpusOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("overlap matrix is G"))
   }
 
+  test("minhashIndex: cross pairs match the union-self-join ground truth; " +
+      "the standing index serves multiple increments") {
+    import graft.operators.Dedup
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def plant(lo: Long, hi: Long, shift: Long) = corpus
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+      .select((col("doc_id") + shift).as("doc_id"),
+        concat(col("text"), lit(" graft planted near duplicate suffix"))
+          .as("text"))
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    def pairsOf(inc: org.apache.spark.sql.DataFrame) = idx
+      .pairsAgainst(inc, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: minhashPairs over corpus ∪ increment, restricted to
+    // the cross orientation (corpus id < 1e6 <= increment id)
+    def truthOf(inc: org.apache.spark.sql.DataFrame) = Dedup
+      .minhashPairs(corpus.union(inc), "doc_id", "text")
+      .where(col("id_a") < 1000000L && col("id_b") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc1 = plant(0L, 20L, 1000000L)
+    val got1 = pairsOf(inc1)
+    assert(got1 === truthOf(inc1), "increment 1 cross pairs diverge")
+    assert(got1.exists(_._1 < 20L), "plants must hit their originals")
+    // SECOND increment against the SAME index handle (train-once reuse)
+    val inc2 = plant(20L, 40L, 2000000L)
+    val got2 = pairsOf(inc2)
+    assert(got2 === truthOf(inc2), "increment 2 cross pairs diverge")
+    idx.unpersist()
+    Dedup.unpersistAll()
+  }
+
   test("keepBest: argmax per component, ties break to min id, null scores " +
       "lose, singletons kept, string ids rejected") {
     import graft.operators.Dedup
