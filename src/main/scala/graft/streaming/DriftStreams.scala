@@ -29,6 +29,13 @@ import graft.functions.{exprs, TextFunctions}
   * aggregation emits observed keys); a reference group that never streams
   * a row simply has no row yet — the "source went silent" signal is the
   * row's absence, while "source content shifted" is its js_div.
+  *
+  * SIZE k TO THE CORPUS VOCABULARY (the corpusMonitor budget
+  * discipline): past the exact regime a uniform vocabulary is MG's worst
+  * case — the summary keeps ~k tokens, the dropped mass reads as
+  * "missing", and a zero-drift stream reports near-max spurious drift
+  * (measured js 0.525 at vocab 2000 / k 256; spec-pinned as the
+  * documented failure mode, DriftStreamsSpec).
   * Output: (group, n_before, n_after, js_div, l1_dist) — the batch
   * operator's schema. */
 object DriftStreams {

@@ -44,6 +44,31 @@ class DriftStreamsSpec extends SparkSuite {
     assert(math.abs(novel._3 - math.log(2.0) / 2) < 1e-5)
   }
 
+  test("over-budget vocabulary is a MEASURED failure mode, the exact " +
+      "regime is the contract") {
+    // past the MG exact regime (streamed vocab > k) a UNIFORM vocabulary
+    // is Misra-Gries' worst case: the summary legitimately keeps only
+    // ~k of the tokens, the dropped mass reads as 'missing from the
+    // stream', and a zero-drift corpus reports NEAR-MAX spurious drift —
+    // measured js = 0.525 / l1 = 1.80 at vocab 2000, k = 256 (true 0).
+    // This pin documents the failure mode loudly: size k to the corpus
+    // vocabulary (the corpusMonitor budget discipline) or the alarm lies.
+    // Heavy-hitter-dominated streams — MG's design case — degrade far
+    // more gently, but the CONTRACT is the exact regime.
+    val big = (1 to 2000).map(i => ("X", s"tok$i")).toDF("source", "text")
+    val got = driftMap(DriftStreams.driftMonitor(
+      big, big, "source", "text", k = 256))("X")
+    info(f"over-budget self-drift: js=${got._3}%.4f l1=${got._4}%.4f " +
+      f"(true 0; vocab 2000 at k=256 — the documented worst case)")
+    assert(got._3 > 0.3,
+      "overflow no longer reads as loud spurious drift — if the summary " +
+        s"improved, re-measure and re-document (js=${got._3})")
+    // at k >= vocab the same corpus reads exactly 0 (the exact regime)
+    val exact = driftMap(DriftStreams.driftMonitor(
+      big, big, "source", "text", k = 4096))("X")
+    assert(exact._3 === 0.0 && exact._4 === 0.0)
+  }
+
   test("stream (2 micro-batches, complete mode) == batch over the union") {
     val dir = tmpDir("drift_stream")
     val parts = Seq(
