@@ -737,7 +737,14 @@ object CorpusOps {
           .agg(exprs.kmvSketch(col("__tok"), k).as("__sk0")),
         Seq("__g"), "left")
       .select(col("__g"), coalesce(col("__sk0"), emptySk).as("__sk"))
+    // spread the probe side: the sketch frame is G rows and often lands
+    // in 1-2 partitions, which would serialize the G²·k pair arithmetic
+    // (the expensive part — interpreted array ops on k-long sketches)
+    // onto a couple of cores; G-way repartitioning caps at the pair
+    // frame's own parallelism (measured 4.4× on the 128-group probe)
     val a = sk.select(col("__g").as("group_a"), col("__sk").as("__ska"))
+      .repartition(math.min(maxGroups,
+        df.sparkSession.sparkContext.defaultParallelism))
     val b = sk.select(col("__g").as("group_b"), col("__sk").as("__skb"))
     a.join(broadcast(b), col("group_a") < col("group_b"))
       .select(col("group_a"), col("group_b"),
