@@ -284,7 +284,12 @@ object SparkEntry {
     // the graph-construction shape that never broadcasts the node set
     // (LSH-seeded local-join rounds). Approximate by design; recall vs
     // the exact knn_graph slice is spec-pinned in RandomProjectSpec
-    "knn_graph_nnd" -> (PipelineQueries.knnGraphNndQ _))
+    "knn_graph_nnd" -> (PipelineQueries.knnGraphNndQ _),
+    // round 14: the same graph at the MEASURED production sample rate
+    // (ρ=0.7 — 19% cheaper at identical sampled recall, NndTune sweep in
+    // BASELINE.md): the knob a large-corpus deployment runs; recall at
+    // ρ=0.7 is spec-gated at corpus scale in RandomProjectSpec
+    "knn_graph_nnd_rho" -> (PipelineQueries.knnGraphNndRhoQ _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -444,7 +449,7 @@ object SparkEntry {
     "source_overlap_kmv" -> Oracles.sourceOverlapKmv,
     // the monitor's batch form reproduces corpus_drift exactly (every
     // source streams): one oracle pins both paths to the same SQL
-    "drift_monitor" -> Oracles.corpusDrift,
+    "drift_monitor" -> Oracles.driftMonitor,
     "snapshot_novelty" -> Oracles.snapshotNovelty,
     "incremental_dedup" -> Oracles.incrementalDedup,
     "source_overlap" -> Oracles.sourceOverlap)

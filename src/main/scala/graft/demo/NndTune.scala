@@ -46,7 +46,7 @@ object NndTune {
       val sample = big.where(col("vec_id") < 200)
       val truth = edges(Similarity.bruteForceTopK(sample, big,
         "vec_id", "embedding", k = 10))
-      for (rho <- Seq(1.0, 0.7)) {
+      for (rho <- Seq(1.0, 0.7, 0.5)) {
         val t0 = System.nanoTime()
         val g = Similarity.nnDescent(big, "vec_id", "embedding", k = 10,
             rho = rho)

@@ -201,13 +201,18 @@ object Dedup {
         col(idCol).as("id"),
         minhashExprs.wordShingleSet(col(textCol), 3).as("sh"))
       .withColumn("sig", minhashExprs.minhashSig(col("sh"), numHashes))
-    val signed = if (cache) track(signed0.cache()) else signed0
+    // Cached WITHOUT track(): the index's frames are owned by the returned
+    // handle (release via MinhashIndex.unpersist()), exactly the
+    // Similarity.lshIndex convention — a tracked cache would be evicted by
+    // the session-wide unpersistAll() between queries, silently turning the
+    // train-once contract into full retraining on every pairsAgainst call.
+    val signed = if (cache) signed0.cache() else signed0
     val banded0 = ScaleOps.capBuckets(
       signed
         .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
         .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
       Seq("band", "bkey"), bucketCap, "minhash_index")
-    val banded = if (cache) track(banded0.cache()) else banded0
+    val banded = if (cache) banded0.cache() else banded0
     new MinhashIndex(signed, banded, numHashes, bands, rows, bucketCap)
   }
 

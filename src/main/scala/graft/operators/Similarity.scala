@@ -606,7 +606,7 @@ object Similarity {
                 k: Int = 10, iterations: Int = 4, expand: Int = 3,
                 nPlanes: Int = 8, seed: Long = 7L, dim: Int = 64,
                 bucketCap: Int = 4096, rho: Double = 1.0,
-                delta: Double = 0.001): DataFrame = {
+                delta: Double = 0.0): DataFrame = {
     require(k >= 1, s"bad k $k")
     require(iterations >= 0, s"bad iterations $iterations")
     require(expand >= 1, s"bad expand $expand")
@@ -629,8 +629,12 @@ object Similarity {
     // round changes fewer than δ·|edges| list entries — true convergence;
     // the skipped rounds would re-pay the full candidate join to discover
     // ≤ δ of the lists. Deterministic (an anti-join count of checkpointed
-    // frames), so early-stopped reruns build the identical graph; 0
-    // disables. Final output cuts back to rank ≤ k.
+    // frames), so early-stopped reruns build the identical graph. OFF by
+    // default (0.0): enabling it changes output for any corpus that hits a
+    // quiet round before the iteration cap while later rounds would still
+    // improve the graph — callers opt into the approximate-contract
+    // revision explicitly (0.001 is the paper's setting). Final output
+    // cuts back to rank ≤ k.
     val kk = k * expand
     val vecs = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
     def topkOf(pairs: DataFrame): DataFrame = {

@@ -1715,6 +1715,17 @@ object Oracles {
       |FROM terms GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** drift_monitor: [[corpusDrift]]'s arithmetic restricted to sources
+    * that actually appear in the after snapshot — the streaming monitor
+    * emits one row per STREAMED group, so a source whose docs all vanish
+    * from the stream must not get an oracle row (the batch operator, by
+    * contrast, reports before-only sources with n_after = 0). On the
+    * contract fixture every source streams, so both oracles agree — this
+    * variant removes that fixture dependence rather than pinning it. */
+  val driftMonitor: String = corpusDrift.replace(
+    "FROM terms GROUP BY source",
+    "FROM terms WHERE source IN (SELECT DISTINCT source FROM a0) GROUP BY source")
+
   /** keep_best: the quality-ranked keep-list replayed — the full quality
     * composite (the qualityScores CTE) over originals + nudged plants,
     * then per-pair argmax on (round-6 quality desc, id asc); singletons
@@ -2033,10 +2044,23 @@ object Oracles {
 
   /** Shared CTE chain: planted corpus -> normalized word tokens -> distinct
     * word-3-shingle sets (w = min(3, ntok), exactly MinHashKernel's rule) ->
-    * all pairs with exact set Jaccard >= 0.7. This is the BRUTE-FORCE ground
+    * all pairs with exact set Jaccard >= 0.7. This is the exact ground
     * truth the MinHash-LSH pipeline approximates; the banding parameters
     * (16 bands x 4 rows) give recall 1 on this corpus, so the LSH output
-    * must equal it row-for-row and value-for-value. */
+    * must equal it row-for-row and value-for-value.
+    *
+    * EXACT set semantics, equi-join cost (r13 verdict items 3+4): the
+    * original all-pairs `a JOIN b ON a.doc_id < b.doc_id` with per-pair
+    * list_intersect was O(n²) — 560-1,324 s at sf0.1 (it dominated the
+    * ~55-min gate) and infeasible at sf1 (1.25e9 pairs, the gate's last
+    * oracle-cost exclusions). A pair at Jaccard ≥ 0.7 > 0 shares ≥ 1
+    * shingle, so intersections are computed by EXPLODING the distinct
+    * shingle sets and equi-joining on the shingle: |A∩B| = the pair's
+    * group count (sets are distinct-exploded), cost Σ_shingle df² —
+    * measured 2.8M rows at sf0.1 / 98M at sf1, seconds in DuckDB. Zero-
+    * intersection pairs (jaccard 0 or 0-denominator empty pairs) were
+    * already excluded by the >= 0.7 and > 0 predicates, so the output is
+    * IDENTICAL row-for-row. */
   private val minhashPairsCte: String =
     """docs AS (
       |  SELECT doc_id, text FROM documents
@@ -2055,14 +2079,21 @@ object Oracles {
       |                i -> array_to_string(t[i:i + least(len(t), 3) - 1], ' ')))
       |    END AS s
       |  FROM toks),
-      |pairs AS (
+      |ex AS (SELECT doc_id, unnest(s) AS sh FROM shingle),
+      |sz AS (SELECT doc_id, len(s) AS n FROM shingle),
+      |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    round(len(list_intersect(a.s, b.s))::DOUBLE /
-      |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-      |  FROM shingle a JOIN shingle b ON a.doc_id < b.doc_id
-      |  WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
-      |    AND len(list_intersect(a.s, b.s))::DOUBLE /
-      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7)""".stripMargin
+      |    CAST(count(*) AS BIGINT) AS i
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b,
+      |    round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN sz sa ON sa.doc_id = id_a
+      |  JOIN sz sb ON sb.doc_id = id_b
+      |  WHERE sa.n + sb.n - i > 0
+      |    AND i::DOUBLE / (sa.n + sb.n - i) >= 0.7)""".stripMargin
 
   val dedupMinhash: String =
     s"""WITH $minhashPairsCte
@@ -3665,10 +3696,15 @@ object Oracles {
       |SELECT query_id, neighbor_id, round(raw_cosine, 6) AS cosine, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** media_hash_pairs: the banded-Hamming pair finder value-checked by
-    * BRUTE FORCE — for maxBits ≤ 3 the engine's 4×16-bit banding is
-    * recall-lossless (pigeonhole), so its output set equals the all-pairs
-    * popcount filter computed here. The synthetic 60-bit hash replays the
+  /** media_hash_pairs: the banded-Hamming pair finder value-checked
+    * EXACTLY — for maxBits ≤ 3 the engine's 4×16-bit banding is
+    * recall-lossless (pigeonhole: ≤ 3 differing bits cannot touch all 4
+    * bands), so the all-pairs popcount output EQUALS the banded
+    * candidate set's popcount filter — which is what this SQL computes,
+    * replaying the same 4×16 banding: candidate volume is Σ_band-value
+    * df² ≈ n²·4/65536 (md5-uniform bands), ~150k rows at sf1 vs the
+    * 1.25e9 all-pairs form that kept this entry sf1-excluded (r13
+    * verdict item 3). The synthetic 60-bit hash replays the
     * engine's conv(substr(md5(id),1,15),16,10) as a 15-nibble big-endian
     * sum (exact: v·16^14 ≤ 15·2^56, summed as HUGEINT, cast back); plant
     * masks and the band1-flip reject plant replay the engine arithmetic
@@ -3696,11 +3732,19 @@ object Oracles {
       |  FROM base b WHERE b.media_id < 10),
       |allh AS (
       |  SELECT * FROM base UNION ALL SELECT * FROM near
-      |  UNION ALL SELECT * FROM far)
-      |SELECT l.media_id AS id_a, r.media_id AS id_b,
-      |  CAST(bit_count(xor(l.ahash, r.ahash)) AS BIGINT) AS hamming
-      |FROM allh l, allh r
-      |WHERE l.media_id < r.media_id
-      |  AND bit_count(xor(l.ahash, r.ahash)) <= 3
+      |  UNION ALL SELECT * FROM far),
+      |bands AS (
+      |  SELECT media_id, ahash, CAST(b AS INT) AS b,
+      |    (ahash >> (CAST(b AS INT) * 16)) & 65535 AS bv
+      |  FROM allh, range(0, 4) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b,
+      |    l.ahash AS ha, r.ahash AS hb
+      |  FROM bands l JOIN bands r
+      |    ON l.b = r.b AND l.bv = r.bv AND l.media_id < r.media_id)
+      |SELECT id_a, id_b,
+      |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 }

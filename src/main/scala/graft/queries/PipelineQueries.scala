@@ -1535,6 +1535,17 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5)
       .orderBy(col("query_id"), col("rank"))
 
+  /** The NN-descent graph at the MEASURED production sample rate (ρ = 0.7
+    * — NndTune: 19% cheaper at identical 0.921 sampled recall at 20k
+    * nodes; candidate volume ∝ ρ²): the knob a 100-TB deployment actually
+    * runs, benched as a twin so [[knnGraphNndQ]]'s full-ρ number stays the
+    * longitudinal reference. Recall at ρ=0.7 is spec-gated at corpus
+    * scale alongside the default-knob floor (RandomProjectSpec). */
+  def knnGraphNndRhoQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nnDescent(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, rho = 0.7)
+      .orderBy(col("query_id"), col("rank"))
+
   /** Banded-Hamming perceptual-hash pair finding
     * ([[graft.multimodal.Multimodal.imageNearDupPairs]]) made DuckDB-
     * checkable: the DECODE step can't replay in SQL, so the hashes are

@@ -47,10 +47,19 @@ object DriftStreams {
     * @param k         MG summary size per group; the monitor is exact
     *                  while each group's streamed vocabulary ≤ k
     * @param maxRefEntries guard on the collected reference size
-    *                  (groups × vocabulary entries) */
+    *                  (groups × vocabulary entries). Default 256k: the
+    *                  profile rides into the plan as a `typedLit` map that
+    *                  is serialized with EVERY task binary, so the bound is
+    *                  a plan/driver-memory budget, not a statistics one —
+    *                  measured (DriftLitProbe, BASELINE.md): the literal
+    *                  plan is fine at 256k and degrades super-linearly
+    *                  past ~1M entries. References larger than this belong
+    *                  on [[driftMonitorJoined]], which keeps the profile a
+    *                  distributed frame and carries only per-group totals
+    *                  as literals. */
   def driftMonitor(docs: DataFrame, reference: DataFrame,
                    groupCol: String, textCol: String, k: Int = 4096,
-                   maxRefEntries: Long = 4L << 20): DataFrame = {
+                   maxRefEntries: Long = 256L << 10): DataFrame = {
     require(k > 1, s"bad k $k")
     // reference counts, one bounded collect at construction: the monitor
     // is built ONCE per stream, and the reference side of a drift check
@@ -121,6 +130,133 @@ object DriftStreams {
     val jp = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._1)
     val jq = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._2)
     val l1 = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._3)
+    prepared.select(col("__g").as(groupCol),
+      tb.as("n_before"), ta.as("n_after"),
+      round((jp + jq).cast("double") / 2e9, 6).as("js_div"),
+      round(l1.cast("double") / 1e9, 6).as("l1_dist"))
+  }
+
+  /** The LARGE-REFERENCE drift monitor: identical output contract (and
+    * identical values, spec-pinned) to [[driftMonitor]], but the reference
+    * profile stays a DISTRIBUTED frame met by a stream-static join BEFORE
+    * the aggregation — nothing vocabulary-sized ever rides the plan as a
+    * literal, so the reference can be arbitrarily large (the 100-TB
+    * curated-snapshot case [[driftMonitor]]'s 256k-entry guard rejects).
+    *
+    * How parity survives Structured Streaming's one-aggregation rule
+    * (complete mode forbids joins AFTER the aggregation, so stream-absent
+    * reference tokens can never be joined back in):
+    *   1. each streamed token left-joins its reference count cb (static
+    *      side, pre-aggregated once) and carries it INTO the MG summary
+    *      encoded in the key — `tok ':' cb` (tokens are normalized
+    *      [a-z0-9]+, so ':' cannot collide); the encoding is constant per
+    *      (group, token), so summary semantics are unchanged;
+    *   2. tokens ABSENT from the stream contribute only their
+    *      "absent-form" terms (ca = 0 ⇒ lnP = round(ln 2, 9), jq = 0):
+    *      their per-term-quantized sums Σ round(p·ln2·1e9) and
+    *      Σ round(p·1e9) are pre-aggregated per group AT CONSTRUCTION with
+    *      the same column arithmetic, collected as G-row literals;
+    *   3. the finisher recomputes each PRESENT token's absent-form terms
+    *      from the carried cb (bit-identical doubles — same expressions)
+    *      and swaps them for the true terms:
+    *      jp = JPall + Σ_present (jpTrue − jpAbsent).
+    * Per-term quantization is preserved exactly — no Σ-then-round
+    * shortcut — so stream ≡ batch stays bit-for-bit, not approximately.
+    *
+    * Driver state is G-sized (per-group totals + the two absent-form
+    * sums), never vocabulary-sized. The static side (`(g, tok, cb)`
+    * counts) is cached for the life of the monitor; production would
+    * persist it as a table alongside the snapshot. */
+  def driftMonitorJoined(docs: DataFrame, reference: DataFrame,
+                         groupCol: String, textCol: String,
+                         k: Int = 4096): DataFrame = {
+    require(k > 1, s"bad k $k")
+    val lnAbs = round(log(lit(2.0)), 9)
+    def d(c: Column) = c.cast("double")
+    // static reference profile: one distributed aggregation, reused by
+    // every micro-batch through the stream-static join
+    val refAgg = reference
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(graft.functions.minhashExprs.wordGrams(
+          TextFunctions.normalized(col(textCol)), 1)).as("__tok"))
+      .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__cb"))
+      .cache()
+    // G-row construction-time collects: totals + the absent-form sums,
+    // quantized PER TERM with the exact finisher expressions (identical
+    // doubles in, identical longs out — parity needs no epsilon)
+    val perGroup = refAgg.groupBy(col("__g")).agg(
+      sum(col("__cb")).as("__tb"))
+    val totRows = perGroup.collect()
+    val refTot: Map[String, Long] =
+      totRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val absSums = refAgg
+      .join(perGroup, "__g")
+      .select(col("__g"),
+        round(d(col("__cb")) / d(col("__tb")) * lnAbs * 1e9, 0)
+          .cast("long").as("__jpa"),
+        round(d(col("__cb")) / d(col("__tb")) * 1e9, 0)
+          .cast("long").as("__l1a"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__jpa")).as("jp"), sum(col("__l1a")).as("l1"))
+      .collect()
+    val jpAll: Map[String, Long] =
+      absSums.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val l1All: Map[String, Long] =
+      absSums.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val refTotLit = typedLit(refTot)
+    val jpAllLit = typedLit(jpAll)
+    val l1AllLit = typedLit(l1All)
+
+    // stream side: explode → stream-static LEFT join (cb = 0 off-profile)
+    // → carry cb in the MG key → ONE streaming aggregation
+    val toks = docs.select(col(groupCol).cast("string").as("__g"),
+      explode(graft.functions.minhashExprs.wordGrams(
+        TextFunctions.normalized(col(textCol)), 1)).as("__tok"))
+    val joined = toks.join(refAgg, Seq("__g", "__tok"), "left_outer")
+      .select(col("__g"),
+        concat(col("__tok"), lit(":"),
+          coalesce(col("__cb"), lit(0L)).cast("string")).as("__key"))
+    val agged = joined.groupBy(col("__g"))
+      .agg(exprs.heavyHitters(col("__key"), k).as("__hh"))
+
+    // finisher stage 1: hoist HOF-derived values into plain columns (the
+    // quadratic-HOF lint discipline — see driftMonitor)
+    val prepared = agged.select(col("__g"),
+      map_from_entries(transform(col("__hh"),
+        e => struct(e.getField("term"), e.getField("count")))).as("__m"),
+      coalesce(element_at(refTotLit, col("__g")), lit(0L)).as("__tb"),
+      coalesce(element_at(jpAllLit, col("__g")), lit(0L)).as("__jpall"),
+      coalesce(element_at(l1AllLit, col("__g")), lit(0L)).as("__l1all"),
+      aggregate(col("__hh"), lit(0L),
+        (acc, e) => acc + e.getField("count")).as("__ta"))
+    val mm = col("__m"); val tb = col("__tb"); val ta = col("__ta")
+    // per present key: true terms (batch arithmetic) minus the absent-form
+    // terms already inside the construction-time sums
+    def per(key: Column): (Column, Column, Column) = {
+      val cb = element_at(split(key, ":"), -1).cast("long")
+      val ca = element_at(mm, key)
+      val p = when(tb === 0L, 0.0).otherwise(d(cb) / d(tb))
+      val q = when(ta === 0L, 0.0).otherwise(d(ca) / d(ta))
+      val den = d(cb) * d(ta) + d(ca) * d(tb)
+      val lnP = when(cb === 0L, 0.0)
+        .when(ta === 0L, lnAbs)
+        .otherwise(round(log(lit(2.0) * d(cb) * d(ta) / den), 9))
+      val lnQ = when(ca === 0L, 0.0)
+        .when(tb === 0L, lnAbs)
+        .otherwise(round(log(lit(2.0) * d(ca) * d(tb) / den), 9))
+      val jpTrue = round(p * lnP * 1e9, 0).cast("long")
+      val jqTrue = round(q * lnQ * 1e9, 0).cast("long")
+      val l1True = round(abs(p - q) * 1e9, 0).cast("long")
+      val jpAbsent = round(p * lnAbs * 1e9, 0).cast("long")
+      val l1Absent = round(p * 1e9, 0).cast("long")
+      (jpTrue - jpAbsent, jqTrue, l1True - l1Absent)
+    }
+    val keys = map_keys(mm)
+    val jp = col("__jpall") +
+      aggregate(keys, lit(0L), (acc, key) => acc + per(key)._1)
+    val jq = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._2)
+    val l1 = col("__l1all") +
+      aggregate(keys, lit(0L), (acc, key) => acc + per(key)._3)
     prepared.select(col("__g").as(groupCol),
       tb.as("n_before"), ta.as("n_after"),
       round((jp + jq).cast("double") / 2e9, 6).as("js_div"),

@@ -69,6 +69,58 @@ class DriftStreamsSpec extends SparkSuite {
     assert(exact._3 === 0.0 && exact._4 === 0.0)
   }
 
+  test("driftMonitorJoined == driftMonitor bit-for-bit (the large-" +
+      "reference route's absent-form algebra is exact, not approximate)") {
+    // contract fixture: groups with drift, a stream-only token (cb=0), a
+    // ref-only token (absent-form term), and a novel group (no profile)
+    val ref = Seq(("A", "x x y y refonly"), ("B", "w w"), ("C", "only ref"))
+      .toDF("source", "text")
+    val cur = Seq(("A", "x y y y streamonly"), ("B", "w v"),
+      ("Z", "brand new tokens")).toDF("source", "text")
+    val lit0 = driftMap(DriftStreams.driftMonitor(cur, ref, "source", "text"))
+    val join0 = driftMap(
+      DriftStreams.driftMonitorJoined(cur, ref, "source", "text"))
+    assert(join0 === lit0,
+      s"joined route diverged from the literal route: $join0 vs $lit0")
+    // LARGE-vocabulary leg (the route's reason to exist): 3000 reference
+    // tokens per group, most absent from the stream — the per-term
+    // quantized absent-form sums must reproduce the literal route exactly
+    // (a sum-then-round shortcut would drift by up to vocab·0.5e-9 here)
+    val bigRef = (1 to 3000).map(i => ("G", s"tok$i rare$i"))
+      .toDF("source", "text")
+    val smallCur = Seq(("G", "tok1 tok2 tok2 fresh")).toDF("source", "text")
+    val litBig = driftMap(DriftStreams.driftMonitor(
+      smallCur, bigRef, "source", "text", k = 8192))
+    val joinBig = driftMap(DriftStreams.driftMonitorJoined(
+      smallCur, bigRef, "source", "text", k = 8192))
+    assert(joinBig === litBig,
+      s"large-vocab parity broke: $joinBig vs $litBig")
+  }
+
+  test("driftMonitorJoined streams (2 micro-batches, complete mode) == " +
+      "batch over the union") {
+    val dir = tmpDir("drift_stream_joined")
+    val parts = Seq(
+      Seq(("A", "x y y y"), ("B", "w v")),
+      Seq(("A", "x x z"), ("D", "fresh source words")))
+    parts.foreach(_.toDF("source", "text").coalesce(1)
+      .write.mode("append").parquet(dir))
+    val ref = Seq(("A", "x x y y"), ("B", "w w")).toDF("source", "text")
+    val batch = driftMap(DriftStreams.driftMonitorJoined(
+      spark.read.parquet(dir), ref, "source", "text"))
+    val stream = driftMap(EventStreams.runToMemory(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir),
+      df => DriftStreams.driftMonitorJoined(df, ref, "source", "text"),
+      "drift_monitor_joined_stream"))
+    assert(stream === batch,
+      s"joined stream $stream diverged from batch $batch")
+    // and both equal the literal-route monitor over the same rows
+    val lit0 = driftMap(DriftStreams.driftMonitor(
+      spark.read.parquet(dir), ref, "source", "text"))
+    assert(batch === lit0)
+  }
+
   test("stream (2 micro-batches, complete mode) == batch over the union") {
     val dir = tmpDir("drift_stream")
     val parts = Seq(

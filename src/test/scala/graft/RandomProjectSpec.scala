@@ -175,18 +175,20 @@ class RandomProjectSpec extends SparkSuite {
     assert(early === one,
       "delta=0.999 must stop after round 1 and reproduce the explicit " +
         "1-iteration graph exactly")
-    // sanity: the default delta does NOT fire on this corpus (round-4
-    // lists still move ~4% at contract scale — NndConv), so defaults
-    // equal the full 4-round run
+    // sanity: the paper's delta=0.001 does NOT fire on this corpus
+    // (round-4 lists still move ~4% at contract scale — NndConv), so it
+    // equals the full 4-round run here. The library DEFAULT is 0.0
+    // (early termination is opt-in — r13 advice: a nonzero default would
+    // silently change output for corpora that quiesce before the cap).
     val full = run(4, 0.0).orderBy("query_id", "rank").collect().toSeq
     val dflt = run(4, 0.001).orderBy("query_id", "rank").collect().toSeq
-    assert(dflt === full, "default delta changed the 500-node graph")
+    assert(dflt === full, "delta=0.001 changed the 500-node graph")
     val g1 = edges(run(1, 0.0)); val g0 = edges(run(0, 0.0))
     assert(g0.nonEmpty && g1.nonEmpty)
   }
 
   test("nnDescent: sampled recall floor at the sf0.1 corpus scale " +
-      "(default knobs)") {
+      "(default knobs AND the rho=0.7 production knob)") {
     // r12 verdict item 5: the 500-node floor above can stay green while a
     // seeding/local-join regression silently degrades the CORPUS-scale
     // graph (the bench twin's number lived only in BASELINE.md). Gate it:
@@ -195,8 +197,11 @@ class RandomProjectSpec extends SparkSuite {
     // brute-force truth (sample recall ≈ full recall — edges are i.i.d.
     // per query). Measured 0.921 at 20k nodes and ≥0.95 at 2k; floor 0.85
     // leaves corpus-rewrite slack below every measurement.
+    // r13 verdict item 1: the rho=0.7 graph (knn_graph_nnd_rho bench twin
+    // — the measured production knob, 19% cheaper) is gated against the
+    // SAME truth set at the same floor, so the cheap knob cannot quietly
+    // trade away recall (NndTune measured it identical at 20k nodes).
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val graph = Similarity.nnDescent(e, "vec_id", "embedding")
     val sample = e.where(col("vec_id") % 20 === 0)
     val nQ = sample.count()
     assert(nQ >= 50, s"fixture drifted: only $nQ sampled queries")
@@ -205,15 +210,19 @@ class RandomProjectSpec extends SparkSuite {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val qids = truth.map(_._1)
-    val got = graph.where(col("query_id") % 20 === 0)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-      .filter(p => qids(p._1))
-    val recall = (got & truth).size.toDouble / truth.size
-    info(f"sampled recall at ${e.count()} nodes, k=10 defaults: $recall%.3f " +
-      f"(${(got & truth).size}/${truth.size} edges over $nQ queries)")
-    assert(recall >= 0.85,
-      f"corpus-scale NN-descent recall regressed: $recall%.3f < 0.85")
+    for ((label, rho) <- Seq("defaults" -> 1.0, "rho=0.7" -> 0.7)) {
+      val graph = Similarity.nnDescent(e, "vec_id", "embedding", rho = rho)
+      val got = graph.where(col("query_id") % 20 === 0)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .filter(p => qids(p._1))
+      val recall = (got & truth).size.toDouble / truth.size
+      info(f"sampled recall at ${e.count()} nodes, k=10 $label: " +
+        f"$recall%.3f (${(got & truth).size}/${truth.size} edges over " +
+        f"$nQ queries)")
+      assert(recall >= 0.85,
+        f"corpus-scale NN-descent recall regressed ($label): $recall%.3f < 0.85")
+    }
   }
 
   test("kernel == HOF twin bit-for-bit on random vectors") {
