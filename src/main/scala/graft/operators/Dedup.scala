@@ -35,6 +35,31 @@ object Dedup {
     cachedFrames.clear()
   }
 
+  /** Run `body` with SCOPED cache ownership: every frame the dedup /
+    * sampling pipelines register via track() DURING body is unpersisted
+    * (and dropped from the session registry) when body completes —
+    * normally or exceptionally — leaving frames tracked OUTSIDE the scope
+    * untouched. This is the library-caller form of [[unpersistAll]]
+    * (which is the bench loop's session-global hammer): a caller composes
+    * pipelines, materializes results inside the scope, and leaks nothing.
+    * Materialize before the scope closes — an unmaterialized frame
+    * recomputes after release (correct, but slow). Scopes nest LIFO;
+    * like the registry itself, single-threaded usage is the contract. */
+  def withCaches[A](body: => A): A = {
+    val mark = cachedFrames.synchronized { cachedFrames.length }
+    try body
+    finally {
+      val added = cachedFrames.synchronized {
+        if (cachedFrames.length > mark) {
+          val xs = cachedFrames.slice(mark, cachedFrames.length).toList
+          cachedFrames.remove(mark, cachedFrames.length - mark)
+          xs
+        } else Nil
+      }
+      added.foreach(_.unpersist())
+    }
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on arbitrary key columns: one row per group with the

@@ -51,12 +51,13 @@ object DriftStreams {
     *                  profile rides into the plan as a `typedLit` map that
     *                  is serialized with EVERY task binary, so the bound is
     *                  a plan/driver-memory budget, not a statistics one —
-    *                  measured (DriftLitProbe, BASELINE.md): the literal
-    *                  plan is fine at 256k and degrades super-linearly
-    *                  past ~1M entries. References larger than this belong
-    *                  on [[driftMonitorJoined]], which keeps the profile a
-    *                  distributed frame and carries only per-group totals
-    *                  as literals. */
+    *                  measured (DriftLitProbe, BASELINE.md): 10.8 s flat
+    *                  through 1M entries, then 41 s and a 4.5 GB driver
+    *                  heap at the old 4M guard. References past the guard
+    *                  belong on [[driftMonitorJoined]], which keeps the
+    *                  profile a distributed frame, carries only per-group
+    *                  totals as literals, and measured CHEAPER at every
+    *                  probed size (5.2/4.4/7.4 s at 256k/1M/4M). */
   def driftMonitor(docs: DataFrame, reference: DataFrame,
                    groupCol: String, textCol: String, k: Int = 4096,
                    maxRefEntries: Long = 256L << 10): DataFrame = {
@@ -105,15 +106,20 @@ object DriftStreams {
       coalesce(element_at(refTotLit, col("__g")), lit(0L)).as("__tb"),
       aggregate(col("__hh"), lit(0L),
         (acc, e) => acc + e.getField("count")).as("__ta"))
-    // finisher stage 2: the batch operator's term arithmetic over the
-    // key union — reference is "before" (p), the stream is "after" (q)
+    // finisher stage 2: the batch operator's term arithmetic over the key
+    // union — reference is "before" (p), the stream is "after" (q). ONE
+    // map_zip_with pass merges the two count maps (Spark materializes the
+    // key-index union once per row — O(V + k)); a per-key element_at
+    // formulation instead linear-scans the V-entry reference literal for
+    // EVERY union key in interpreted eval, O(V²) per group — measured
+    // (DriftLitProbe): a single 64-group×4096-token reference drove one
+    // finisher task past 10 CPU-minutes before the rewrite.
     val mm = col("__m"); val rr = col("__r")
     val tb = col("__tb"); val ta = col("__ta")
     def d(c: Column) = c.cast("double")
-    val keys = array_union(map_keys(mm), map_keys(rr))
-    def per(key: Column): (Column, Column, Column) = {
-      val cb = coalesce(element_at(rr, key), lit(0L))
-      val ca = coalesce(element_at(mm, key), lit(0L))
+    def terms(cb0: Column, ca0: Column): Column = {
+      val cb = coalesce(cb0, lit(0L))
+      val ca = coalesce(ca0, lit(0L))
       val p = when(tb === 0L, 0.0).otherwise(d(cb) / d(tb))
       val q = when(ta === 0L, 0.0).otherwise(d(ca) / d(ta))
       val den = d(cb) * d(ta) + d(ca) * d(tb)
@@ -123,17 +129,22 @@ object DriftStreams {
       val lnQ = when(ca === 0L, 0.0)
         .when(tb === 0L, round(log(lit(2.0)), 9))
         .otherwise(round(log(lit(2.0) * d(ca) * d(tb) / den), 9))
-      (round(p * lnP * 1e9, 0).cast("long"),
-        round(q * lnQ * 1e9, 0).cast("long"),
-        round(abs(p - q) * 1e9, 0).cast("long"))
+      struct(
+        round(p * lnP * 1e9, 0).cast("long").as("jp"),
+        round(q * lnQ * 1e9, 0).cast("long").as("jq"),
+        round(abs(p - q) * 1e9, 0).cast("long").as("l1"))
     }
-    val jp = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._1)
-    val jq = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._2)
-    val l1 = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._3)
-    prepared.select(col("__g").as(groupCol),
+    // hoist the zipped term map into a bound column (the quadratic-HOF
+    // lint discipline) so the three sums below fold a materialized array
+    val zipped = prepared.select(col("__g"), tb, ta,
+      map_values(map_zip_with(rr, mm, (_, cb0, ca0) => terms(cb0, ca0)))
+        .as("__t"))
+    def sumOf(field: String): Column =
+      aggregate(col("__t"), lit(0L), (acc, t) => acc + t.getField(field))
+    zipped.select(col("__g").as(groupCol),
       tb.as("n_before"), ta.as("n_after"),
-      round((jp + jq).cast("double") / 2e9, 6).as("js_div"),
-      round(l1.cast("double") / 1e9, 6).as("l1_dist"))
+      round((sumOf("jp") + sumOf("jq")).cast("double") / 2e9, 6).as("js_div"),
+      round(sumOf("l1").cast("double") / 1e9, 6).as("l1_dist"))
   }
 
   /** The LARGE-REFERENCE drift monitor: identical output contract (and
@@ -229,12 +240,14 @@ object DriftStreams {
       coalesce(element_at(l1AllLit, col("__g")), lit(0L)).as("__l1all"),
       aggregate(col("__hh"), lit(0L),
         (acc, e) => acc + e.getField("count")).as("__ta"))
-    val mm = col("__m"); val tb = col("__tb"); val ta = col("__ta")
-    // per present key: true terms (batch arithmetic) minus the absent-form
-    // terms already inside the construction-time sums
-    def per(key: Column): (Column, Column, Column) = {
-      val cb = element_at(split(key, ":"), -1).cast("long")
-      val ca = element_at(mm, key)
+    val tb = col("__tb"); val ta = col("__ta")
+    // per present entry: true terms (batch arithmetic) minus the
+    // absent-form terms already inside the construction-time sums — a
+    // single map_entries walk (O(k)); per-key element_at lookups would
+    // linear-scan the summary map per key, O(k²) in interpreted eval
+    // (the same pathology DriftLitProbe measured on the literal route)
+    def terms(cb0: Column, ca0: Column): Column = {
+      val cb = cb0; val ca = ca0
       val p = when(tb === 0L, 0.0).otherwise(d(cb) / d(tb))
       val q = when(ta === 0L, 0.0).otherwise(d(ca) / d(ta))
       val den = d(cb) * d(ta) + d(ca) * d(tb)
@@ -249,15 +262,21 @@ object DriftStreams {
       val l1True = round(abs(p - q) * 1e9, 0).cast("long")
       val jpAbsent = round(p * lnAbs * 1e9, 0).cast("long")
       val l1Absent = round(p * 1e9, 0).cast("long")
-      (jpTrue - jpAbsent, jqTrue, l1True - l1Absent)
+      struct((jpTrue - jpAbsent).as("jp"), jqTrue.as("jq"),
+        (l1True - l1Absent).as("l1"))
     }
-    val keys = map_keys(mm)
-    val jp = col("__jpall") +
-      aggregate(keys, lit(0L), (acc, key) => acc + per(key)._1)
-    val jq = aggregate(keys, lit(0L), (acc, key) => acc + per(key)._2)
-    val l1 = col("__l1all") +
-      aggregate(keys, lit(0L), (acc, key) => acc + per(key)._3)
-    prepared.select(col("__g").as(groupCol),
+    // hoist the per-entry term array into a bound column before summing
+    val zipped = prepared.select(col("__g"), tb, ta,
+      col("__jpall"), col("__l1all"),
+      transform(map_entries(col("__m")), e => terms(
+        element_at(split(e.getField("key"), ":"), -1).cast("long"),
+        e.getField("value"))).as("__t"))
+    def sumOf(field: String): Column =
+      aggregate(col("__t"), lit(0L), (acc, t) => acc + t.getField(field))
+    val jp = col("__jpall") + sumOf("jp")
+    val jq = sumOf("jq")
+    val l1 = col("__l1all") + sumOf("l1")
+    zipped.select(col("__g").as(groupCol),
       tb.as("n_before"), ta.as("n_after"),
       round((jp + jq).cast("double") / 2e9, 6).as("js_div"),
       round(l1.cast("double") / 1e9, 6).as("l1_dist"))
