@@ -230,6 +230,9 @@ object SparkEntry {
     "keep_best" -> (PipelineQueries.keepBestQ _),
     "source_overlap_kmv" -> (PipelineQueries.sourceOverlapSketchQ _),
     "drift_monitor" -> (PipelineQueries.driftMonitorQ _),
+    // round 14: the large-reference monitor route (stream-static join +
+    // absent-form algebra) against the same restricted oracle
+    "drift_monitor_joined" -> (PipelineQueries.driftMonitorJoinedQ _),
     "snapshot_novelty" -> (PipelineQueries.snapshotNoveltyQ _),
     "incremental_dedup" -> (PipelineQueries.incrementalDedupQ _),
     // round 12: pairwise source token-set Jaccard — the cross-source
@@ -450,6 +453,7 @@ object SparkEntry {
     // the monitor's batch form reproduces corpus_drift exactly (every
     // source streams): one oracle pins both paths to the same SQL
     "drift_monitor" -> Oracles.driftMonitor,
+    "drift_monitor_joined" -> Oracles.driftMonitor,
     "snapshot_novelty" -> Oracles.snapshotNovelty,
     "incremental_dedup" -> Oracles.incrementalDedup,
     "source_overlap" -> Oracles.sourceOverlap)

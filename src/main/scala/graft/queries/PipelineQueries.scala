@@ -273,6 +273,27 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** The LARGE-REFERENCE monitor route over the identical mutation: the
+    * stream-static-join form must reproduce the literal route (and so the
+    * batch operator) bit-for-bit — one oracle value-checks the carried-cb
+    * key encoding, the absent-form algebra, and the G-row construction
+    * collects end to end ([[graft.streaming.DriftStreams
+    * .driftMonitorJoined]]; route parity also spec-pinned in
+    * DriftStreamsSpec, probed at 5M docs in DriftStreamProbe). */
+  def driftMonitorJoinedQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val after = docs.where(col("doc_id") % 7 =!= 3)
+      .select(col("source"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" corpus diff edit")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.where(col("doc_id") < 15).select(col("source"), col("text")))
+    graft.streaming.DriftStreams.driftMonitorJoined(after,
+        docs.select(col("source"), col("text")), "source", "text")
+      .orderBy(col("source"))
+  }
+
   /** Sketch-path source overlap in its EXACT regime: the corpus
     * vocabulary (~31 distinct tokens) sits far below k = 4096, so every
     * per-group KMV sketch holds the whole token set and the estimate /
