@@ -93,6 +93,10 @@ object SparkEntry {
     "lm_heldout" -> (PipelineQueries.lmHeldout _),
     "lm_backoff" -> (PipelineQueries.lmBackoff _),
     "lr_classify" -> (PipelineQueries.lrClassify _),
+    // round 14: reliability bins over the lr_classify model — the ECE
+    // ingredients as exact BIGINT sums (calibration audit before a
+    // quality model gates a corpus)
+    "lr_calibration" -> (PipelineQueries.lrCalibrationQ _),
     // round 11: hashed-feature (fastText-style) sparse LR — the model is
     // a (bucket, weight) DataFrame, nothing passes through the driver
     "lr_hashed" -> (PipelineQueries.lrHashed _),
@@ -335,6 +339,7 @@ object SparkEntry {
     "lm_heldout" -> Oracles.lmHeldout,
     "lm_backoff" -> Oracles.lmBackoff,
     "lr_classify" -> Oracles.lrClassify,
+    "lr_calibration" -> Oracles.lrCalibration,
     "lr_hashed" -> Oracles.lrHashed,
     "pagerank" -> Oracles.pageRank,
     "rp_project" -> Oracles.rpProject,

@@ -319,4 +319,42 @@ object Classifier {
           (col("__p") >= 0.5).cast("long").as("label_pred"))
     } finally feats.unpersist()
   }
+
+  /** Reliability (calibration) audit of a probabilistic classifier — the
+    * standard acceptance check before a quality model gates a corpus: a
+    * model that says "0.9" must be right ~90% of the time, or its
+    * threshold is meaningless. Rows bucket by predicted-probability bin
+    * (equal width; the top edge folds into the last bin); each bin
+    * reports its size, the EXACT 1e-6-grid sum of predicted
+    * probabilities, the positive-label count, and
+    * |Σ prob − positives| — the unnormalized per-bin calibration gap
+    * whose n-weighted sum over bins is ECE (Naeini et al., AAAI '15).
+    *
+    * All-integer micro-prob arithmetic (the lm_score convention):
+    * `prob` is a round-6 probability, so round(prob·1e6) is an exact
+    * integer, bins are integer division, and every output column is a
+    * BIGINT — order-free across partitions and engines. One hash
+    * aggregation; scales as group-by-bin.
+    *
+    * Output: (bin, n, sum_prob_micro, n_pos, abs_gap_micro), bin
+    * 0..bins-1 (only non-empty bins emit). */
+  def calibrationBins(scored: DataFrame, probCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    require(1000000 % bins == 0, s"bins must divide 1e6, got $bins")
+    val micro = round(col(probCol) * 1e6, 0).cast("long")
+    val width = 1000000L / bins
+    scored
+      .select(
+        least(floor(micro / lit(width)).cast("long"), lit(bins - 1L))
+          .as("bin"),
+        micro.as("__m"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__m")).as("sum_prob_micro"),
+        sum(col("__y")).as("n_pos"))
+      .withColumn("abs_gap_micro",
+        abs(col("sum_prob_micro") - col("n_pos") * 1000000L))
+  }
 }

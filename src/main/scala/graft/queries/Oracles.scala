@@ -623,7 +623,7 @@ object Oracles {
     * each unrolled update CTE, final probs rounded to 6 and thresholded at
     * 0.5. Every arithmetic expression mirrors the Spark side's tree shape
     * (left-assoc dot product, (g/1e9)/n gradient average). */
-  val lrClassify: String = {
+  private def lrScoredCte: String = {
     val feats = (src: String) =>
       s"""SELECT doc_id,${if (src == "tr") " y," else ""}
         |    round(least(len(l), 100) / 100.0, 6) AS f1,
@@ -674,10 +674,35 @@ object Oracles {
       |scored AS (
       |  SELECT doc_id,
       |    round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3))), 6) AS prob
-      |  FROM vf CROSS JOIN w3t w)
+      |  FROM vf CROSS JOIN w3t w)""".stripMargin
+  }
+
+  /** lr_classify: the 3-iteration GD chain above finished with the
+    * prob/threshold projection. */
+  val lrClassify: String =
+    s"""$lrScoredCte
       |SELECT doc_id, prob, CAST(prob >= 0.5 AS BIGINT) AS label_pred
       |FROM scored ORDER BY doc_id""".stripMargin
-  }
+
+  /** lr_calibration: the same scored val frame folded into 1000
+    * reliability bins — round(prob·1e6) is an exact integer (prob is
+    * round-6), the bin is integer division with the top edge folded into
+    * bin 999, and every output is a BIGINT sum (order-free; the lm_score
+    * convention). The val-split labels rejoin by doc_id. */
+  val lrCalibration: String =
+    s"""$lrScoredCte,
+      |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM b WHERE bucket >= 204 AND bucket < 230),
+      |binned AS (
+      |  SELECT least(CAST(floor(CAST(round(prob * 1e6) AS BIGINT) / 1000.0)
+      |      AS BIGINT), 999) AS bin,
+      |    CAST(round(prob * 1e6) AS BIGINT) AS m, lab.y
+      |  FROM scored JOIN lab USING (doc_id))
+      |SELECT bin, count(*) AS n,
+      |  CAST(sum(m) AS BIGINT) AS sum_prob_micro,
+      |  CAST(sum(y) AS BIGINT) AS n_pos,
+      |  abs(CAST(sum(m) AS BIGINT) - CAST(sum(y) AS BIGINT) * 1000000) AS abs_gap_micro
+      |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
   /** Horner-chain hex-digit decode of the first `digits` chars of an md5
     * hex expression — ≡ Spark's conv(substring(md5(x), 1, digits), 16, 10)

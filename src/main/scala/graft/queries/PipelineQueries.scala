@@ -169,6 +169,28 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Reliability audit of the lr_classify model: the same 3-iteration GD
+    * chain scores the val split, val labels rejoin by id, and the
+    * round-6 probabilities fold into 1000 calibration bins — all-BIGINT
+    * outputs (n, Σ micro-prob, positives, |gap|), the ECE ingredients.
+    * 1000 bins (not the reporting-typical 10) because the near-chance
+    * model's probs live in a 0.006-wide band: the fine grid spreads the
+    * val split across several bins so the bin arithmetic, the edge folds,
+    * and the per-bin sums are all genuinely value-exercised. */
+  def lrCalibrationQ(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = Sampling.hashSplit(t(spark, dir, "documents"), "doc_id")
+    val valDocs = withSplit.where(col("split") === "val")
+    val scored = graft.operators.Classifier.logisticQuality(
+      withSplit.where(col("split") === "train")
+        .withColumn("label", (col("lang") === "en").cast("long")),
+      valDocs, "doc_id", "label", "text", iters = 3, lr = 1.0)
+    graft.operators.Classifier.calibrationBins(
+        scored.join(valDocs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("label")), "doc_id"),
+        "prob", "label", bins = 1000)
+      .orderBy(col("bin"))
+  }
+
   /** DoReMi-lite domain reweighting: per-language mixture weights from
     * the held-out bigram-LM losses — hard languages upweighted via
     * softmax at temperature 10, mixed 20% with uniform. */

@@ -231,4 +231,33 @@ class ClassifierSpec extends SparkSuite {
       Classifier.hashedLogReg(train.limit(0), score, "id", "label", "text")
     }
   }
+
+  test("calibrationBins: hand-computed bins, top-edge fold, exact sums, " +
+      "validation") {
+    // probs chosen to hit bin 0 (two docs), bin 9 twice (incl. the folded
+    // prob=1.0 top edge), and an interior bin; labels make the gaps exact
+    val scored = Seq(
+      (1L, 0.05, 0L), (2L, 0.049999, 0L),   // bin 0: micro 50000 + 49999
+      (3L, 0.55, 1L),                        // bin 5
+      (4L, 0.95, 1L), (5L, 1.0, 1L),         // bin 9 (1.0 folds down)
+      (6L, 0.92, 0L)                         // bin 9, a miss
+    ).toDF("doc_id", "prob", "label")
+    val got = Classifier.calibrationBins(scored, "prob", "label")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got === Array(
+      (0L, 2L, 99999L, 0L, 99999L),
+      (5L, 1L, 550000L, 1L, 450000L),
+      (9L, 3L, 2870000L, 2L, 870000L)))
+    // ECE numerator = Σ per-bin gaps; weighted form divides by total n —
+    // reconstructable from the returned longs with zero float drift
+    assert(got.map(_._5).sum === (99999L + 450000L + 870000L))
+    intercept[IllegalArgumentException] {
+      Classifier.calibrationBins(scored, "prob", "label", bins = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.calibrationBins(scored, "prob", "label", bins = 7)
+    }
+  }
 }
