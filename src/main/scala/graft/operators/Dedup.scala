@@ -23,6 +23,8 @@ object Dedup {
   private val cachedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
   private[graft] def track(df: DataFrame): DataFrame =
     cachedFrames.synchronized { cachedFrames += df; df }
+  private[graft] def trackedSnapshot: List[DataFrame] =
+    cachedFrames.synchronized { cachedFrames.toList }
 
   /** Release every signature cache created by the LSH pipelines — ALL of
     * them, across every pipeline built so far in this session. Call only
