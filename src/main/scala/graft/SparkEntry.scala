@@ -296,7 +296,12 @@ object SparkEntry {
     // (ρ=0.7 — 19% cheaper at identical sampled recall, NndTune sweep in
     // BASELINE.md): the knob a large-corpus deployment runs; recall at
     // ρ=0.7 is spec-gated at corpus scale in RandomProjectSpec
-    "knn_graph_nnd_rho" -> (PipelineQueries.knnGraphNndRhoQ _))
+    "knn_graph_nnd_rho" -> (PipelineQueries.knnGraphNndRhoQ _),
+    // round 14: SemDeDup at the measured-k facade (k sized to the corpus
+    // so cells stay ~cellTarget) — the deployment shape whose cost stays
+    // linear while the oracle-pinned fixed-k entry goes quadratic with
+    // corpus growth; facade ≡ explicit-k is spec-pinned in ClusteringSpec
+    "semantic_dedup_auto" -> (PipelineQueries.semanticDedupAutoQ _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1291,6 +1291,18 @@ object PipelineQueries {
         "vec_id", "embedding", k = 8, iters = 1, tau = 0.95)
       .orderBy(col("kept_id"), col("dropped_id"))
 
+  /** The MEASURED-k SemDeDup facade as a bench twin: k = ceil(n /
+    * cellTarget) keeps the within-cell pairwise bound LINEAR (n ×
+    * cellTarget) while the oracle-pinned fixed-k=8 contract entry above
+    * goes quadratic as cells grow with the corpus (measured 16.3 s at
+    * sf1's 20k vectors vs ~1 s here) — the deployment shape, benched so
+    * the scale claim is a number, not a docblock (the knn_graph_nnd_rho
+    * convention). Facade ≡ explicit-k is spec-pinned in ClusteringSpec. */
+  def semanticDedupAutoQ(spark: SparkSession, dir: String): DataFrame =
+    Clustering.semanticDedupAuto(embeddingsWithPlants(spark, dir),
+        "vec_id", "embedding", tau = 0.95, cellTarget = 1000)
+      .orderBy(col("kept_id"), col("dropped_id"))
+
   /** Embedding quality control over a corpus with PLANTED anomalies (the
     * organic synthetic embeddings are too well-behaved to flag): five
     * ×30-scaled copies (ids +2M) and one ×1000 extreme (id 3M). The
