@@ -185,13 +185,19 @@ object DriftStreams {
     val lnAbs = round(log(lit(2.0)), 9)
     def d(c: Column) = c.cast("double")
     // static reference profile: one distributed aggregation, reused by
-    // every micro-batch through the stream-static join
-    val refAgg = reference
+    // every micro-batch through the stream-static join. Tracked persist
+    // (the per-call pipeline-cache convention — this is NOT a memoized
+    // handle like minhashIndex, every call rebuilds it): the bench loop's
+    // unpersistAll() and library callers' Dedup.withCaches both release
+    // it; a long-lived streaming monitor that must survive a concurrent
+    // registry sweep should persist its own reference frame and pass it
+    // pre-aggregated.
+    val refAgg = graft.operators.Dedup.track(reference
       .select(col(groupCol).cast("string").as("__g"),
         explode(graft.functions.minhashExprs.wordGrams(
           TextFunctions.normalized(col(textCol)), 1)).as("__tok"))
       .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__cb"))
-      .cache()
+      .cache())
     // G-row construction-time collects: totals + the absent-form sums,
     // quantized PER TERM with the exact finisher expressions (identical
     // doubles in, identical longs out — parity needs no epsilon)
