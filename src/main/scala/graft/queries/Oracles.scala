@@ -1747,9 +1747,16 @@ object Oracles {
     * contrast, reports before-only sources with n_after = 0). On the
     * contract fixture every source streams, so both oracles agree — this
     * variant removes that fixture dependence rather than pinning it. */
-  val driftMonitor: String = corpusDrift.replace(
-    "FROM terms GROUP BY source",
-    "FROM terms WHERE source IN (SELECT DISTINCT source FROM a0) GROUP BY source")
+  val driftMonitor: String = {
+    val anchor = "FROM terms GROUP BY source"
+    require(corpusDrift.contains(anchor),
+      "corpusDrift's final aggregation moved — update driftMonitor's " +
+        "after-snapshot restriction with it (a silent no-op replace would " +
+        "quietly reintroduce the every-source-streams fixture dependence)")
+    corpusDrift.replace(anchor,
+      "FROM terms WHERE source IN (SELECT DISTINCT source FROM a0) " +
+        "GROUP BY source")
+  }
 
   /** keep_best: the quality-ranked keep-list replayed — the full quality
     * composite (the qualityScores CTE) over originals + nudged plants,

@@ -176,8 +176,9 @@ object DriftStreams {
     *
     * Driver state is G-sized (per-group totals + the two absent-form
     * sums), never vocabulary-sized. The static side (`(g, tok, cb)`
-    * counts) is cached for the life of the monitor; production would
-    * persist it as a table alongside the snapshot. */
+    * counts) is a tracked per-call persist (released by the session
+    * sweep or `Dedup.withCaches`); production would persist it as a
+    * table alongside the snapshot and pass it pre-aggregated. */
   def driftMonitorJoined(docs: DataFrame, reference: DataFrame,
                          groupCol: String, textCol: String,
                          k: Int = 4096): DataFrame = {
