@@ -97,6 +97,10 @@ object SparkEntry {
     // ingredients as exact BIGINT sums (calibration audit before a
     // quality model gates a corpus)
     "lr_calibration" -> (PipelineQueries.lrCalibrationQ _),
+    // round 14: per-source quality-percentile floor (drop each source's
+    // worst quartile) — the per-domain filter a global threshold can't
+    // express; cutoff via the KLL discrete quantile, broadcast back
+    "quality_floor" -> (PipelineQueries.qualityFloorQ _),
     // round 11: hashed-feature (fastText-style) sparse LR — the model is
     // a (bucket, weight) DataFrame, nothing passes through the driver
     "lr_hashed" -> (PipelineQueries.lrHashed _),
@@ -345,6 +349,7 @@ object SparkEntry {
     "lm_backoff" -> Oracles.lmBackoff,
     "lr_classify" -> Oracles.lrClassify,
     "lr_calibration" -> Oracles.lrCalibration,
+    "quality_floor" -> Oracles.qualityFloor,
     "lr_hashed" -> Oracles.lrHashed,
     "pagerank" -> Oracles.pageRank,
     "rp_project" -> Oracles.rpProject,

@@ -320,6 +320,40 @@ object Sampling {
     * survives stage 1, and all rows ordered before it do too — and the
     * output stays layout-independent even though the salt is the physical
     * partition id. Adds `priority` (1-based rank within the group). */
+  /** Per-group quality-percentile FLOOR: keep rows whose score meets
+    * their OWN group's p-quantile — "drop each source's worst quartile"
+    * (the per-domain percentile filtering convention of quality-driven
+    * curation, where a global threshold would gut low-scoring-but-
+    * valuable domains and leave high-scoring domains unpruned).
+    *
+    * The cutoff is the DISCRETE per-group quantile through the KLL
+    * aggregate over round-6 scores — exact (≡ quantile_disc) while a
+    * group fits the sketch, mergeable O(k)-state approximate beyond, so
+    * one plan serves the oracle and a 100-TB corpus; discrete selection
+    * also removes the cross-engine interpolation hazard (the
+    * embeddingOutliers convention). Scale shape: ONE hash aggregation to
+    * a G-row cutoff frame, broadcast back — no windows, no shuffles of
+    * the data beyond the aggregation's partial merge.
+    *
+    * Keeps ties at the cutoff (>= — the quantile element itself
+    * survives, so the kept fraction is ≥ 1−p, never below it). Output:
+    * (idCol, groupCol, scoreCol rounded to 6, cutoff). */
+  def qualityFloor(df: DataFrame, idCol: String, groupCol: String,
+                   scoreCol: String, p: Double = 0.25,
+                   sketchK: Int = 1 << 13): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val scored = df.select(col(idCol), col(groupCol),
+      round(col(scoreCol).cast("double"), 6).as("__q"))
+    val cuts = scored.groupBy(col(groupCol))
+      .agg(graft.functions.exprs.kllQuantiles(col("__q"), sketchK, Seq(p))
+        .as("__c"))
+      .select(col(groupCol), element_at(col("__c"), 1).as("cutoff"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .where(col("__q") >= col("cutoff"))
+      .select(col(idCol), col(groupCol), col("__q").as(scoreCol),
+        col("cutoff"))
+  }
+
   /** [[quotaPerGroup]] with PER-GROUP quotas (a `quotas` relation of
     * (groupCol, quota)) — the primitive under budget-allocating mixers
     * like [[unimaxSample]]. Same two-stage salted-window shape and the

@@ -1388,6 +1388,52 @@ object Oracles {
       |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** quality_floor: the qualityScores composite (same CTE arithmetic,
+    * source carried) + per-source quantile_disc(0.25) cutoff (≡ the KLL
+    * exact regime — the quantile_sketch / embedding_outliers convention)
+    * + the >= filter. Round-6 scores both sides, so the comparison is on
+    * identical decimals and the cutoff is an actual element of the
+    * multiset (no cross-engine interpolation). */
+  val qualityFloor: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                t -> length(t) > 0) AS ltoks,
+      |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |    least(CAST(len(toks) AS DOUBLE) / 50, CAST(1 AS DOUBLE)) AS len_score,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |              / len(toks) END AS word_len,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE 1 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 5,
+      |                        CAST(1 AS DOUBLE)) END AS punct_score,
+      |    CASE WHEN len(ltoks) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(ltoks, t -> list_contains(
+      |                ['the','a','an','and','or','but','of','to','in','on','at','is',
+      |                 'are','was','were','be','been','it','this','that','with','for',
+      |                 'as','by','from','not','no','so','if','then','than','too'], t)))
+      |              AS DOUBLE) / len(ltoks) END AS stop_ratio
+      |  FROM base),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    round(len_score * 0.3
+      |      + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      |      + punct_score * 0.25
+      |      + least(stop_ratio * 4, CAST(1 AS DOUBLE)) * 0.25, 6) AS quality
+      |  FROM c),
+      |cuts AS (
+      |  SELECT source, quantile_disc(quality, 0.25) AS cutoff
+      |  FROM scored GROUP BY source)
+      |SELECT s.doc_id, s.source, s.quality, c.cutoff
+      |FROM scored s JOIN cuts c USING (source)
+      |WHERE s.quality >= c.cutoff
+      |ORDER BY s.doc_id""".stripMargin
+
   val dedupExact: String =
     """SELECT lang, source, CAST(min(doc_id) AS BIGINT) AS keeper_id,
       |  count(*) AS dup_cnt

@@ -742,6 +742,19 @@ object PipelineQueries {
     Dedup.exactGroups(t(spark, dir, "documents"), "doc_id", Seq("lang", "source"))
       .orderBy(col("lang"), col("source"))
 
+  /** Per-source quality floor: drop each source's worst quartile by the
+    * composite quality score — the per-domain percentile filter (a
+    * global threshold would gut weak domains and never prune strong
+    * ones). Cutoff = the discrete per-source p25 through the KLL
+    * aggregate (exact regime on the contract groups ≡ quantile_disc),
+    * broadcast back; ties at the cutoff kept. */
+  def qualityFloorQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.qualityFloor(
+        t(spark, dir, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+        "doc_id", "source", "quality", p = 0.25)
+      .orderBy(col("doc_id"))
+
   /** Token-set Jaccard of each planted pair — oracles the similarity math
     * that the LSH pipelines use for verification. */
   def jaccardPlanted(spark: SparkSession, dir: String): DataFrame = {

@@ -127,4 +127,36 @@ class UnimaxSpec extends SparkSuite {
       maxEpochs = 1.0, maxGroups = 50)
     assert(ok.count() === 50L)
   }
+
+  test("qualityFloor: per-group discrete p25 cutoff, ties kept, " +
+      "measured quantile convention, validation") {
+    // discrete-quantile convention MEASURED against DuckDB quantile_disc
+    // (the oracle side): n=4 at p=0.25 -> rank-1 element (all kept),
+    // n=5 -> rank-2 element (exactly the worst row dropped) — both
+    // engines agree (probe recorded in the round-14 BASELINE notes)
+    val df = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0),
+      (4L, "A", 4.0),
+      (5L, "B", 10.0), (6L, "B", 20.0), (7L, "B", 30.0), (8L, "B", 40.0),
+      (9L, "B", 50.0)).toDF("id", "g", "score")
+    val got = Sampling.qualityFloor(df, "id", "g", "score", p = 0.25)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got === Array(
+      (1L, "A", 1.0, 1.0), (2L, "A", 2.0, 1.0), (3L, "A", 3.0, 1.0),
+      (4L, "A", 4.0, 1.0),
+      (6L, "B", 20.0, 20.0), (7L, "B", 30.0, 20.0), (8L, "B", 40.0, 20.0),
+      (9L, "B", 50.0, 20.0)))
+    // ties AT the cutoff survive (>= keeps the quantile element), so the
+    // kept fraction can never fall below 1-p
+    val ties = Seq((1L, "C", 5.0), (2L, "C", 5.0), (3L, "C", 5.0),
+      (4L, "C", 9.0)).toDF("id", "g", "score")
+    assert(Sampling.qualityFloor(ties, "id", "g", "score").count() === 4L)
+    intercept[IllegalArgumentException] {
+      Sampling.qualityFloor(df, "id", "g", "score", p = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.qualityFloor(df, "id", "g", "score", p = 1.0)
+    }
+  }
 }
