@@ -342,6 +342,10 @@ object Sampling {
                    scoreCol: String, p: Double = 0.25,
                    sketchK: Int = 1 << 13): DataFrame = {
     require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    require(scoreCol != "cutoff" && idCol != "cutoff" && groupCol != "cutoff",
+      "'cutoff' is the output column qualityFloor adds — rename the input")
+    require(!Seq(idCol, groupCol, scoreCol).exists(_.startsWith("__")),
+      "input columns must not use the reserved __ namespace")
     val scored = df.select(col(idCol), col(groupCol),
       round(col(scoreCol).cast("double"), 6).as("__q"))
     val cuts = scored.groupBy(col(groupCol))
