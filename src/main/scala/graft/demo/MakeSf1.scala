@@ -14,21 +14,39 @@ import org.apache.spark.sql.functions._
   * (dimensions). Usage: `runMain graft.demo.MakeSf1 [outDir]` (default
   * /tmp/graft_sf1). */
 object MakeSf1 {
-  def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/tmp/graft_sf1")
-    val spark = graft.GraftSession.localBuilder(32, "graft-makesf1")
+  def main(args: Array[String]): Unit =
+    MakeSfN.make(args.headOption.getOrElse("/tmp/graft_sf1"), copies = 10)
+}
+
+/** sf10 sibling (r15 verdict item 1): 100× sf0.1 — ~500k docs, 200k
+  * vectors, 60M lineitem rows — the second measured decade for the heavy
+  * families' scaling exponents. Same construction as [[MakeSf1]], only the
+  * copy count (and, consequently, the content-table key step) differs. */
+object MakeSf10 {
+  def main(args: Array[String]): Unit =
+    MakeSfN.make(args.headOption.getOrElse("/tmp/graft_sf10"), copies = 100)
+}
+
+object MakeSfN {
+  def make(out: String, copies: Int): Unit = {
+    val spark = graft.GraftSession.localBuilder(32, "graft-makesf")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val S = 100000000L
-    // documents/embeddings shift by 1e5, NOT 1e8: the pipeline queries'
-    // planted-fixture convention parks synthetic benchmark/near-dup ids at
-    // +PlantShift (1e6), and a copy shifted past it would masquerade as a
-    // 45k-doc "benchmark" (measured: it flips decontamination_auto to the
-    // exact branch and blows the dedup_ngram slice past its row budget).
-    // Base doc_id/vec_id max out at 4999/1999, so 1e5 keeps all ten copies
-    // distinct and below 1e6.
+    // documents/embeddings shift by a SMALL step, NOT 1e8: the pipeline
+    // queries' planted-fixture convention parks synthetic benchmark/near-dup
+    // ids at +PlantShift (1e6), and a copy shifted past it would masquerade
+    // as a 45k-doc "benchmark" (measured: it flips decontamination_auto to
+    // the exact branch and blows the dedup_ngram slice past its row budget).
+    // Base doc_id/vec_id max out at 4999/1999. Ten copies keep the historic
+    // 1e5 step (bit-compatible with the r12–r14 sf1 fixtures); above ten
+    // the step drops to the smallest power-of-ten-ish stride that keeps all
+    // copies distinct AND the max id below 1e6 (100 copies × 5000 → max
+    // doc_id 504,999; × 2000 → max vec_id 201,999).
+    val docStep = if (copies <= 10) 100000L else 5000L
+    val vecStep = if (copies <= 10) 100000L else 2000L
     val shifts: Map[String, (Long, Seq[String])] = Map(
       "customer" -> (S, Seq("c_custkey")),
       "supplier" -> (S, Seq("s_suppkey")),
@@ -36,11 +54,11 @@ object MakeSf1 {
       "orders" -> (S, Seq("o_orderkey", "o_custkey")),
       "lineitem" -> (S, Seq("l_orderkey", "l_partkey", "l_suppkey")),
       "events" -> (S, Seq("event_id", "user_id")),
-      "documents" -> (100000L, Seq("doc_id")),
-      "embeddings" -> (100000L, Seq("vec_id")))
+      "documents" -> (docStep, Seq("doc_id")),
+      "embeddings" -> (vecStep, Seq("vec_id")))
     for ((t, (step, keys)) <- shifts) {
       val base = spark.read.parquet(s"$dir/$t.parquet")
-      val x10 = (0 until 10).map { i =>
+      val x10 = (0 until copies).map { i =>
         val shifted = keys.foldLeft(base)((df, k) =>
           df.withColumn(k, col(k) + lit(i.toLong * step)))
         // Copies i ≥ 1 of content tables are PERTURBED, not verbatim

@@ -342,7 +342,15 @@ object Classifier {
                       bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
     require(1000000 % bins == 0, s"bins must divide 1e6, got $bins")
-    val micro = round(col(probCol) * 1e6, 0).cast("long")
+    // Fail fast on null probabilities: floor(null/width) is null and
+    // Spark's null-skipping least(null, bins-1) returns bins-1, so a null
+    // prob would land silently in the TOP bin with its label counted but
+    // no prob mass — distorting exactly the bin a gating threshold reads.
+    // A calibration audit over malformed scores should be loud, not wrong.
+    val micro = coalesce(
+      round(col(probCol) * 1e6, 0).cast("long"),
+      raise_error(lit(s"calibrationBins: null $probCol — score every row " +
+        "(or filter nulls) before auditing calibration")).cast("long"))
     val width = 1000000L / bins
     scored
       .select(

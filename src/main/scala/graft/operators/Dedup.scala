@@ -211,6 +211,15 @@ object Dedup {
     * Within-increment duplicates remain [[minhashPairs]]' job on the
     * increment alone (division of labor; compose both for a full gate).
     *
+    * Cache ownership: with `cache = true` (the default) the two index
+    * frames are cached OUTSIDE the session-wide [[Dedup]] registry — they
+    * are owned by the returned handle and survive [[unpersistAll]] /
+    * [[withCaches]] by design (a tracked cache would be evicted between
+    * queries, silently retraining the "train-once" index on every
+    * `pairsAgainst` call). The caller MUST release them via
+    * [[MinhashIndex.unpersist]] when done; a handle built and dropped
+    * without it leaks both cached frames until session end.
+    *
     * Scale shape (100 TB): the index is two columnar frames — (id, sh,
     * sig) and the capped (id, band, bkey) — that a production deployment
     * persists as tables (exactly NearDupIngest's `sigs`/`bands` state

@@ -1790,17 +1790,26 @@ object Oracles {
     * that actually appear in the after snapshot — the streaming monitor
     * emits one row per STREAMED group, so a source whose docs all vanish
     * from the stream must not get an oracle row (the batch operator, by
-    * contrast, reports before-only sources with n_after = 0). On the
-    * contract fixture every source streams, so both oracles agree — this
-    * variant removes that fixture dependence rather than pinning it. */
+    * contrast, reports before-only sources with n_after = 0). The
+    * restriction is on the token CTE (`at`), not the doc CTE (`a0`): the
+    * monitor groups by source only after tokenization, so a source whose
+    * after-docs all normalize to EMPTY token lists streams zero tokens and
+    * gets no engine row either — restricting on docs would re-plant that
+    * fixture dependence one level down. On the contract fixture every
+    * source streams ≥1 token, so both oracles agree — this variant removes
+    * the dependence rather than pinning it. */
   val driftMonitor: String = {
     val anchor = "FROM terms GROUP BY source"
     require(corpusDrift.contains(anchor),
       "corpusDrift's final aggregation moved — update driftMonitor's " +
         "after-snapshot restriction with it (a silent no-op replace would " +
         "quietly reintroduce the every-source-streams fixture dependence)")
+    require(corpusDrift.indexOf(anchor) == corpusDrift.lastIndexOf(anchor),
+      "corpusDrift now contains the anchor twice — String.replace would " +
+        "rewrite both occurrences with no guard tripping; give the final " +
+        "aggregation a unique anchor before regenerating driftMonitor")
     corpusDrift.replace(anchor,
-      "FROM terms WHERE source IN (SELECT DISTINCT source FROM a0) " +
+      "FROM terms WHERE source IN (SELECT DISTINCT source FROM at) " +
         "GROUP BY source")
   }
 
