@@ -301,6 +301,12 @@ object SparkEntry {
     // BASELINE.md): the knob a large-corpus deployment runs; recall at
     // ρ=0.7 is spec-gated at corpus scale in RandomProjectSpec
     "knn_graph_nnd_rho" -> (PipelineQueries.knnGraphNndRhoQ _),
+    // round 15: the same graph with the MEASURED scale-aware seed bucket
+    // count (the 8-plane seed's per-query candidate volume grows linearly
+    // with n; 12 planes at 20k+ nodes cut the seed 5x and four rounds
+    // recover recall 0.992 vs 0.991 — NndPlanes sweep in BASELINE.md):
+    // identical to knn_graph_nnd at gate scale, ~30% cheaper at 20k+
+    "knn_graph_nnd_auto" -> (PipelineQueries.knnGraphNndAutoQ _),
     // round 14: SemDeDup at the measured-k facade (k sized to the corpus
     // so cells stay ~cellTarget) — the deployment shape whose cost stays
     // linear while the oracle-pinned fixed-k entry goes quadratic with

@@ -647,6 +647,21 @@ object Similarity {
           exprs.cosineSimilarity(col("__sv"), col("__dv")).as("cosine"))
       rankTopK(scored, kk)
     }
+    // Seeding is RP-LSH and that choice is load-bearing (r15 NndSeed +
+    // CellSeedDebug, both measured decades): the descent can only explore
+    // the CONNECTED COMPONENTS of its seed graph — neighbor-of-neighbor
+    // expansion never crosses a component boundary — so seed-graph
+    // connectivity across the corpus is a correctness precondition, not a
+    // quality knob. A kmeans-cell chunk seed (pair each node with ~30
+    // hash-chunkmates inside its cell; two orders cheaper than the LSH
+    // probe join) violates it: its edge set partitions the corpus into
+    // disjoint ~30-node cliques, and the instrumented descent showed the
+    // candidate set FROZEN at the seed's own pairs (591,658 at 20k nodes,
+    // rounds 1-4 identical, recall flat at 0.010 while the within-cell
+    // ceiling alone was 0.495). LSH seeding connects the corpus because
+    // each node's top-K comes from ~9 multi-probe buckets and bucket
+    // membership overlaps differently per node, so components merge
+    // globally and four rounds reach 0.99+.
     var edges = lshTopK(corpus, corpus, idCol, vecCol, kk, nPlanes, seed,
         dim, bucketCap)
       .localCheckpoint(true)
@@ -691,6 +706,36 @@ object Similarity {
     }
     edges.where(col("rank") <= k)
   }
+
+  /** Measured scale-aware seed bucket count for [[nnDescentAuto]]. The
+    * LSH seed pass is the single biggest wall chunk of the default graph
+    * build (~9.5 s of 27.4 s at 20k nodes, n=5 medians) because 8 planes =
+    * 256 buckets keeps ~n/256 nodes per bucket — candidate volume per
+    * query GROWS linearly with n at fixed planes. Finer buckets fix that:
+    * at 20k nodes, 12 planes (4096 buckets) cut the seed from 10.5 s to
+    * 1.9 s and the four descent rounds fully recover the recall (0.992 vs
+    * 0.991 default; NndPlanes sweep, recall deterministic). Small corpora
+    * must KEEP coarse buckets: fine buckets over few nodes go singleton,
+    * and a sparse seed graph risks the connectivity precondition the
+    * cell-seed post-mortem above establishes (at 2k nodes, 8 planes is
+    * also simply cheap). The 10k threshold sits between the two measured
+    * decades; iterations stay at the default 4 — the sweep's it=3 variant
+    * is dominated by fine-seed it=4 on both wall and recall. */
+  def nnDescentPlanesFor(n: Long): Int = if (n >= 10000L) 12 else 8
+
+  /** [[nnDescent]] with the seed bucket count chosen from the MEASURED
+    * corpus size ([[nnDescentPlanesFor]]) — the deployment facade, same
+    * pattern as the semantic-dedup measured-k knob: identical to the
+    * defaults on gate-scale corpora, ~30% cheaper at 20k+ nodes at parity
+    * recall. Costs one count() of the corpus up front. */
+  def nnDescentAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 10, iterations: Int = 4, expand: Int = 3,
+                    seed: Long = 7L, dim: Int = 64, bucketCap: Int = 4096,
+                    rho: Double = 1.0, delta: Double = 0.0): DataFrame =
+    nnDescent(corpus, idCol, vecCol, k, iterations, expand,
+      nPlanes = nnDescentPlanesFor(corpus.count()),
+      seed = seed, dim = dim, bucketCap = bucketCap, rho = rho,
+      delta = delta)
 
   /** Per-dimension standardization (z-scoring) of an embedding column —
     * the feature-normalization stage in front of k-means / ANN indexing /

@@ -1634,6 +1634,18 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5, rho = 0.7)
       .orderBy(col("query_id"), col("rank"))
 
+  /** The NN-descent graph with the MEASURED scale-aware seed bucket count
+    * ([[graft.operators.Similarity.nnDescentAuto]]): 12 LSH planes at 20k+
+    * nodes (the coarse 8-plane seed is the biggest wall chunk and its
+    * candidate volume grows with n; the fine seed costs 1.9 s vs 10.5 s
+    * and four rounds recover recall 0.992 vs 0.991), 8 planes below.
+    * Identical plan to [[knnGraphNndQ]] on gate-scale corpora; the sf1
+    * bench shows the deployment win. */
+  def knnGraphNndAutoQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nnDescentAuto(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
   /** Banded-Hamming perceptual-hash pair finding
     * ([[graft.multimodal.Multimodal.imageNearDupPairs]]) made DuckDB-
     * checkable: the DECODE step can't replay in SQL, so the hashes are

@@ -225,6 +225,79 @@ class RandomProjectSpec extends SparkSuite {
     }
   }
 
+  test("nnDescentAuto: measured scale thresholds pinned; identical to the " +
+      "default-knob graph on a gate-scale corpus") {
+    // the seed-bucket policy is measurement-derived (NndSeed/NndPlanes,
+    // BASELINE.md r15): coarse buckets at 2k nodes (fine ones go singleton
+    // and starve seed-graph connectivity), fine at 20k (the seed is the
+    // biggest wall chunk and four rounds recover the recall) — pin the
+    // decision function so a silent threshold edit can't ship unmeasured
+    assert(Similarity.nnDescentPlanesFor(2000L) == 8)
+    assert(Similarity.nnDescentPlanesFor(9999L) == 8)
+    assert(Similarity.nnDescentPlanesFor(10000L) == 12)
+    assert(Similarity.nnDescentPlanesFor(200000L) == 12)
+    // below the threshold the facade must be plan-identical to defaults —
+    // same edges, same ranks (the sf1 bench twin shows the 3-round win)
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    assert(e.count() < 10000L, "fixture drifted past the auto threshold — " +
+      "re-measure iterations-to-recall before trusting this equality")
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val auto = edgeSet(Similarity.nnDescentAuto(e, "vec_id", "embedding", k = 5))
+    val dflt = edgeSet(Similarity.nnDescent(e, "vec_id", "embedding", k = 5))
+    assert(auto == dflt, "auto facade diverged from defaults at gate scale")
+  }
+
+  test("nnDescentAuto: sampled recall floor in the fine-seed (12-plane) " +
+      "regime, on an above-threshold corpus of the testdata family") {
+    // the 12-plane seed only engages at >=10k nodes and no testdata corpus
+    // is that large, so gate the regime on a 12k-node corpus built the way
+    // MakeSfN builds sf1: the sf0.1 embeddings plus five e-rotated copies
+    // (per-component deterministic noise at ~1.05x component RMS — copies
+    // are decisively NOT near-dups of their base). Floor 0.85 = the same
+    // corpus-scale convention as the defaults/rho gates above. The
+    // adversarial boundary is recorded, not gated: on 12k pure-Gaussian
+    // vectors NO config reaches 0.85 (defaults 0.768, auto 0.704 — the
+    // corpus family is the limit there, see BASELINE.md r15).
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val copies = (0 until 6).map { i =>
+      val shifted = base.withColumn("vec_id", col("vec_id") + lit(i * 2000L))
+      if (i == 0) shifted
+      else {
+        val rms = sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+          / greatest(size(col("embedding")).cast("double"), lit(1.0d)))
+        shifted.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            (x.cast("double") + lit(1.05d) * rms *
+              ((pmod(xxhash64(col("vec_id"), j), lit(2000001L))
+                .cast("double") / lit(1000000.0d)) - lit(1.0d)))
+              .cast("float")))
+      }
+    }.reduce(_ unionByName _)
+    val e = copies.localCheckpoint(true)
+    val n = e.count()
+    assert(n >= 10000L && Similarity.nnDescentPlanesFor(n) == 12,
+      s"fixture drifted below the fine-seed threshold: $n nodes")
+    val sample = e.where(col("vec_id") % 120 === 0)
+    val truth = Similarity
+      .bruteForceTopK(sample, e, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qids = truth.map(_._1)
+    val got = Similarity.nnDescentAuto(e, "vec_id", "embedding", k = 5)
+      .where(col("query_id") % 120 === 0)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => qids(p._1))
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"fine-seed regime sampled recall at $n nodes: $recall%.3f " +
+      f"(${(got & truth).size}/${truth.size})")
+    assert(recall >= 0.85,
+      f"fine-seed NN-descent recall regressed: $recall%.3f < 0.85")
+  }
+
   test("kernel == HOF twin bit-for-bit on random vectors") {
     val rnd = new scala.util.Random(99L)
     val rows = (0 until 40).map { i =>
