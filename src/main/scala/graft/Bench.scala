@@ -1,5 +1,53 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
+
+/** Per-entry IO attribution (r14 verdict item 9): sums shuffle-write bytes
+  * and input records over every task whose stage belongs to a `bench-<name>`
+  * job group, so each entry's headline median ships with the bytes it
+  * shuffled and the rows it scanned — drift triage can then separate "the
+  * plan moved" (metrics changed) from "the host moved" (metrics identical)
+  * without a rerun. Shuffle-WRITE only (each shuffled byte is written
+  * exactly once; adding read would double-count), input records from the
+  * source scan (post-pushdown, so a broken filter pushdown shows up here
+  * directly). Listener events are async: [[Bench]] flushes with a sentinel
+  * job per timed run and spins on [[lastFlush]] — the bus is FIFO, so the
+  * sentinel's own job-end proves every prior task-end is folded in. */
+private final class BenchIoListener extends SparkListener {
+  private val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val jobGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  val shuffleBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  val recordsRead = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  @volatile var lastFlush: Long = -1L
+  override def onJobStart(js: SparkListenerJobStart): Unit = {
+    val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+    if (g != null) {
+      jobGroup.put(js.jobId, g)
+      js.stageIds.foreach(id => stageGroup.put(id, g))
+    }
+  }
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val g = stageGroup.get(te.stageId)
+    if (g != null && g.startsWith("bench-") && te.taskMetrics != null) {
+      shuffleBytes.computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicLong())
+        .addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      recordsRead.computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicLong())
+        .addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+  }
+  override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+    val g = jobGroup.remove(je.jobId)
+    if (g != null && g.startsWith("flush-")) {
+      val n = g.stripPrefix("flush-").toLong
+      if (n > lastFlush) lastFlush = n
+    }
+  }
+  def totals(name: String): (Long, Long) = {
+    val k = s"bench-$name"
+    (Option(shuffleBytes.get(k)).map(_.get()).getOrElse(0L),
+     Option(recordsRead.get(k)).map(_.get()).getOrElse(0L))
+  }
+}
 
 /** Headline benchmark: runs every contract query `SPARK_GRAFT_BENCH_ROUNDS`
   * times (default 5 — n=3 medians proved too noisy to adjudicate sub-second
@@ -73,6 +121,37 @@ object Bench {
     // the parquet-footer stamp so non-comparable runs are detectable.
     val fixtureHash = FixtureStamp.stamp(sfDir)
     println(s"""{"detail":"bench_plan","entries":${names.size},"rounds":$rounds,"cap_sec":$capSec,"fixture_hash":"$fixtureHash"}""")
+    // IO attribution + memory envelope (r14 verdict items 9 and 5): every
+    // entry's median ships with bytes-shuffled, rows-scanned, and the peak
+    // JVM heap observed while it ran, so a future drift verdict can cite
+    // "metrics identical ⇒ host/data, not plan" without a rerun, and the
+    // heap column is the per-entry-class envelope evidence for small-heap
+    // deployments. The sampler reads used-heap every 25 ms — peaks are a
+    // floor, not an exact HWM, which is the right side to err on for an
+    // envelope claim only if quoted as "observed peak" (it is).
+    val io = new BenchIoListener
+    spark.sparkContext.addSparkListener(io)
+    val heapHwm = new java.util.concurrent.atomic.AtomicLong(0L)
+    locally {
+      val t = new Thread(() => while (true) {
+        val rt = Runtime.getRuntime
+        heapHwm.accumulateAndGet(rt.totalMemory - rt.freeMemory,
+          (a: Long, b: Long) => math.max(a, b))
+        Thread.sleep(25)
+      }, "bench-heap-sampler")
+      t.setDaemon(true); t.start()
+    }
+    val flushSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    def flushBus(): Unit = {
+      val fid = flushSeq.incrementAndGet()
+      spark.sparkContext.setJobGroup(s"flush-$fid", "listener flush")
+      spark.sparkContext.parallelize(Seq(0), 1).count()
+      spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 5000000000L
+      while (io.lastFlush < fid && System.nanoTime() < deadline) Thread.sleep(5)
+    }
+    val ioSamples = names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]).toMap
+    val heapPeaks = scala.collection.mutable.Map.empty[String, Long]
     val samples = names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     // a query that throws records NO sample and a failure marker — timing the
     // exception path as a valid sample would let a breaking regression
@@ -84,6 +163,8 @@ object Bench {
     for (_ <- 1 to rounds) {
       names.filterNot(errors.contains).foreach { name =>
         val fn = allQueries(name)
+        val (sb0, rr0) = io.totals(name)
+        heapHwm.set(0L)
         val t0 = System.nanoTime()
         try {
           // setJobGroup is thread-local: set it on the thread that runs the
@@ -94,6 +175,12 @@ object Bench {
           }
           Await.result(fut, capSec.seconds)
           samples(name) += (System.nanoTime() - t0) / 1e9
+          // flush OUTSIDE the timed region: the sentinel job + bus spin
+          // cost ~10 ms and must not inflate the entry's own median
+          flushBus()
+          val (sb1, rr1) = io.totals(name)
+          ioSamples(name) += ((sb1 - sb0, rr1 - rr0))
+          heapPeaks(name) = math.max(heapPeaks.getOrElse(name, 0L), heapHwm.get)
         } catch {
           case _: TimeoutException =>
             spark.sparkContext.cancelJobGroup(s"bench-$name")
@@ -138,6 +225,32 @@ object Bench {
       }.mkString("{", ",", "}")
       println(s"""{"detail":"outlier_runs_in_order","queries":$runsJson}""")
     }
+    // per-entry IO + heap: [shuffle_mb, rows_read, peak_heap_mb] (medians
+    // over the per-run deltas; heap is the max observed across runs).
+    // Streamed as chunked detail lines so stdout stays self-contained even
+    // when the combined map exceeds the harness's output-tail window.
+    def medL(xs: Seq[Long]): Long =
+      if (xs.isEmpty) 0L else { val s = xs.sorted; s(s.size / 2) }
+    val ioMap = ok.map { n =>
+      val v = ioSamples(n)
+      val sMb = medL(v.map(_._1).toSeq) / 1048576.0
+      val rows = medL(v.map(_._2).toSeq)
+      val hMb = heapPeaks.getOrElse(n, 0L) / 1048576
+      n -> ("[" + BigDecimal(sMb).setScale(1, BigDecimal.RoundingMode.HALF_UP) +
+        "," + rows + "," + hMb + "]")
+    }
+    locally {
+      val parts = ioMap.map { case (n, v) => "\"" + n + "\":" + v }
+        .foldLeft(List(List.empty[String])) { (acc, kv) =>
+          if ((acc.head :+ kv).map(_.length + 1).sum > 1500) List(kv) :: acc
+          else (acc.head :+ kv) :: acc.tail
+        }.reverse.filter(_.nonEmpty)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        println(s"""{"detail":"io_shuffleMB_rows_heapMB","part":${i + 1},"of":${parts.size},"queries":${p.mkString("{", ",", "}")}}""")
+      }
+    }
+    val totalShuffleMb = ok.map(n => medL(ioSamples(n).map(_._1).toSeq)).sum / 1048576.0
+    val peakHeapMb = (heapPeaks.values ++ Seq(0L)).max / 1048576
     val qs = ok.map(n => "\"" + n + "\":" + r3(med(n))).mkString("{", ",", "}")
     val errJson = errors.map { case (n, m) => "\"" + n + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
@@ -162,7 +275,9 @@ object Bench {
     // full JSON to a sidecar file, stream the medians as chunked detail
     // lines (stdout stays self-contained), and end with a SHORT headline
     // that always parses and names the sidecar.
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"entries":${names.size},"fixture_hash":"$fixtureHash","queries":$qs,"errors":$errJson,"partial":$partialJson,"runs":$rounds,"sf":"$sfDir"}"""
+    val ioJson = ioMap.map { case (n, v) => "\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"entries":${names.size},"fixture_hash":"$fixtureHash","queries":$qs,"io_shuffleMB_rows_heapMB":$ioJson,"shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson,"runs":$rounds,"sf":"$sfDir"}"""
     if (fullLine.length <= 1600) println(fullLine)
     else {
       val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
@@ -181,7 +296,7 @@ object Bench {
       parts.zipWithIndex.foreach { case (p, i) =>
         println(s"""{"detail":"medians","part":${i + 1},"of":${parts.size},"queries":${p.mkString("{", ",", "}")}}""")
       }
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"entries":${names.size},"ok":${ok.size},"fixture_hash":"$fixtureHash","errors":$errJson,"partial":$partialJson,"runs":$rounds,"sf":"$sfDir","queries_file":"$sidecar"}""")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"entries":${names.size},"ok":${ok.size},"fixture_hash":"$fixtureHash","shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson,"runs":$rounds,"sf":"$sfDir","queries_file":"$sidecar"}""")
     }
     // teardown: release every session-lifetime cache the bench populated so
     // a long-lived embedding JVM reusing this code path starts clean
