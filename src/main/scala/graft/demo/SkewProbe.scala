@@ -23,7 +23,11 @@ import graft.queries.Queries
   * split markers), and for the window entries whether the rank-limit
   * pushdown (WindowGroupLimit) bounded the hot partition. The acceptance
   * bar is wall(skew) ≤ ~3× wall(uniform) per entry — skew costs something,
-  * but it must degrade, not cliff. Results recorded in BASELINE.md.
+  * but it must degrade, not cliff. A second leg re-runs the shuffle-join
+  * entries with the skew thresholds scaled down to the fixture and
+  * broadcast disabled (emulating the BYTES a 100 TB cluster sees at the
+  * same skew ratio against default thresholds) and asserts the AQE skew
+  * split actually engages. Results recorded in BASELINE.md.
   *
   * Usage: runMain graft.demo.SkewProbe [sf1Dir] (default /tmp/graft_sf1;
   * the skewed twin is written to <sf1Dir>_skew once and reused). */
@@ -80,9 +84,12 @@ object SkewProbe {
       val (ts, ns) = median3(q(skew).count())
       // final ADAPTIVE plan, post-execution: skew-split joins show
       // "skew=true" AQEShuffleRead partition specs; rank-limited windows
-      // show WindowGroupLimit
+      // show WindowGroupLimit. collect(), NOT count(): count() builds its
+      // own QueryExecution around an added aggregate, leaving THIS df's
+      // adaptive plan un-executed (isFinalPlan=false, no AQEShuffleRead
+      // nodes to inspect).
       val df = q(skew)
-      df.count()
+      df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val skewHandled = plan.contains("skew=true")
       val wgl = plan.contains("WindowGroupLimit")
@@ -92,5 +99,49 @@ object SkewProbe {
         f"aqe_skew_split=$skewHandled window_group_limit=$wgl")
     }
     spark.stop()
+
+    // ---- leg 2: prove the AQE skew-split PATH engages ----
+    // At sf1 the hot partition (~90% of 6M lineitem rows) compresses well
+    // under Spark's default 256 MiB skew threshold, and the dimension sides
+    // broadcast — so leg 1 legitimately shows skew ABSORBED, not split. A
+    // 100 TB cluster sees the same skew RATIO against the same default
+    // thresholds at 1000× the bytes, where the split is what saves the
+    // stage. Emulate that ratio: scale the skew thresholds down to the
+    // fixture (16 MiB / advisory 8 MiB) and disable broadcast so the joins
+    // are genuine shuffle joins, then assert the final adaptive plan
+    // carries skew=true AQEShuffleRead specs and the wall stays bounded.
+    val spark2 = graft.GraftSession.localBuilder(32, "graft-skewprobe-split")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // Without force, OptimizeSkewedJoin skips any join whose output
+      // partitioning is reused downstream (splitting would insert a new
+      // shuffle) — which is exactly these entries' shape: the agg keys
+      // match the join keys, so vanilla Spark PREFERS partial aggregation
+      // (map-side combine absorbs the hot key to one row per task) over a
+      // skew split. force=true trades the extra shuffle for the split —
+      // the knob a 100 TB deployment flips when the post-join work per hot
+      // row is heavy enough to dominate the reshuffle.
+      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      .getOrCreate()
+    spark2.sparkContext.setLogLevel("ERROR")
+    val joinEntries: Seq[(String, String => DataFrame)] = Seq(
+      "join_revenue_by_nation" -> (d => Queries.joinRevenueByNation(spark2, d)),
+      "left_join_agg" -> (d => Queries.leftJoinAgg(spark2, d)))
+    for ((name, q) <- joinEntries) {
+      val (tu, _) = median3(q(base).count())
+      val (ts, _) = median3(q(skew).count())
+      val df = q(skew)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val split = plan.contains("skew=true")
+      println(f"[skewprobe] SPLIT-LEG $name uniform=$tu%.2f s skewed=$ts%.2f s " +
+        f"ratio=${ts / math.max(tu, 1e-9)}%.2f aqe_skew_split=$split")
+      plan.linesIterator.filter(_.contains("AQEShuffleRead"))
+        .take(4).foreach(l => println("[skewprobe]   " + l.trim))
+    }
+    spark2.stop()
   }
 }

@@ -8,7 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 object SharedSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4,2] = task-failure tolerance 2, so RetryDeterminismSpec can
+      // inject a REAL task failure and assert the retried output is
+      // byte-identical (the plain local master fails the whole job on the
+      // first task failure — production clusters never do). Suites that
+      // assert exceptions still see them: the job still fails after the
+      // retries, it just takes one extra attempt.
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
