@@ -157,9 +157,6 @@ object Bench {
     // exception path as a valid sample would let a breaking regression
     // masquerade as a speedup in the headline number
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    import scala.concurrent.{Await, Future, TimeoutException}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
     for (_ <- 1 to rounds) {
       names.filterNot(errors.contains).foreach { name =>
         val fn = allQueries(name)
@@ -167,24 +164,52 @@ object Bench {
         heapHwm.set(0L)
         val t0 = System.nanoTime()
         try {
-          // setJobGroup is thread-local: set it on the thread that runs the
-          // jobs so a cap breach can cancel exactly this query's work
-          val fut = Future {
-            spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
-            fn(spark, sfDir).count()
-          }
-          Await.result(fut, capSec.seconds)
-          samples(name) += (System.nanoTime() - t0) / 1e9
-          // flush OUTSIDE the timed region: the sentinel job + bus spin
-          // cost ~10 ms and must not inflate the entry's own median
-          flushBus()
-          val (sb1, rr1) = io.totals(name)
-          ioSamples(name) += ((sb1 - sb0, rr1 - rr0))
-          heapPeaks(name) = math.max(heapPeaks.getOrElse(name, 0L), heapHwm.get)
-        } catch {
-          case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(s"bench-$name")
+          // Run on a DEDICATED thread (not the global EC) so a cap breach
+          // can interrupt it. One cancelJobGroup is NOT enough to stop a
+          // runaway: it only cancels jobs active at that instant, and a
+          // driver-side loop (NN-descent rounds, Lloyd iterations, a
+          // checkpoint cadence) just submits the next job in the same
+          // group — measured at sf10, where the first over-cap entry kept
+          // all task slots for 25+ min and every later entry queued behind
+          // it into its own bogus timeout. On breach we cancel + interrupt
+          // REPEATEDLY until the thread actually dies.
+          val done = new java.util.concurrent.CountDownLatch(1)
+          val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+          val runner = new Thread(() => {
+            try {
+              // setJobGroup is thread-local: set it on the thread that runs
+              // the jobs so a cap breach can cancel exactly this query's work
+              spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+              fn(spark, sfDir).count()
+            } catch { case e: Throwable => err.set(e) }
+            finally done.countDown()
+          }, s"bench-run-$name")
+          runner.setDaemon(true)
+          runner.start()
+          val finished = done.await(capSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+          if (!finished) {
             errors.getOrElseUpdate(name, s"wall_cap_exceeded_${capSec}s")
+            var waitedMs = 0L
+            while (done.getCount > 0 && waitedMs < 120000L) {
+              spark.sparkContext.cancelJobGroup(s"bench-$name")
+              runner.interrupt()
+              done.await(2000L, java.util.concurrent.TimeUnit.MILLISECONDS)
+              waitedMs += 2000L
+            }
+            if (done.getCount > 0)
+              errors(name) = s"wall_cap_exceeded_${capSec}s_ZOMBIE"
+          } else if (err.get != null) {
+            throw err.get
+          } else {
+            samples(name) += (System.nanoTime() - t0) / 1e9
+            // flush OUTSIDE the timed region: the sentinel job + bus spin
+            // cost ~10 ms and must not inflate the entry's own median
+            flushBus()
+            val (sb1, rr1) = io.totals(name)
+            ioSamples(name) += ((sb1 - sb0, rr1 - rr0))
+            heapPeaks(name) = math.max(heapPeaks.getOrElse(name, 0L), heapHwm.get)
+          }
+        } catch {
           case e: Throwable =>
           errors.getOrElseUpdate(name,
             (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))

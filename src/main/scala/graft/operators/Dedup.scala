@@ -906,8 +906,17 @@ object Dedup {
       .where(col("df") >= minDocs).select(col("fp"))
     // no distinct needed: the kernel dedups selected positions per doc
     // (winnowPos.seenPos), so (doc_id, pos) is unique in fpPos and the
-    // fp-keyed semi-join cannot duplicate it (shared has one row per fp)
-    val sel = fpPos.join(shared, "fp")
+    // fp-keyed semi-join cannot duplicate it (shared has one row per fp).
+    // shuffle_hash, NOT broadcast: `shared` GROWS with the corpus (it is
+    // the df >= minDocs fingerprint set), but the static planner's estimate
+    // for it — explode → distinct → agg → filter off a parquet scan — is
+    // small enough that it chose a BroadcastHashJoin, whose build side
+    // collects to the DRIVER: at sf10 (500k docs) that collect was 1.5 GiB
+    // and aborted on maxResultSize. AQE cannot demote a statically-planned
+    // broadcast. A hinted shuffled-hash join builds per-partition maps on
+    // executors — no driver materialization at any corpus size, and the
+    // per-partition build is bounded by the shuffle partition count.
+    val sel = fpPos.join(shared.hint("shuffle_hash"), "fp")
       .select(col("doc_id"), col("pos"))
     unionSpans(sel, k)
   }
@@ -988,8 +997,10 @@ object Dedup {
         s.getField("span_end").as("c")),
       acc => concat(acc.getField("t"),
         t.substr(acc.getField("c").cast("int"), length(t))))
+    // shuffle_hash: the spans frame scales with the number of affected
+    // docs (potentially the whole corpus) — never a driver-built broadcast
     df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .join(spans, Seq("doc_id"), "left")
+      .join(spans.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id").as(idCol),
         when(col("spans").isNull, col("__text"))
           .otherwise(stripped).as(textCol))
@@ -1035,7 +1046,10 @@ object Dedup {
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper"))
       .where(col("df") >= 2)
       .select(col("fp"), col("keeper"))
-    val sel = fpPos.join(keepers, "fp")
+    // shuffle_hash for the same reason as boilerplateSpans: keepers grows
+    // with the corpus but static stats underestimate it into a driver-side
+    // broadcast build (1.5 GiB collect at sf10)
+    val sel = fpPos.join(keepers.hint("shuffle_hash"), "fp")
       .where(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("pos"))
     unionSpans(sel, k)

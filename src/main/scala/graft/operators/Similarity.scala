@@ -720,8 +720,23 @@ object Similarity {
     * cell-seed post-mortem above establishes (at 2k nodes, 8 planes is
     * also simply cheap). The 10k threshold sits between the two measured
     * decades; iterations stay at the default 4 — the sweep's it=3 variant
-    * is dominated by fine-seed it=4 on both wall and recall. */
-  def nnDescentPlanesFor(n: Long): Int = if (n >= 10000L) 12 else 8
+    * is dominated by fine-seed it=4 on both wall and recall.
+    *
+    * Above 10k the count is DENSITY-DERIVED rather than stepped: the two
+    * measured anchors both sit near ~5 nodes per bucket (20k nodes / 12
+    * planes = 4.9; the r15 sf10 sweep at 200k nodes measured 16 planes =
+    * 3.1/bucket fastest at recall 0.986, with 14 planes = 12/bucket at
+    * 0.989 — all above the 0.85 CI floor and 16-20% cheaper than holding
+    * 12 planes, whose per-bucket occupancy would grow linearly with n).
+    * planes = ceil(log2(n / 5)) keeps that occupancy constant as the
+    * corpus grows — the seed join stays O(n · probes · 5) instead of
+    * O(n²/2^planes) — clamped to [12, 20]: 12 is the measured 10k-decade
+    * floor, 20 (≈5M nodes) bounds the probe fan-out; beyond that raise
+    * bucketCap/expand deliberately rather than silently. */
+  def nnDescentPlanesFor(n: Long): Int =
+    if (n < 10000L) 8
+    else math.min(20, math.max(12,
+      math.ceil(math.log(n / 5.0) / math.log(2.0)).toInt))
 
   /** [[nnDescent]] with the seed bucket count chosen from the MEASURED
     * corpus size ([[nnDescentPlanesFor]]) — the deployment facade, same

@@ -235,7 +235,13 @@ class RandomProjectSpec extends SparkSuite {
     assert(Similarity.nnDescentPlanesFor(2000L) == 8)
     assert(Similarity.nnDescentPlanesFor(9999L) == 8)
     assert(Similarity.nnDescentPlanesFor(10000L) == 12)
-    assert(Similarity.nnDescentPlanesFor(200000L) == 12)
+    assert(Similarity.nnDescentPlanesFor(20000L) == 12)
+    // density-derived above the measured anchors (~5 nodes/bucket,
+    // BASELINE.md r15 sf10 sweep: 200k nodes, 16 planes, recall 0.986):
+    // planes = clamp(ceil(log2(n/5)), 12, 20)
+    assert(Similarity.nnDescentPlanesFor(100000L) == 15)
+    assert(Similarity.nnDescentPlanesFor(200000L) == 16)
+    assert(Similarity.nnDescentPlanesFor(10000000L) == 20)
     // below the threshold the facade must be plan-identical to defaults —
     // same edges, same ranks (the sf1 bench twin shows the 3-round win)
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
