@@ -16,6 +16,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
 private final class BenchIoListener extends SparkListener {
   private val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
   private val jobGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val jobStages = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
   val shuffleBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   val recordsRead = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   @volatile var lastFlush: Long = -1L
@@ -23,6 +24,7 @@ private final class BenchIoListener extends SparkListener {
     val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
     if (g != null) {
       jobGroup.put(js.jobId, g)
+      jobStages.put(js.jobId, js.stageIds)
       js.stageIds.foreach(id => stageGroup.put(id, g))
     }
   }
@@ -36,6 +38,11 @@ private final class BenchIoListener extends SparkListener {
     }
   }
   override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+    // prune the per-stage map as each job retires (the bus is FIFO, so
+    // every task-end of this job's stages has already been folded in) —
+    // without this the map grows for the life of the session, which
+    // matters on the long-lived embedding-JVM reuse path
+    Option(jobStages.remove(je.jobId)).foreach(_.foreach(stageGroup.remove))
     val g = jobGroup.remove(je.jobId)
     if (g != null && g.startsWith("flush-")) {
       val n = g.stripPrefix("flush-").toLong
@@ -115,12 +122,24 @@ object Bench {
     // query is skipped for remaining rounds, and the run still emits its
     // headline JSON for every other entry.
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_SEC", "60").toInt
+    // LOAD-AWARE cap (r15 verdict #1): the r15 closing run cap-killed two
+    // HEALTHY entries (idle medians 5.79 s / 2.77 s) because the host was
+    // ~1.3x loaded and the cap was fixed. The measured calibration IS the
+    // load signal (host-invariant probe, ~0.20 s idle on this box), so the
+    // effective cap scales with it: a loaded host degrades medians instead
+    // of killing entries, while a true runaway still dies within the same
+    // order of magnitude. Idle hosts are unaffected (factor clamps at 1).
+    val capEff = math.ceil(capSec * math.max(1.0, calibration / 0.20)).toInt
     // content identity of the corpus under test (r14 verdict #2): three
     // rounds of sf1 forward baselines were invalidated by mid-round fixture
     // regeneration that nothing recorded — every bench artifact now carries
     // the parquet-footer stamp so non-comparable runs are detectable.
     val fixtureHash = FixtureStamp.stamp(sfDir)
-    println(s"""{"detail":"bench_plan","entries":${names.size},"rounds":$rounds,"cap_sec":$capSec,"fixture_hash":"$fixtureHash"}""")
+    // heap_semantics documents the io triplet's third column: the sampler
+    // reads PROCESS-WIDE used heap during the entry's window, so retained
+    // caches from earlier entries fold into an entry's "peak" — envelope
+    // evidence, not entry-attributed accounting (r15 ADVICE item 3).
+    println(s"""{"detail":"bench_plan","entries":${names.size},"rounds":$rounds,"cap_sec":$capSec,"cap_effective_sec":$capEff,"calibration_sec":${(math.rint(calibration * 1000) / 1000)},"fixture_hash":"$fixtureHash","heap_semantics":"process_wide_peak_during_entry"}""")
     // IO attribution + memory envelope (r14 verdict items 9 and 5): every
     // entry's median ships with bytes-shuffled, rows-scanned, and the peak
     // JVM heap observed while it ran, so a future drift verdict can cite
@@ -142,13 +161,18 @@ object Bench {
       t.setDaemon(true); t.start()
     }
     val flushSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-    def flushBus(): Unit = {
+    def flushBus(entry: String): Unit = {
       val fid = flushSeq.incrementAndGet()
       spark.sparkContext.setJobGroup(s"flush-$fid", "listener flush")
       spark.sparkContext.parallelize(Seq(0), 1).count()
       spark.sparkContext.clearJobGroup()
       val deadline = System.nanoTime() + 5000000000L
       while (io.lastFlush < fid && System.nanoTime() < deadline) Thread.sleep(5)
+      // deadline exit = the bus is backed up and this entry's IO delta is
+      // taken from stale totals — name it so the affected sample is
+      // identifiable in drift triage instead of silently mis-attributed
+      if (io.lastFlush < fid)
+        println(s"""{"detail":"io_flush_timeout","entry":"$entry","fid":$fid}""")
     }
     val ioSamples = names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]).toMap
     val heapPeaks = scala.collection.mutable.Map.empty[String, Long]
@@ -157,10 +181,22 @@ object Bench {
     // exception path as a valid sample would let a breaking regression
     // masquerade as a speedup in the headline number
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // one-time trained-index build cost per entry, split OUT of the query
+    // median (r15 verdict #6): at rounds=1 a memo-populating first run
+    // otherwise charges ~47 s of BPE merge training to bpe_encode's
+    // "query" number. The build nanos are metered inside the memo layer
+    // (PipelineQueries.indexBuildNanos), subtracted from the paying run's
+    // sample, and emitted as their own headline field.
+    val buildSecs = scala.collection.mutable.Map.empty[String, Double]
+    // first entry whose cap-killed runner survived cancel+interrupt: its
+    // zombie jobs may still hold task slots, so every sample recorded
+    // AFTER it is suspect — named in the headline (r15 ADVICE item 1)
+    var contaminatedAfter: Option[String] = None
     for (_ <- 1 to rounds) {
       names.filterNot(errors.contains).foreach { name =>
         val fn = allQueries(name)
         val (sb0, rr0) = io.totals(name)
+        val bn0 = graft.queries.PipelineQueries.indexBuildNanos.get()
         heapHwm.set(0L)
         val t0 = System.nanoTime()
         try {
@@ -186,9 +222,9 @@ object Bench {
           }, s"bench-run-$name")
           runner.setDaemon(true)
           runner.start()
-          val finished = done.await(capSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+          val finished = done.await(capEff.toLong, java.util.concurrent.TimeUnit.SECONDS)
           if (!finished) {
-            errors.getOrElseUpdate(name, s"wall_cap_exceeded_${capSec}s")
+            errors.getOrElseUpdate(name, s"wall_cap_exceeded_${capEff}s")
             var waitedMs = 0L
             while (done.getCount > 0 && waitedMs < 120000L) {
               spark.sparkContext.cancelJobGroup(s"bench-$name")
@@ -196,15 +232,20 @@ object Bench {
               done.await(2000L, java.util.concurrent.TimeUnit.MILLISECONDS)
               waitedMs += 2000L
             }
-            if (done.getCount > 0)
-              errors(name) = s"wall_cap_exceeded_${capSec}s_ZOMBIE"
+            if (done.getCount > 0) {
+              errors(name) = s"wall_cap_exceeded_${capEff}s_ZOMBIE"
+              if (contaminatedAfter.isEmpty) contaminatedAfter = Some(name)
+            }
           } else if (err.get != null) {
             throw err.get
           } else {
-            samples(name) += (System.nanoTime() - t0) / 1e9
+            val bd = (graft.queries.PipelineQueries.indexBuildNanos.get() - bn0) / 1e9
+            samples(name) += (System.nanoTime() - t0) / 1e9 - bd
+            if (bd > 0.0)
+              buildSecs(name) = buildSecs.getOrElse(name, 0.0) + bd
             // flush OUTSIDE the timed region: the sentinel job + bus spin
             // cost ~10 ms and must not inflate the entry's own median
-            flushBus()
+            flushBus(name)
             val (sb1, rr1) = io.totals(name)
             ioSamples(name) += ((sb1 - sb0, rr1 - rr0))
             heapPeaks(name) = math.max(heapPeaks.getOrElse(name, 0L), heapHwm.get)
@@ -254,8 +295,15 @@ object Bench {
     // over the per-run deltas; heap is the max observed across runs).
     // Streamed as chunked detail lines so stdout stays self-contained even
     // when the combined map exceeds the harness's output-tail window.
+    // same midpoint-average convention as the wall-time median() — an
+    // even rounds count must not give IO medians a different basis
     def medL(xs: Seq[Long]): Long =
-      if (xs.isEmpty) 0L else { val s = xs.sorted; s(s.size / 2) }
+      if (xs.isEmpty) 0L
+      else {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
     val ioMap = ok.map { n =>
       val v = ioSamples(n)
       val sMb = medL(v.map(_._1).toSeq) / 1048576.0
@@ -302,7 +350,14 @@ object Bench {
     // that always parses and names the sidecar.
     val ioJson = ioMap.map { case (n, v) => "\"" + n + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"entries":${names.size},"fixture_hash":"$fixtureHash","queries":$qs,"io_shuffleMB_rows_heapMB":$ioJson,"shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson,"runs":$rounds,"sf":"$sfDir"}"""
+    // one-time trained-index build cost per paying entry (usually run 1
+    // only) — the medians above are query-only, this field carries the
+    // build side so cold-start artifacts stop leaking into exponents
+    val buildJson = buildSecs.toSeq.sortBy(_._1)
+      .map { case (n, s) => "\"" + n + "\":" + r3(s) }.mkString("{", ",", "}")
+    val contamJson = contaminatedAfter
+      .map(n => s""","contaminated_after":"$n"""").getOrElse("")
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"cap_effective_sec":$capEff,"entries":${names.size},"fixture_hash":"$fixtureHash","queries":$qs,"io_shuffleMB_rows_heapMB":$ioJson,"index_build_sec":$buildJson,"shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson$contamJson,"runs":$rounds,"sf":"$sfDir"}"""
     if (fullLine.length <= 1600) println(fullLine)
     else {
       val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
@@ -321,10 +376,13 @@ object Bench {
       parts.zipWithIndex.foreach { case (p, i) =>
         println(s"""{"detail":"medians","part":${i + 1},"of":${parts.size},"queries":${p.mkString("{", ",", "}")}}""")
       }
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"entries":${names.size},"ok":${ok.size},"fixture_hash":"$fixtureHash","shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson,"runs":$rounds,"sf":"$sfDir","queries_file":"$sidecar"}""")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"cap_effective_sec":$capEff,"entries":${names.size},"ok":${ok.size},"fixture_hash":"$fixtureHash","index_build_sec":$buildJson,"shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson$contamJson,"runs":$rounds,"sf":"$sfDir","queries_file":"$sidecar"}""")
     }
     // teardown: release every session-lifetime cache the bench populated so
-    // a long-lived embedding JVM reusing this code path starts clean
+    // a long-lived embedding JVM reusing this code path starts clean —
+    // including the IO listener itself (it would otherwise keep receiving
+    // and folding every later job's task metrics)
+    spark.sparkContext.removeSparkListener(io)
     graft.queries.PipelineQueries.clearIndexCaches()
     graft.operators.Dedup.clearDecisionCache()
     spark.stop()
