@@ -270,6 +270,16 @@ object SparkEntry {
       graft.operators.Dedup.ngramJaccardPairs(
         PipelineQueries.docsWithPlants(s, d), "doc_id", "text",
         n = 3, threshold = 0.6)),
+    // round 16: the cluster-form near-dup contract — component labels
+    // instead of a pair list. The r15 sf10 leg proved the pair interface
+    // is output-quadratic at high copy multiplicity (>=24.75M true pairs,
+    // NgramLshDiag); labels are O(n) at any multiplicity and are what
+    // keepList consumes anyway. Anchor-pruned candidates; components ==
+    // full pair-path components on the planted corpus (PipelineSpec pin)
+    "dedup_ngram_clusters" -> ((s: SparkSession, d: String) =>
+      graft.operators.Dedup.ngramJaccardClusters(
+        PipelineQueries.docsWithPlants(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6)),
     // round 11: ANN-backed hybrid retrieval — the hybrid_search
     // composition with the vector leg on the memoized IVF index at
     // SELECTIVE nprobe (4/16) instead of brute force: the 100-TB shape.

@@ -234,6 +234,112 @@ case class SquaredDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused k-means assignment: argmin over the full centroid table in ONE
+  * projection pass — struct(cell, dist2) per input vector, no row
+  * expansion. The relational form this replaces (crossJoin against a
+  * broadcast centroid frame + min(struct) aggregation) materializes n·k
+  * rows each carrying BOTH the input vector and a centroid through a hash
+  * aggregate: at 200k vectors × 200 auto-sized cells that is 40M ~800-byte
+  * rows per assignment pass — the quadratic assign term behind
+  * semantic_dedup_auto's sf10 exponent. Here the centroids ride as a
+  * driver-built primitive double[][] reference object in the plan (k·dim
+  * doubles — 100 KB at the auto policy's sf10 size), and each row costs
+  * exactly the k·dim flops the argmin requires.
+  *
+  * Value-IDENTICAL to the relational form, pinned by spec: distances are
+  * rounded to 9 decimals with the same java.math.BigDecimal.valueOf /
+  * HALF_UP arithmetic Spark's `round` codegen emits BEFORE comparison,
+  * and ties break on the lower cell id — exactly min(struct(d, cell)). */
+case class ArgminCell(child: Expression, cells: Array[Int],
+                      cents: Array[Array[Double]]) extends UnaryExpression {
+  require(cells.nonEmpty && cells.length == cents.length,
+    s"argmin_cell needs aligned non-empty centroid tables " +
+      s"(${cells.length} cells, ${cents.length} centroids)")
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("d", DoubleType, nullable = false)))
+  override def prettyName: String = "argmin_cell"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bestCell = Int.MaxValue
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      if (c.length != n) throw new IllegalArgumentException(
+        s"argmin_cell: vector length $n != centroid length ${c.length}")
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - c(i)
+        s += d * d
+        i += 1
+      }
+      val rd = java.math.BigDecimal.valueOf(s)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (rd < bestD || (rd == bestD && cells(j) < bestCell)) {
+        bestD = rd; bestCell = cells(j)
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCell, bestD))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cRef = ctx.addReferenceObj("argminCents", cents, "double[][]")
+      val lRef = ctx.addReferenceObj("argminCells", cells, "int[]")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val rd = ctx.freshName("rd")
+      val c = ctx.freshName("c")
+      val bc = ctx.freshName("bestCell")
+      val bd = ctx.freshName("bestD")
+      s"""
+         |int $n = $a.numElements();
+         |int $bc = Integer.MAX_VALUE;
+         |double $bd = Double.POSITIVE_INFINITY;
+         |for (int $j = 0; $j < $cRef.length; $j++) {
+         |  double[] $c = $cRef[$j];
+         |  if ($c.length != $n) {
+         |    throw new IllegalArgumentException(
+         |      "argmin_cell: vector length " + $n + " != centroid length " + $c.length);
+         |  }
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ((double) $a.getFloat($i)) - $c[$i];
+         |    $s += $d * $d;
+         |  }
+         |  double $rd = java.math.BigDecimal.valueOf($s)
+         |    .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  if ($rd < $bd || ($rd == $bd && $lRef[$j] < $bc)) {
+         |    $bd = $rd; $bc = $lRef[$j];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ $bc, $bd });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArgminCell =
+    copy(child = newChild)
+}
+
 /** Marker for [[BoundedTopK]]'s per-id-type heap states (long / string). */
 sealed trait TopKState extends Serializable
 
@@ -1479,6 +1585,12 @@ object exprs {
   /** Squared L2 of a float vector against a double centroid literal. */
   def squaredDistance(v: Column, centroid: Column): Column =
     column(SquaredDistance(expression(v), expression(centroid)))
+  /** Fused argmin cell assignment over a driver-side centroid table:
+    * struct(cell, d) with round-9 distances and lower-cell tie-break —
+    * value-identical to crossJoin+min(struct), zero row expansion. */
+  def argminCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    column(ArgminCell(expression(v),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
   def boundedTopK(score: Column, id: Column, k: Int): Column =
     column(BoundedTopK(expression(score), expression(id), k)
       .toAggregateExpression())

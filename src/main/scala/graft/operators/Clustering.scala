@@ -206,17 +206,17 @@ object Clustering {
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
 
-  /** Broadcast-centroid argmin: distances rounded to 9 BEFORE comparison so
-    * the (d, cell) struct-min tie-break is reproducible cross-engine. */
+  /** Centroid-table argmin: distances rounded to 9 BEFORE comparison so
+    * the (d, cell) struct-min tie-break is reproducible cross-engine.
+    * One fused codegen pass per row ([[exprs.argminCell]]) — the former
+    * crossJoin(broadcast) + min(struct) form materialized n·k wide rows
+    * through a hash aggregate, which is the quadratic assign term the
+    * sf10 leg measured on semantic_dedup_auto (k grows with n under the
+    * auto policy, so n·k row expansion is n²/cellTarget). Value-identical
+    * (same round-9 arithmetic, same lower-cell tie-break), spec-pinned
+    * against the relational form in ClusteringSpec. */
   private def assignTo(v: DataFrame,
-                       cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val spark = v.sparkSession
-    import spark.implicits._
-    val cdf = cents.toDF("cell", "cvec")
-    v.crossJoin(F.broadcast(cdf))
-      .withColumn("d", round(exprs.squaredDistance(col("__v"), col("cvec")), 9))
-      .groupBy(col("__id"))
-      .agg(min(struct(col("d"), col("cell"))).as("m"))
+                       cents: Seq[(Int, Seq[Double])]): DataFrame =
+    v.select(col("__id"), exprs.argminCell(col("__v"), cents).as("m"))
       .select(col("__id"), col("m.cell").as("cell"), col("m.d").as("dist2"))
-  }
 }

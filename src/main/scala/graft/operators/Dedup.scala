@@ -330,6 +330,17 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    verifyShingleCandidates(candidates, withSig, threshold, numHashes)
+  }
+
+  /** Exact-Jaccard verification of an (id_a, id_b) candidate frame against
+    * the cached (id, sh, sig) signature side: a cheap signature-agreement
+    * prefilter (codegen array compare at threshold − 0.2 slack — minhash
+    * agreement is an unbiased Jaccard estimate, so the slack keeps false
+    * rejections negligible) ahead of the exact sorted-merge intersection.
+    * Shared by every banded pair/cluster path. */
+  private def verifyShingleCandidates(candidates: DataFrame, withSig: DataFrame,
+                                      threshold: Double, numHashes: Int): DataFrame = {
     val side = withSig.select(col("id"), col("sh"), col("sig"))
     candidates
       .join(side.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), "id_a")
@@ -940,7 +951,35 @@ object Dedup {
     track(spread.select(col(idCol).as("doc_id"),
         explode(minhashExprs.winnowPositions(col(textCol), k, w)).as("s"))
       .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
-      .cache())
+      .persist(winnowStorageFor(df)))
+  }
+
+  /** Storage level for the winnow fingerprint cache, sized to the corpus:
+    * the exploded (doc_id, fp, pos) frame is ~66x the snappy parquet bytes
+    * of its source (measured at sf10: 59 MB of documents -> 3.9 GiB
+    * cached), so an in-memory cache of a large corpus evicts execution
+    * memory and the whole span family spends its time spilling — the
+    * heap-pressure shape behind the >1.0 sf1->sf10 wall exponents (all
+    * four span entries pegged 8.0-8.2 GiB of an 8 GiB heap). When the
+    * ESTIMATED cache exceeds ~quarter of max heap, store it DISK_ONLY:
+    * compute-once is preserved (both consumers still read one
+    * materialization), the columnar batches stream from local disk/page
+    * cache, and the heap stays owned by the joins that need it. Below the
+    * threshold the classic MEMORY_AND_DISK cache is strictly faster.
+    * `GRAFT_WINNOW_CACHE` (memory|disk|auto) pins the choice for A/B
+    * measurement; the estimate reads plan-stats file bytes only — no job. */
+  private def winnowStorageFor(df: DataFrame): org.apache.spark.storage.StorageLevel = {
+    import org.apache.spark.storage.StorageLevel
+    sys.env.getOrElse("GRAFT_WINNOW_CACHE", "auto") match {
+      case "memory" => StorageLevel.MEMORY_AND_DISK
+      case "disk"   => StorageLevel.DISK_ONLY
+      case _ =>
+        val srcBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val estCache = srcBytes * 66
+        val budget = Runtime.getRuntime.maxMemory / 4
+        if (estCache > budget) StorageLevel.DISK_ONLY
+        else StorageLevel.MEMORY_AND_DISK
+    }
   }
 
   /** Gaps-and-islands union of k-char position marks into maximal disjoint
@@ -1220,6 +1259,69 @@ object Dedup {
       key, fitsExactNgram(df, exactRowLimit))
     if (useExact) ngramJaccardJoin(df, idCol, textCol, n, threshold)
     else ngramJaccardPairs(df, idCol, textCol, n, threshold, bucketCap)
+  }
+
+  /** Cluster-form near-dup text join: component labels instead of a pair
+    * list — the scalable CONTRACT at high duplicate multiplicity. The r15
+    * sf10 leg proved the pair interface is output-quadratic by nature: at
+    * 100 copies per base document any correct J ≥ t pair-finder must emit
+    * ≥ 5000·C(100,2) ≈ 24.75M rows (NgramLshDiag — the breach was output
+    * cardinality, not algorithm). Component labels are what downstream
+    * dedup consumes anyway (keepList/keepBest collapse the pairs
+    * immediately), and they are O(n) however dense the duplication.
+    *
+    * Candidate generation is REPRESENTATIVE-ANCHORED to keep the verify
+    * join linear too: within each capped LSH band bucket, members pair
+    * only with the bucket's `reps` smallest ids (m·reps candidates per
+    * bucket instead of C(m,2)). Connectivity survives because components
+    * only need a spanning structure, not every edge: two docs similar to
+    * each other in a bucket are each verified against the same anchors,
+    * and 4 independent bands give 4 chances for a shared VERIFIED anchor.
+    * Anchor pruning is ONE-SIDED by construction: its edge set is a
+    * subset of the pair path's (same banding, same exact verification),
+    * so components can only SPLIT relative to the full path, never
+    * falsely merge — the right error direction for dedup (a split keeps
+    * both docs). The `reps` default is MEASURED, not guessed
+    * (NgramClusterProbe, sf0.01 planted corpus incl. its chain-shaped
+    * organic components): diverged docs vs the full pair path fall
+    * 41/22/10/4/0 at reps 4/8/16/32/64 — 64 reproduces the full
+    * components exactly and is spec-pinned; candidate volume stays
+    * Σ_buckets m·min(reps, m) ≈ linear (most buckets hold a handful of
+    * docs; only capped copy-buckets pay the full reps fan-out, still 8×
+    * under their C(cap, 2) pair volume).
+    *
+    * Output: (id, cluster_id) for EVERY input doc (singletons label
+    * themselves), cluster_id = component min id. */
+  def ngramJaccardClusters(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5,
+                           bucketCap: Int = 1000, reps: Int = 64): DataFrame = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val numHashes = 32
+    val withSig = track(df.select(col(idCol).as("id"),
+        minhashExprs.charShingleSet(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashExprs.minhashSig(col("sh"), numHashes))
+      .cache())
+    val exploded = track(ScaleOps.capBuckets(
+      withSig
+        .select(col("id"), explode(bandKeys(col("sig"), bands = 4, rows = 8)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
+      Seq("band", "bkey"), bucketCap, "ngram_clusters").cache())
+    // per-bucket anchors: the reps smallest ids. collect_set state is
+    // bounded by bucketCap (capBuckets ran first), so the aggregate never
+    // holds an uncapped bucket; no window, order-free.
+    val anchors = exploded.groupBy(col("band"), col("bkey"))
+      .agg(slice(array_sort(collect_set(col("id"))), 1, reps).as("rs"))
+      .select(col("band"), col("bkey"), explode(col("rs")).as("rep_id"))
+    val candidates = exploded.join(anchors, Seq("band", "bkey"))
+      .where(col("id") =!= col("rep_id"))
+      .select(least(col("id"), col("rep_id")).as("id_a"),
+        greatest(col("id"), col("rep_id")).as("id_b"))
+      .distinct()
+    val verified = verifyShingleCandidates(candidates, withSig, threshold,
+      numHashes)
+    clusters(df.select(col(idCol).as("id")), verified)
   }
 
   /** [[ngramJaccard]]'s measured-size branch, exposed for tests: true iff

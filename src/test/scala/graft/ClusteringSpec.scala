@@ -178,4 +178,33 @@ class ClusteringSpec extends SparkSuite {
       iters = 2).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
     assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("argminCell kernel == relational crossJoin + min(struct) assignment") {
+    // the fused assignment kernel must be VALUE-identical to the relational
+    // form it replaced (round-9 BigDecimal.valueOf/HALF_UP distances
+    // compared, ties to the lower cell) — the whole oracle-equivalence
+    // argument for the kmeans family rests on this pin. Centroids come
+    // from a real fit so the distances exercise the rounding path, plus a
+    // duplicate-centroid pair to force the tie-break.
+    val e = table("embeddings")
+    val cents = Clustering.kmeansFit(e, "vec_id", "embedding", k = 6, iters = 1)
+    val tieCents = cents ++ Seq((6, cents.head._2), (7, cents(1)._2))
+    val v = e.select(col("vec_id").as("__id"), col("embedding").as("__v"))
+    val kernel = v.select(col("__id"),
+        graft.functions.exprs.argminCell(col("__v"), tieCents).as("m"))
+      .select(col("__id"), col("m.cell"), col("m.d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
+    val cdf = tieCents.toDF("cell", "cvec")
+    val relational = v.crossJoin(broadcast(cdf))
+      .withColumn("d",
+        round(graft.functions.exprs.squaredDistance(col("__v"), col("cvec")), 9))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("d"), col("cell"))).as("m"))
+      .select(col("__id"), col("m.cell"), col("m.d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
+    assert(kernel.length === relational.length)
+    assert(kernel === relational)
+    // the duplicated centroids must never win a tie against their originals
+    assert(kernel.forall(_._2 < 6), "tie-break must keep the lower cell id")
+  }
 }

@@ -390,6 +390,27 @@ class PipelineSpec extends SparkSuite {
       s"banding recall regressed: caught ${caught.size}/19 planted pairs")
   }
 
+  test("ngramJaccardClusters: anchor-edge components match full pair-path components (sf0.01)") {
+    // the cluster-form contract (O(n) output at any duplicate multiplicity)
+    // must produce the SAME components as rolling up the full pair list on
+    // the planted corpus, and must never falsely merge anywhere: its edge
+    // set is a subset of the pair path's (same banding, same exact
+    // verification), so each of its components sits inside a pair-path
+    // component by construction — what this pins is that anchor pruning
+    // did not SPLIT anything the full path connects on real data.
+    val docs = PipelineQueries.docsWithPlants(spark, sf("sf0.01"))
+    val got = Dedup.ngramJaccardClusters(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairPath = Dedup.clusters(
+        docs.select(col("doc_id").as("id")),
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === pairPath.keySet, "every doc must be labeled")
+    assert(got === pairPath,
+      "anchor-pruned components diverged from full pair-path components")
+  }
+
   test("hybrid_search_ann: selective-probe fusion recall vs brute twin pinned (sf0.01)") {
     // the ANN-backed hybrid entry serves the vector leg from the IVF index
     // at nprobe 4/16 — approximate BY DESIGN (a true neighbor in an
