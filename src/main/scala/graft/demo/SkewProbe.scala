@@ -70,7 +70,14 @@ object SkewProbe {
       "join_revenue_by_nation" -> (d => Queries.joinRevenueByNation(spark, d)),
       "left_join_agg" -> (d => Queries.leftJoinAgg(spark, d)),
       "window_top_orders" -> (d => Queries.windowTopOrders(spark, d)),
-      "user_sessions" -> (d => Queries.userSessions(spark, d)))
+      "user_sessions" -> (d => Queries.userSessions(spark, d)),
+      // r15 verdict item 8: does the 90%-hot user benefit from salting the
+      // sessionization? The chunked twin IS the salt (time-chunk partition
+      // keys spread the hot user across tasks; boundary merge restores
+      // exact sessions) — its skew ratio vs the window form's answers the
+      // question with a measurement instead of an argument.
+      "user_sessions_chunked" ->
+        (d => Queries.userSessionsChunked(spark, d, chunkHours = 24)))
     def median3(f: => Long): (Double, Long) = {
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

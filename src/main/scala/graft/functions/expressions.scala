@@ -286,10 +286,19 @@ case class ArgminCell(child: Expression, cells: Array[Int],
         s += d * d
         i += 1
       }
-      val rd = java.math.BigDecimal.valueOf(s)
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (rd < bestD || (rd == bestD && cells(j) < bestCell)) {
-        bestD = rd; bestCell = cells(j)
+      // fast path: skip the BigDecimal rounding when this centroid cannot
+      // win even after rounding. round-9 is monotone and moves a value at
+      // most half a grid step (5e-10), and bestD is already ON the grid,
+      // so s > bestD + 1e-9 ⇒ round(s) ≥ s − 5e-10 > bestD + 5e-10 ⇒
+      // round(s) ≥ bestD + 1e-9 (grid multiples) — strictly worse, no tie
+      // possible. BigDecimal then runs only for genuine contenders (a few
+      // per row instead of k), which dominated the assign kernel's cost.
+      if (s <= bestD + 1e-9) {
+        val rd = java.math.BigDecimal.valueOf(s)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (rd < bestD || (rd == bestD && cells(j) < bestCell)) {
+          bestD = rd; bestCell = cells(j)
+        }
       }
       j += 1
     }
@@ -325,10 +334,15 @@ case class ArgminCell(child: Expression, cells: Array[Int],
          |    double $d = ((double) $a.getFloat($i)) - $c[$i];
          |    $s += $d * $d;
          |  }
-         |  double $rd = java.math.BigDecimal.valueOf($s)
-         |    .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
-         |  if ($rd < $bd || ($rd == $bd && $lRef[$j] < $bc)) {
-         |    $bd = $rd; $bc = $lRef[$j];
+         |  // round-9 monotone, half-step 5e-10, best on grid: a raw
+         |  // distance beyond bestD + 1e-9 stays strictly worse after
+         |  // rounding — skip the BigDecimal for non-contenders
+         |  if ($s <= $bd + 1e-9) {
+         |    double $rd = java.math.BigDecimal.valueOf($s)
+         |      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    if ($rd < $bd || ($rd == $bd && $lRef[$j] < $bc)) {
+         |      $bd = $rd; $bc = $lRef[$j];
+         |    }
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

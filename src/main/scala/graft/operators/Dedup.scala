@@ -948,37 +948,35 @@ object Dedup {
                           k: Int, w: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    track(spread.select(col(idCol).as("doc_id"),
+    val fp = spread.select(col(idCol).as("doc_id"),
         explode(minhashExprs.winnowPositions(col(textCol), k, w)).as("s"))
       .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
-      .persist(winnowStorageFor(df)))
+    winnowStorageFor(df) match {
+      case Some(level) => track(fp.persist(level))
+      case None        => fp // recompute per consumer — zero cache state
+    }
   }
 
-  /** Storage level for the winnow fingerprint cache, sized to the corpus:
-    * the exploded (doc_id, fp, pos) frame is ~66x the snappy parquet bytes
-    * of its source (measured at sf10: 59 MB of documents -> 3.9 GiB
-    * cached), so an in-memory cache of a large corpus evicts execution
-    * memory and the whole span family spends its time spilling — the
-    * heap-pressure shape behind the >1.0 sf1->sf10 wall exponents (all
-    * four span entries pegged 8.0-8.2 GiB of an 8 GiB heap). When the
-    * ESTIMATED cache exceeds ~quarter of max heap, store it DISK_ONLY:
-    * compute-once is preserved (both consumers still read one
-    * materialization), the columnar batches stream from local disk/page
-    * cache, and the heap stays owned by the joins that need it. Below the
-    * threshold the classic MEMORY_AND_DISK cache is strictly faster.
-    * `GRAFT_WINNOW_CACHE` (memory|disk|auto) pins the choice for A/B
-    * measurement; the estimate reads plan-stats file bytes only — no job. */
-  private def winnowStorageFor(df: DataFrame): org.apache.spark.storage.StorageLevel = {
+  /** Storage policy for the winnow fingerprint cache — MEASURED at sf10
+    * (500k docs, local[4]/-Xmx8g, n=2 medians, boilerplate/duplicate
+    * spans), not guessed. The exploded (doc_id, fp, pos) frame is ~66x
+    * its source's snappy parquet bytes (59 MB of documents -> 3.9 GiB
+    * cached), and the r15 hypothesis was that this cache crowding
+    * execution memory explains the span family's >1.0 sf1->sf10 wall
+    * exponents. The A/B says OTHERWISE: DISK_ONLY freed ~700 MB of heap
+    * (peak 8.09 -> 7.36 GiB) but cost wall (boilerplate 138.5 -> 246 s,
+    * duplicate 119.8 -> 142.8 s) — the serialize+write+read round-trip of
+    * 3.9 GiB per materialization exceeds the spill pressure it relieves,
+    * so the heap attribution was PARTIAL at best. The in-memory columnar
+    * cache stays the default at every size; `GRAFT_WINNOW_CACHE`
+    * (memory|disk|none) pins a variant for future A/Bs ("none" recomputes
+    * the fingerprint kernel per consumer). */
+  private def winnowStorageFor(df: DataFrame): Option[org.apache.spark.storage.StorageLevel] = {
     import org.apache.spark.storage.StorageLevel
-    sys.env.getOrElse("GRAFT_WINNOW_CACHE", "auto") match {
-      case "memory" => StorageLevel.MEMORY_AND_DISK
-      case "disk"   => StorageLevel.DISK_ONLY
-      case _ =>
-        val srcBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val estCache = srcBytes * 66
-        val budget = Runtime.getRuntime.maxMemory / 4
-        if (estCache > budget) StorageLevel.DISK_ONLY
-        else StorageLevel.MEMORY_AND_DISK
+    sys.env.getOrElse("GRAFT_WINNOW_CACHE", "memory") match {
+      case "disk" => Some(StorageLevel.DISK_ONLY)
+      case "none" => None
+      case _      => Some(StorageLevel.MEMORY_AND_DISK)
     }
   }
 

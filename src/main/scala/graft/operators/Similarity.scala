@@ -662,6 +662,20 @@ object Similarity {
     // each node's top-K comes from ~9 multi-probe buckets and bucket
     // membership overlaps differently per node, so components merge
     // globally and four rounds reach 0.99+.
+    // NOTE (r16 negative result, measured): the WWW '11 new/old-flag
+    // incremental local join — skip old×old pairs, provably exact because
+    // scores are static and per-node top-K thresholds are monotone — was
+    // implemented, spec-pinned bit-identical, and MEASURED SLOWER at both
+    // decades: sf1 shuffle only −7% (563→523 MB) at flat wall, and sf10
+    // went from 663 s to a >1146 s cap kill at the local[4]/-Xmx8g
+    // convention. Mechanism: at 4 rounds from a low-recall LSH seed the
+    // lists churn heavily EVERY round (recall 0.12→0.96 across rounds), so
+    // the fresh fraction never falls far enough for the skip to shed
+    // candidates, while the per-round flag join + fresh column add state
+    // to an entry that is already memory-bound at the 8 GiB convention.
+    // The paper's win assumes many near-converged rounds; this operating
+    // point (few rounds, expand headroom) deliberately front-loads churn.
+    // Reverted; ρ remains the measured discovery-thinning knob.
     var edges = lshTopK(corpus, corpus, idCol, vecCol, kk, nPlanes, seed,
         dim, bucketCap)
       .localCheckpoint(true)

@@ -365,6 +365,94 @@ object Queries {
       .orderBy(col("user_id"), col("session_start_epoch"))
   }
 
+  /** Skew-robust sessionization: [[userSessions]] semantics via TIME-CHUNKED
+    * two-phase gaps-and-islands, for corpora where one entity owns an
+    * unboundable share of the events. The plain window form is correct at
+    * any scale but serializes each user onto ONE task (window semantics
+    * require it, and AQE's skew machinery only splits JOIN stages — a
+    * window's hot partition cannot be split by config). Measured on the
+    * 90%-hot SkewProbe twin that bound is a ~2× ratio at sf1 (900k events
+    * on one task); it grows linearly with the hot entity's share, with no
+    * knob to cap it.
+    *
+    * Here the window runs per (user, time-chunk) — parallel ACROSS chunks
+    * for the hot user — then chunk-boundary sessions merge through a
+    * per-user window over CHUNK SUMMARIES (≤ 2 boundary rows per (user,
+    * chunk) — thousands of times smaller than the event stream), and the
+    * final session stats re-aggregate with order-free sums. Merge logic:
+    * chunk summaries sort by time per user; a chunk's FIRST session joins
+    * the previous summary's LAST session iff the event gap across the
+    * boundary is ≤ `gap` (sessions spanning several sparse chunks chain
+    * through the same rule — islands over summaries). Exactness:
+    * session membership and event counts are IDENTICAL to [[userSessions]]
+    * (spec-pinned on uniform AND hot fixtures); `value_sum` is the same
+    * round(sum, 4) but over a different addition order, so the pin allows
+    * the documented 1e-6 float-order tolerance. */
+  def userSessionsChunked(spark: SparkSession, dir: String,
+                          chunkHours: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000 * 1000
+    val chunkUs = chunkHours.toLong * 3600 * 1000 * 1000
+    val ev = events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("chunk", floor(col("us") / chunkUs))
+    // phase 1: sessionize WITHIN (user, chunk) — the hot user's events
+    // spread over as many tasks as it has active chunks
+    val byChunk = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("us"))
+    val local = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(byChunk))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("lsid", sum(col("new_s")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("chunk"), col("lsid"))
+      .agg(min(col("us")).as("s_first"), max(col("us")).as("s_last"),
+        min(col("ts")).as("s_start_ts"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("value_raw"))
+    // phase 2: merge across chunk boundaries, on the BOUNDARY-SESSION
+    // frame only. A local session can merge with another chunk's session
+    // only if it is its chunk's FIRST (merges backward) or LAST (merges
+    // forward) — interior sessions are fenced by >gap breaks on both
+    // sides within their own chunk. So take ≤2 rows per (user, chunk),
+    // order them per user by session start, and run plain gaps-and-islands
+    // over SESSIONS: same-chunk first/last rows break automatically
+    // (sessions inside one chunk are >gap apart by construction), while a
+    // ≤gap chunk-boundary straddle chains — including across empty chunks
+    // and through runs of single-session chunks. The frame is thousands of
+    // times smaller than the event stream (hot user: 2 rows per active
+    // chunk), so this window's hot partition is trivially small.
+    val bounds = local.groupBy(col("user_id"), col("chunk"))
+      .agg(max(col("lsid")).as("max_lsid"))
+    val withMax = local.join(bounds, Seq("user_id", "chunk"))
+    val boundary = withMax
+      .where(col("lsid") === 1L || col("lsid") === col("max_lsid"))
+    val interior = withMax
+      .where(col("lsid") =!= 1L && col("lsid") =!= col("max_lsid"))
+    val byUserSeq = Window.partitionBy(col("user_id")).orderBy(col("s_first"))
+    val merged = boundary
+      .withColumn("prev_last", lag(col("s_last"), 1).over(byUserSeq))
+      .withColumn("new_i",
+        when(col("prev_last").isNull || col("s_first") - col("prev_last") > gapUs,
+          1L).otherwise(0L))
+      .withColumn("isl", sum(col("new_i")).over(
+        byUserSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("s_start_ts")).as("s_start_ts"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("value_raw")).as("value_raw"))
+    merged.select(col("user_id"), col("s_start_ts"), col("n_events"),
+        col("value_raw"))
+      .union(interior.select(col("user_id"), col("s_start_ts"),
+        col("n_events"), col("value_raw")))
+      .select(col("user_id"),
+        unix_timestamp(col("s_start_ts")).as("session_start_epoch"),
+        col("n_events"),
+        round(col("value_raw"), 4).as("value_sum"))
+      .orderBy(col("user_id"), col("session_start_epoch"))
+  }
+
   /** Event-time tumbling aggregation (batch form of the streaming window):
     * per-hour per-type counts + value sums, hour as epoch seconds. */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =

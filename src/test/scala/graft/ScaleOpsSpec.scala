@@ -291,6 +291,45 @@ class ScaleOpsSpec extends SparkSuite {
     assert(viaState === viaWindow, "both cover every event exactly once")
   }
 
+  test("userSessionsChunked == userSessions (membership exact, sums to " +
+      "float-order tolerance) at a chunk size that forces boundary merges") {
+    // the skew-robust two-phase form must reproduce the window form's
+    // session PARTITION exactly: chunkHours=1 on the events fixture makes
+    // nearly every session straddle at least one chunk boundary, so the
+    // boundary-merge path (incl. multi-chunk chains) is what's under test,
+    // not the trivial within-chunk case
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val plain = key(Queries.userSessions(spark, sf()))
+    val chunked = key(Queries.userSessionsChunked(spark, sf(), chunkHours = 1))
+    assert(chunked.length === plain.length,
+      s"session count diverged: ${chunked.length} vs ${plain.length}")
+    plain.zip(chunked).foreach { case (p, c) =>
+      assert(p._1 === c._1 && p._2 === c._2 && p._3 === c._3,
+        s"session membership diverged: $p vs $c")
+      assert(math.abs(p._4 - c._4) < 1e-6,
+        s"value_sum beyond float-order tolerance: $p vs $c")
+    }
+    // multi-chunk chain: one user, events every 20 min for 3 hours — a
+    // single session spanning four 1-hour chunks must come back as ONE row
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_sessions")
+      .toString
+    import spark.implicits._
+    (0 until 10).map(i =>
+        (i.toLong, new java.sql.Timestamp(1704100000000L + i * 20L * 60 * 1000),
+          1L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val chain = Queries.userSessionsChunked(spark, dir, chunkHours = 1).collect()
+    assert(chain.length === 1, s"chain split: ${chain.mkString(";")}")
+    assert(chain.head.getLong(2) === 10L)
+    assert(math.abs(chain.head.getDouble(3) - 15.0) < 1e-9)
+    val chainPlain = Queries.userSessions(spark, dir).collect()
+    assert(chainPlain.length === 1 &&
+      chainPlain.head.getLong(2) === chain.head.getLong(2))
+  }
+
   test("asofBackward matches a brute-force reference on random data") {
     import graft.operators.AsOfJoin
     val rnd = new scala.util.Random(7)
