@@ -28,8 +28,10 @@ class PlanLintSpec extends SparkSuite {
     // broadcast-small query side, non-equi scoring condition
     "knn_bruteforce", "knn_graph", "knn_ivf", "knn_ivfpq", "knn_rp",
     "hybrid_search", "hybrid_search_ann", "hybrid_search_ann_full",
-    "semantic_dedup", "semantic_dedup_auto", "kmeans_assign",
-    "diverse_sample", "embedding_outliers",
+    // (r16: the kmeans family — semantic_dedup{,_auto}, kmeans_assign,
+    // diverse_sample, embedding_outliers — left this list when the
+    // ArgminCell kernel replaced their centroid crossJoins; the lint's
+    // stale-allowance check is what flagged the removals)
     // G²-guarded pair frames of the overlap matrices
     "source_overlap", "source_overlap_kmv",
     // one-row scalar attach (corpus size / vocab size / thresholds /
