@@ -46,6 +46,11 @@ object SparkEntry {
     "window_top_orders" -> (Queries.windowTopOrders _),
     "events_hourly" -> (Queries.eventsHourly _),
     "user_sessions" -> (Queries.userSessions _),
+    // r17: the skew-invariant chunked sessionization under the hash gate —
+    // semantically identical to user_sessions (spec-pinned), so the same
+    // oracle SQL applies verbatim
+    "user_sessions_chunked" -> ((s: SparkSession, d: String) =>
+      Queries.userSessionsChunked(s, d)),
     "price_percentiles" -> (Queries.pricePercentiles _),
     "rollup_agg" -> (Queries.rollupAgg _),
     "events_json" -> (Queries.eventsJson _),
@@ -153,6 +158,12 @@ object SparkEntry {
     "dedup_minhash" -> (PipelineQueries.dedupMinhash _),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "dedup_ngram" -> (PipelineQueries.dedupNgram _),
+    // r17: the cluster-form near-dup interface as a CONTRACT row — labels
+    // over the exact J>=0.6 graph on the bounded planted slice (the auto
+    // facade routes exact at this measured size), value-oracled against a
+    // DuckDB brute-force + recursive min-label closure. The anchored
+    // full-corpus path stays benched as dedup_ngram_clusters_scale.
+    "dedup_ngram_clusters" -> (PipelineQueries.dedupNgramClusters _),
     "dedup_embedding" -> (PipelineQueries.dedupEmbedding _),
     "dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "knn_bruteforce" -> (PipelineQueries.knnBruteforce _),
@@ -270,13 +281,15 @@ object SparkEntry {
       graft.operators.Dedup.ngramJaccardPairs(
         PipelineQueries.docsWithPlants(s, d), "doc_id", "text",
         n = 3, threshold = 0.6)),
-    // round 16: the cluster-form near-dup contract — component labels
-    // instead of a pair list. The r15 sf10 leg proved the pair interface
-    // is output-quadratic at high copy multiplicity (>=24.75M true pairs,
+    // round 16 (renamed _scale in r17 when the bounded-slice contract row
+    // took the bare name — sf1 6.77 s / sf10 653.7 s history carries over):
+    // the cluster-form near-dup at FULL corpus — component labels instead
+    // of a pair list. The r15 sf10 leg proved the pair interface is
+    // output-quadratic at high copy multiplicity (>=24.75M true pairs,
     // NgramLshDiag); labels are O(n) at any multiplicity and are what
     // keepList consumes anyway. Anchor-pruned candidates; components ==
     // full pair-path components on the planted corpus (PipelineSpec pin)
-    "dedup_ngram_clusters" -> ((s: SparkSession, d: String) =>
+    "dedup_ngram_clusters_scale" -> ((s: SparkSession, d: String) =>
       graft.operators.Dedup.ngramJaccardClusters(
         PipelineQueries.docsWithPlants(s, d), "doc_id", "text",
         n = 3, threshold = 0.6)),
@@ -340,6 +353,9 @@ object SparkEntry {
     "window_top_orders" -> Oracles.windowTopOrders,
     "events_hourly" -> Oracles.eventsHourly,
     "user_sessions" -> Oracles.userSessions,
+    // r17: the chunked form is semantically identical (spec-pinned), so
+    // the sessionization oracle applies verbatim
+    "user_sessions_chunked" -> Oracles.userSessions,
     "price_percentiles" -> Oracles.pricePercentiles,
     "rollup_agg" -> Oracles.rollupAgg,
     "events_json" -> Oracles.eventsJson,
@@ -450,6 +466,9 @@ object SparkEntry {
     // contract PINS THE EXACT BRANCH (oracle unchanged) while an
     // over-budget corpus auto-routes to the LSH branch.
     "dedup_ngram" -> Oracles.dedupNgram,
+    // r17: components over that same truth set via a recursive min-label
+    // closure — the cluster interface under the hash gate
+    "dedup_ngram_clusters" -> Oracles.dedupNgramClusters,
     // round 9: winnowing graduated from diagnosis (repeated_spans: WHICH
     // fingerprints repeat) to transform (boilerplate_spans: WHICH character
     // ranges of each doc are corpus-wide boilerplate) — span bounds

@@ -249,12 +249,42 @@ case class SquaredDistance(left: Expression, right: Expression)
   * Value-IDENTICAL to the relational form, pinned by spec: distances are
   * rounded to 9 decimals with the same java.math.BigDecimal.valueOf /
   * HALF_UP arithmetic Spark's `round` codegen emits BEFORE comparison,
-  * and ties break on the lower cell id — exactly min(struct(d, cell)). */
+  * and ties break on the lower cell id — exactly min(struct(d, cell)).
+  *
+  * Magnitude envelope of the skip fast path: skipping a candidate with
+  * raw s > bestD + 1e-9 is provably safe only while the total rounding
+  * displacement (5e-10 decimal half-step + ulp(s)/2 from the final
+  * double conversion) stays under the 1e-9 margin — true for any
+  * s ≤ ~4e6, where ulp(s)/2 ≤ 4.7e-10. Beyond that a double can no
+  * longer represent distinct 1e-9-grid multiples and the skip argument
+  * breaks, so once bestD itself exceeds 1e6 the kernel ALWAYS rounds
+  * (exact min(round9(d), cell) semantics at any magnitude; the guard
+  * costs nothing in the normalized-embedding regime where d² ≤ ~4).
+  * A contender with bestD ≤ 1e6 but huge s is also safe to skip: its
+  * margin over bestD dwarfs any rounding displacement. Spec-pinned
+  * against the relational form at ×1e5-scaled centroids. */
 case class ArgminCell(child: Expression, cells: Array[Int],
                       cents: Array[Array[Double]]) extends UnaryExpression {
   require(cells.nonEmpty && cells.length == cents.length,
     s"argmin_cell needs aligned non-empty centroid tables " +
       s"(${cells.length} cells, ${cents.length} centroids)")
+
+  // case-class equals/hashCode over Array parameters degrade to reference
+  // identity (arrays don't define content equality), which silently breaks
+  // plan canonicalization, semanticEquals, and common-subexpression
+  // elimination for two semantically identical kernels — compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case a: ArgminCell =>
+      child == a.child && java.util.Arrays.equals(cells, a.cells) &&
+        cents.length == a.cents.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), a.cents(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(cells)),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        cents.asInstanceOf[Array[AnyRef]])))
   override def dataType: DataType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
     StructField("d", DoubleType, nullable = false)))
@@ -287,13 +317,12 @@ case class ArgminCell(child: Expression, cells: Array[Int],
         i += 1
       }
       // fast path: skip the BigDecimal rounding when this centroid cannot
-      // win even after rounding. round-9 is monotone and moves a value at
-      // most half a grid step (5e-10), and bestD is already ON the grid,
-      // so s > bestD + 1e-9 ⇒ round(s) ≥ s − 5e-10 > bestD + 5e-10 ⇒
-      // round(s) ≥ bestD + 1e-9 (grid multiples) — strictly worse, no tie
-      // possible. BigDecimal then runs only for genuine contenders (a few
-      // per row instead of k), which dominated the assign kernel's cost.
-      if (s <= bestD + 1e-9) {
+      // win even after rounding — total rounding displacement is at most
+      // 5e-10 (decimal half-step) + ulp(s)/2 (double conversion) < 1e-9
+      // for s ≤ ~4e6, so s > bestD + 1e-9 ⇒ round(s) > bestD. Once bestD
+      // exceeds 1e6 the ulp term can cross the grid and the argument
+      // breaks: fall back to always-rounding (see class doc).
+      if (s <= bestD + 1e-9 || bestD > 1e6) {
         val rd = java.math.BigDecimal.valueOf(s)
           .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
         if (rd < bestD || (rd == bestD && cells(j) < bestCell)) {
@@ -334,10 +363,10 @@ case class ArgminCell(child: Expression, cells: Array[Int],
          |    double $d = ((double) $a.getFloat($i)) - $c[$i];
          |    $s += $d * $d;
          |  }
-         |  // round-9 monotone, half-step 5e-10, best on grid: a raw
-         |  // distance beyond bestD + 1e-9 stays strictly worse after
-         |  // rounding — skip the BigDecimal for non-contenders
-         |  if ($s <= $bd + 1e-9) {
+         |  // skip-safety: displacement <= 5e-10 + ulp(s)/2 < the 1e-9
+         |  // margin while s <= ~4e6; once bestD > 1e6 always round
+         |  // (magnitude envelope — see ArgminCell class doc)
+         |  if ($s <= $bd + 1e-9 || $bd > 1e6) {
          |    double $rd = java.math.BigDecimal.valueOf($s)
          |      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
          |    if ($rd < $bd || ($rd == $bd && $lRef[$j] < $bc)) {

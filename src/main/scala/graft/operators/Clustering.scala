@@ -128,23 +128,46 @@ object Clustering {
   def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                         tau: Double = 0.95, cellTarget: Int = 1000,
                         iters: Int = 1, kMax: Int = 65536): DataFrame = {
-    require(cellTarget >= 1, s"cellTarget must be >= 1, got $cellTarget")
-    require(kMax >= 1, s"kMax must be >= 1, got $kMax")
     val n = df.count()
     require(n > 0, "semanticDedupAuto needs a non-empty corpus")
-    val k = math.max(1L, math.min(kMax.toLong,
+    semanticDedupPairs(df, idCol, vecCol,
+      k = autoK(n, cellTarget, kMax), iters = iters, tau = tau)
+  }
+
+  /** The measured-k policy of [[semanticDedupAuto]], exposed so deployment
+    * callers (e.g. a fit-memoizing pipeline layer) can reproduce the k a
+    * facade call would pick for a counted corpus. */
+  def autoK(n: Long, cellTarget: Int, kMax: Int = 65536): Int = {
+    require(cellTarget >= 1, s"cellTarget must be >= 1, got $cellTarget")
+    require(kMax >= 1, s"kMax must be >= 1, got $kMax")
+    math.max(1L, math.min(kMax.toLong,
       (n + cellTarget - 1) / cellTarget)).toInt
-    semanticDedupPairs(df, idCol, vecCol, k = k, iters = iters, tau = tau)
   }
 
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                          k: Int, iters: Int = 1,
-                         tau: Double = 0.95): DataFrame = {
+                         tau: Double = 0.95): DataFrame =
+    semanticDedupPairsWith(df, idCol, vecCol,
+      kmeansFit(df, idCol, vecCol, k, iters), tau)
+
+  /** [[semanticDedupPairs]] against a PRE-FITTED centroid table — the
+    * fit-sharing entrypoint (r16 verdict #5): a pipeline that already
+    * trained k-means over the same corpus (or memoizes the fit under the
+    * train-once convention the ANN indexes use) passes its centroids here
+    * and pays only the assignment + within-cell pairing per call.
+    * Assignment is the fused [[exprs.argminCell]] projection with the
+    * vector column KEPT IN PLACE — the former corpus self-join of the
+    * assignment frame back onto the vectors by id is gone. */
+  def semanticDedupPairsWith(df: DataFrame, idCol: String, vecCol: String,
+                             cents: Seq[(Int, Seq[Double])],
+                             tau: Double = 0.95): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine, got $tau")
+    require(cents.nonEmpty, "semanticDedupPairsWith needs centroids")
     val v = vecs(df, idCol, vecCol)
-    val cents = kmeansFit(df, idCol, vecCol, k, iters)
-    val withCell = v.join(
-      assignTo(v, cents).select(col("__id"), col("cell")), "__id")
+    val withCell = v
+      .select(col("__id"), col("__v"),
+        exprs.argminCell(col("__v"), cents).as("m"))
+      .select(col("__id"), col("__v"), col("m.cell").as("cell"))
     val l = withCell.select(col("cell"), col("__id").as("kept_id"),
       col("__v").as("va"))
     val r = withCell.select(col("cell"), col("__id").as("dropped_id"),

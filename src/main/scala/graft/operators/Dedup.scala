@@ -909,25 +909,32 @@ object Dedup {
       k: Int = 8, w: Int = 4, minDocs: Long = 2): DataFrame = {
     requireSpanContiguity(k, w)
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    import org.apache.spark.sql.expressions.Window
     val fpPos = winnowFpPos(df, idCol, textCol, k, w)
-    // distinct-doc df: a fp selected at several positions of one doc still
-    // counts that doc once (same df semantics as repeatedSpans)
-    val shared = fpPos.select(col("doc_id"), col("fp")).distinct()
-      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .where(col("df") >= minDocs).select(col("fp"))
-    // no distinct needed: the kernel dedups selected positions per doc
-    // (winnowPos.seenPos), so (doc_id, pos) is unique in fpPos and the
-    // fp-keyed semi-join cannot duplicate it (shared has one row per fp).
-    // shuffle_hash, NOT broadcast: `shared` GROWS with the corpus (it is
-    // the df >= minDocs fingerprint set), but the static planner's estimate
-    // for it — explode → distinct → agg → filter off a parquet scan — is
-    // small enough that it chose a BroadcastHashJoin, whose build side
-    // collects to the DRIVER: at sf10 (500k docs) that collect was 1.5 GiB
-    // and aborted on maxResultSize. AQE cannot demote a statically-planned
-    // broadcast. A hinted shuffled-hash join builds per-partition maps on
-    // executors — no driver materialization at any corpus size, and the
-    // per-partition build is bounded by the shuffle partition count.
-    val sel = fpPos.join(shared.hint("shuffle_hash"), "fp")
+    // SINGLE-SHUFFLE form (r16 verdict #2). The former shape — distinct
+    // (doc, fp) → df aggregate → fp-keyed shuffle_hash join back onto the
+    // exploded frame — shuffled the full (doc_id, fp, pos) frame TWICE
+    // (once as the distinct, once as the join probe) and forced the 3.9 GiB
+    // cache materialization (two consumers), which together were the span
+    // family's measured sf10 binding constraint (exponent ~1.1 at the
+    // 8 GiB convention; the r16 cache A/B eliminated the cache-pressure
+    // hypothesis and pinned it on the join shuffle). Windows over
+    // partitionBy(fp) compute the same df filter IN PLACE: one exchange of
+    // the exploded frame, no join, no cache — fpPos now has exactly one
+    // consumer. Distinct-doc df as two window passes sharing the exchange:
+    // rows sort by (fp, doc_id), each doc's first row flags 1 (same-doc
+    // repeats are adjacent under the sort), and the full-frame sum of
+    // flags is the fingerprint's distinct-doc count — order-free among
+    // equal doc_ids, identical semantics to the old distinct + count.
+    val byFpDoc = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val byFp = Window.partitionBy(col("fp"))
+    val sel = fpPos
+      .withColumn("newdoc",
+        when(lag(col("doc_id"), 1).over(byFpDoc).isNull ||
+          lag(col("doc_id"), 1).over(byFpDoc) =!= col("doc_id"), 1L)
+          .otherwise(0L))
+      .withColumn("dfd", sum(col("newdoc")).over(byFp))
+      .where(col("dfd") >= minDocs)
       .select(col("doc_id"), col("pos"))
     unionSpans(sel, k)
   }
@@ -939,45 +946,28 @@ object Dedup {
         "k-char marks overlap")
 
   /** Position-carrying winnow fingerprints of each doc, spread across the
-    * cluster and cached (every caller consumes it at least twice). The
-    * fingerprint pass is CPU-bound per document; a corpus that arrives as
-    * fewer splits than cores (one small parquet file → one split) would
-    * otherwise run it on one core. At real scale the source has thousands
-    * of splits and the repartition is a no-op. */
+    * cluster. The fingerprint pass is CPU-bound per document; a corpus
+    * that arrives as fewer splits than cores (one small parquet file → one
+    * split) would otherwise run it on one core. At real scale the source
+    * has thousands of splits and the repartition is a no-op.
+    *
+    * NOT cached, by design history: the cache existed for the former
+    * two-consumer join shape (df aggregate + fp-keyed join probe), whose
+    * storage policy was A/B'd honestly at sf10 — the ~3.9 GiB exploded
+    * frame's DISK_ONLY variant freed ~700 MB heap but cost +78 % wall
+    * (serialize+write+read exceeds the spill pressure relieved), and the
+    * 'none' variant ran at parity, settling that the binding constraint
+    * was the fp JOIN's shuffle, not the cache (r16 BASELINE rows). The r17
+    * single-shuffle window rewrite of both span consumers leaves exactly
+    * ONE consumer per call, so there is nothing left to cache — the
+    * GRAFT_WINNOW_CACHE knob retired with the join. */
   private def winnowFpPos(df: DataFrame, idCol: String, textCol: String,
                           k: Int, w: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    val fp = spread.select(col(idCol).as("doc_id"),
+    spread.select(col(idCol).as("doc_id"),
         explode(minhashExprs.winnowPositions(col(textCol), k, w)).as("s"))
       .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
-    winnowStorageFor(df) match {
-      case Some(level) => track(fp.persist(level))
-      case None        => fp // recompute per consumer — zero cache state
-    }
-  }
-
-  /** Storage policy for the winnow fingerprint cache — MEASURED at sf10
-    * (500k docs, local[4]/-Xmx8g, n=2 medians, boilerplate/duplicate
-    * spans), not guessed. The exploded (doc_id, fp, pos) frame is ~66x
-    * its source's snappy parquet bytes (59 MB of documents -> 3.9 GiB
-    * cached), and the r15 hypothesis was that this cache crowding
-    * execution memory explains the span family's >1.0 sf1->sf10 wall
-    * exponents. The A/B says OTHERWISE: DISK_ONLY freed ~700 MB of heap
-    * (peak 8.09 -> 7.36 GiB) but cost wall (boilerplate 138.5 -> 246 s,
-    * duplicate 119.8 -> 142.8 s) — the serialize+write+read round-trip of
-    * 3.9 GiB per materialization exceeds the spill pressure it relieves,
-    * so the heap attribution was PARTIAL at best. The in-memory columnar
-    * cache stays the default at every size; `GRAFT_WINNOW_CACHE`
-    * (memory|disk|none) pins a variant for future A/Bs ("none" recomputes
-    * the fingerprint kernel per consumer). */
-  private def winnowStorageFor(df: DataFrame): Option[org.apache.spark.storage.StorageLevel] = {
-    import org.apache.spark.storage.StorageLevel
-    sys.env.getOrElse("GRAFT_WINNOW_CACHE", "memory") match {
-      case "disk" => Some(StorageLevel.DISK_ONLY)
-      case "none" => None
-      case _      => Some(StorageLevel.MEMORY_AND_DISK)
-    }
   }
 
   /** Gaps-and-islands union of k-char position marks into maximal disjoint
@@ -1076,18 +1066,19 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     requireSpanContiguity(k, w)
+    import org.apache.spark.sql.expressions.Window
     val fpPos = winnowFpPos(df, idCol, textCol, k, w)
-    val docFp = fpPos.select(col("doc_id"), col("fp")).distinct()
-    val keepers = docFp
-      .groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper"))
-      .where(col("df") >= 2)
-      .select(col("fp"), col("keeper"))
-    // shuffle_hash for the same reason as boilerplateSpans: keepers grows
-    // with the corpus but static stats underestimate it into a driver-side
-    // broadcast build (1.5 GiB collect at sf10)
-    val sel = fpPos.join(keepers.hint("shuffle_hash"), "fp")
-      .where(col("doc_id") =!= col("keeper"))
+    // SINGLE-SHUFFLE form (r16 verdict #2, same rationale as
+    // boilerplateSpans): keeper = min(doc_id) over the fp partition, and
+    // "duplicated in ≥ 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) over
+    // that partition — one exchange, no join, no multi-consumer cache.
+    // These are UNORDERED full-frame window aggregates, so the exchange
+    // needs no orderBy at all.
+    val byFp = Window.partitionBy(col("fp"))
+    val sel = fpPos
+      .withColumn("keeper", min(col("doc_id")).over(byFp))
+      .withColumn("dmax", max(col("doc_id")).over(byFp))
+      .where(col("keeper") =!= col("dmax") && col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("pos"))
     unionSpans(sel, k)
   }
@@ -1320,6 +1311,40 @@ object Dedup {
     val verified = verifyShingleCandidates(candidates, withSig, threshold,
       numHashes)
     clusters(df.select(col(idCol).as("id")), verified)
+  }
+
+  /** Size-adaptive cluster-form near-dup facade — [[ngramJaccardClusters]]'
+    * deployment entrypoint, routing on a MEASURED row count exactly like
+    * [[ngramJaccard]] (shared route memo; the decision is the same
+    * "fits ≤ exactRowLimit" boolean):
+    *
+    *  - bounded corpus (≤ `exactRowLimit` rows, probed with the early-exit
+    *    incremental-limit count): components over the COMPLETE J ≥ t graph
+    *    — [[ngramJaccardJoin]]'s provably-complete exact pairs rolled up by
+    *    [[clusters]] — so the output is value-checkable against a DuckDB
+    *    brute-force + recursive min-label oracle (what the
+    *    `dedup_ngram_clusters` contract row pins);
+    *  - at scale: the representative-anchored banded path of
+    *    [[ngramJaccardClusters]], whose candidate volume is Σ m·min(reps,m)
+    *    (linear) and whose edge set is a subset of the banded pair path's —
+    *    components split-only, never falsely merge (the right error
+    *    direction for dedup), reps=64 measured to reproduce the full
+    *    pair-path components (NgramClusterProbe).
+    *
+    * Output either way: (id, cluster_id) for EVERY input doc, cluster_id =
+    * component min id. */
+  def ngramJaccardClustersAuto(df: DataFrame, idCol: String, textCol: String,
+                               n: Int = 3, threshold: Double = 0.5,
+                               bucketCap: Int = 1000, reps: Int = 64,
+                               exactRowLimit: Long = 100000L): DataFrame = {
+    val key = (df.queryExecution.optimizedPlan.canonicalized.hashCode,
+               exactRowLimit)
+    val useExact = ngramRoutesFor(df.sparkSession).getOrElseUpdate(
+      key, fitsExactNgram(df, exactRowLimit))
+    if (useExact)
+      clusters(df.select(col(idCol).as("id")),
+        ngramJaccardJoin(df, idCol, textCol, n, threshold))
+    else ngramJaccardClusters(df, idCol, textCol, n, threshold, bucketCap, reps)
   }
 
   /** [[ngramJaccard]]'s measured-size branch, exposed for tests: true iff

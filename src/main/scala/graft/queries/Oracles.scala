@@ -2337,8 +2337,8 @@ object Oracles {
     * guarantee, the length filter, and the sorted-merge verification at
     * once. Same trigram semantics as ngram_exact (ASCII normalization,
     * whole-string gram for short texts, distinct set). */
-  val dedupNgram: String =
-    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500
+  private val ngramPairsCte: String =
+    """docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500
       |  UNION ALL
       |  SELECT doc_id + 1000000, text || ' graft planted near duplicate suffix'
       |  FROM documents WHERE doc_id < 20),
@@ -2354,15 +2354,38 @@ object Oracles {
       |                i -> s[i:i + 2]))
       |    END AS g
       |  FROM norm),
-      |pairs AS (
+      |cand AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    len(list_intersect(a.g, b.g)) AS inter,
       |    len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS unn
-      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, round(inter::DOUBLE / unn, 6) AS jaccard
-      |FROM pairs
-      |WHERE unn > 0 AND inter::DOUBLE / unn >= 0.6
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+      |npairs AS (
+      |  SELECT id_a, id_b, round(inter::DOUBLE / unn, 6) AS jaccard
+      |  FROM cand WHERE unn > 0 AND inter::DOUBLE / unn >= 0.6)""".stripMargin
+
+  val dedupNgram: String =
+    s"""WITH $ngramPairsCte
+      |SELECT id_a, id_b, jaccard FROM npairs
       |ORDER BY 1, 2""".stripMargin
+
+  /** dedup_ngram_clusters: connected components over the brute-force
+    * J >= 0.6 trigram pair set via the recursive min-label closure (the
+    * dedupKeeplist trick) — EVERY doc in the slice labeled, singletons
+    * with themselves; cluster_id = component min id. The engine side's
+    * auto facade routes to the exact prefix-filtered join at this
+    * measured size, so its label frame equals this closure row-for-row. */
+  val dedupNgramClusters: String =
+    s"""WITH RECURSIVE $ngramPairsCte,
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM npairs
+      |  UNION
+      |  SELECT id_b AS src, id_a AS dst FROM npairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM docs
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+      |SELECT id AS doc_id, cluster_id FROM labels ORDER BY 1""".stripMargin
 
   /** BRUTE-FORCE portable-simhash truth set — reproduces every stage of
     * Dedup.simhashPairsPortable in SQL: per-token 60-bit hash = first 15 hex

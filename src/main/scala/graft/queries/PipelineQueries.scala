@@ -1251,6 +1251,23 @@ object PipelineQueries {
         "doc_id", "text", n = 3, threshold = 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Cluster-form near-dup CONTRACT entry (r16 verdict #3): component
+    * labels over the n-gram Jaccard graph on the same bounded planted
+    * slice as [[dedupNgram]], via the size-adaptive facade — at this
+    * measured size it routes to the EXACT prefix-filtered pair join, so
+    * the labels equal a DuckDB brute-force + recursive min-label closure
+    * row-for-row (the cluster interface is what users actually run at
+    * scale; the anchored full-corpus path stays benched as
+    * `dedup_ngram_clusters_scale`). Every doc is labeled — singletons
+    * label themselves. */
+  def dedupNgramClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardClustersAuto(
+        docsWithPlants(spark, dir)
+          .where(col("doc_id") < 500 || col("doc_id") >= PlantShift),
+        "doc_id", "text", n = 3, threshold = 0.6)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup pairs over LSH buckets (planted jitter),
     * with Hamming-1 multi-probe so a planted pair (cosine ≈ 0.994) split by
     * one hyperplane is still a candidate — recall over the plants is 1 and
@@ -1312,11 +1329,24 @@ object PipelineQueries {
     * goes quadratic as cells grow with the corpus (measured 16.3 s at
     * sf1's 20k vectors vs ~1 s here) — the deployment shape, benched so
     * the scale claim is a number, not a docblock (the knn_graph_nnd_rho
-    * convention). Facade ≡ explicit-k is spec-pinned in ClusteringSpec. */
-  def semanticDedupAutoQ(spark: SparkSession, dir: String): DataFrame =
-    Clustering.semanticDedupAuto(embeddingsWithPlants(spark, dir),
-        "vec_id", "embedding", tau = 0.95, cellTarget = 1000)
+    * convention). Facade ≡ explicit-k is spec-pinned in ClusteringSpec;
+    * memoized-fit entry ≡ direct facade is spec-pinned in PipelineSpec.
+    *
+    * r17 (verdict #5): the fit is SHARED under the train-once convention —
+    * [[plantedKmeansFit]] memoizes the deterministic centroid table per
+    * (dir, k, iters) and meters the training into `index_build_sec`, so
+    * the query median measures what a deployment pays per CALL: one fused
+    * assignment pass + within-cell pairing (the former shape re-ran the
+    * full Lloyd fit — init sort, assignment, means — inside every call). */
+  def semanticDedupAutoQ(spark: SparkSession, dir: String): DataFrame = {
+    val df = embeddingsWithPlants(spark, dir)
+    val n = df.count()
+    require(n > 0, "semantic_dedup_auto needs a non-empty corpus")
+    val k = Clustering.autoK(n, cellTarget = 1000)
+    Clustering.semanticDedupPairsWith(df, "vec_id", "embedding",
+        plantedKmeansFit(spark, dir, k, iters = 1), tau = 0.95)
       .orderBy(col("kept_id"), col("dropped_id"))
+  }
 
   /** Embedding quality control over a corpus with PLANTED anomalies (the
     * organic synthetic embeddings are too well-behaved to flag): five
@@ -1482,6 +1512,29 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[String, (String, Seq[(String, String)])]
   private val minhashIndexes =
     scala.collection.concurrent.TrieMap.empty[String, (String, Dedup.MinhashIndex)]
+  private val kmeansFits =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), (String, Seq[(Int, Seq[Double])])]
+
+  /** Memoized deterministic k-means fit over the PLANTED embeddings —
+    * pure driver data (k×dim doubles) keyed by (dir, k, iters) and stamped
+    * by the embeddings parquet footer (the [[bpeTable]] discipline: no
+    * session liveness to manage, rebuilt when the corpus changes under a
+    * long-lived JVM). Training meters into [[indexBuildNanos]] like every
+    * trained index. `kmeans_assign` stays UN-memoized on purpose — it IS
+    * the fit benchmark and its oracle row pins the fit itself. */
+  private def plantedKmeansFit(spark: SparkSession, dir: String,
+                               k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val st = graft.FixtureStamp.stamp(s"$dir/embeddings.parquet")
+    val key = (dir, k, iters)
+    kmeansFits.get(key) match {
+      case Some((`st`, v)) => v
+      case _ =>
+        val cents = meteredBuild(Clustering.kmeansFit(
+          embeddingsWithPlants(spark, dir), "vec_id", "embedding", k, iters))
+        kmeansFits.put(key, (st, cents))
+        cents
+    }
+  }
 
   /** The collected 8-merge BPE table per sf dir — the knn-index
     * train-once/query-many pattern applied to the induction that
@@ -1566,7 +1619,8 @@ object PipelineQueries {
     drain(ivfpqIndexes)(i => if (i.isLive) i.unpersist())
     drain(lshIndexes)(i => if (i.isLive) i.unpersist())
     drain(minhashIndexes)(i => if (i.isLive) i.unpersist())
-    bpeTables.clear() // plain driver data, nothing to release
+    bpeTables.clear()  // plain driver data, nothing to release
+    kmeansFits.clear() // plain driver data, nothing to release
   }
 
   /** Full-probe IVF top-5 (nprobe = nlist ⇒ provably ≡ brute force, the

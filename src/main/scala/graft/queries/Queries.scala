@@ -390,6 +390,10 @@ object Queries {
     * the documented 1e-6 float-order tolerance. */
   def userSessionsChunked(spark: SparkSession, dir: String,
                           chunkHours: Int = 24): DataFrame = {
+    // chunkHours = 0 makes chunkUs = 0 and floor(us/0) aborts at runtime
+    // under the ANSI mode this engine runs; negative values reverse chunk
+    // keys — both failures far from this call site, so guard here
+    require(chunkHours >= 1, s"chunkHours must be >= 1, got $chunkHours")
     import org.apache.spark.sql.expressions.Window
     val gapUs = 30L * 60 * 1000 * 1000
     val chunkUs = chunkHours.toLong * 3600 * 1000 * 1000

@@ -207,4 +207,49 @@ class ClusteringSpec extends SparkSuite {
     // the duplicated centroids must never win a tie against their originals
     assert(kernel.forall(_._2 < 6), "tie-break must keep the lower cell id")
   }
+
+  test("argminCell magnitude envelope: kernel == relational at huge distances") {
+    // beyond d² ≈ 4e6 a double ulp crosses the 1e-9 rounding grid and the
+    // skip fast path's proof breaks — the kernel must detect that regime
+    // (bestD > 1e6 ⇒ always round) and stay value-identical to the
+    // relational min(struct) form. ×1e5-scaled centroids put every
+    // distance around 1e8–1e10, squarely past the envelope.
+    val e = table("embeddings").limit(200)
+    val cents = Clustering.kmeansFit(e, "vec_id", "embedding", k = 4, iters = 1)
+    val bigCents = cents.map { case (c, v) => (c, v.map(_ * 1e5 + 1e4)) } ++
+      Seq((4, cents.head._2.map(_ * 1e5 + 1e4))) // forced far-tie candidate
+    val v = e.select(col("vec_id").as("__id"), col("embedding").as("__v"))
+    val kernel = v.select(col("__id"),
+        graft.functions.exprs.argminCell(col("__v"), bigCents).as("m"))
+      .select(col("__id"), col("m.cell"), col("m.d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
+    val cdf = bigCents.toDF("cell", "cvec")
+    val relational = v.crossJoin(broadcast(cdf))
+      .withColumn("d",
+        round(graft.functions.exprs.squaredDistance(col("__v"), col("cvec")), 9))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("d"), col("cell"))).as("m"))
+      .select(col("__id"), col("m.cell"), col("m.d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
+    assert(kernel === relational,
+      "kernel diverged from relational argmin at large magnitudes")
+    assert(kernel.forall(_._2 < 4), "far-tie must keep the lower cell id")
+  }
+
+  test("ArgminCell equals/hashCode compare array contents, not references") {
+    // case-class equality over Array params is reference identity, which
+    // silently disables plan canonicalization / CSE for identical kernels
+    import graft.functions.ArgminCell
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val child = BoundReference(0, ArrayType(FloatType), nullable = true)
+    def mk() = ArgminCell(child, Array(0, 1),
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)))
+    assert(mk() === mk(), "content-equal kernels must compare equal")
+    assert(mk().hashCode === mk().hashCode)
+    assert(mk().semanticEquals(mk()), "semanticEquals must see content equality")
+    val other = ArgminCell(child, Array(0, 1),
+      Array(Array(1.0, 2.0), Array(3.0, 5.0)))
+    assert(mk() !== other, "different centroid tables must not compare equal")
+  }
 }

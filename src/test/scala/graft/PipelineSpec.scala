@@ -411,6 +411,44 @@ class PipelineSpec extends SparkSuite {
       "anchor-pruned components diverged from full pair-path components")
   }
 
+  test("semantic_dedup_auto entry: memoized-fit path == direct facade (sf0.01)") {
+    // the r17 fit-sharing entry (plantedKmeansFit memo +
+    // semanticDedupPairsWith) must stay value-identical to running the
+    // facade end-to-end — kmeansFit is deterministic, so serving its
+    // centroid table from the memo cannot change a single pair
+    val dir = sf("sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val entry = rows(PipelineQueries.semanticDedupAutoQ(spark, dir))
+    val direct = rows(graft.operators.Clustering.semanticDedupAuto(
+        PipelineQueries.embeddingsWithPlants(spark, dir),
+        "vec_id", "embedding", tau = 0.95, cellTarget = 1000)
+      .orderBy(col("kept_id"), col("dropped_id")))
+    assert(entry === direct,
+      "memoized-fit semantic_dedup_auto diverged from the direct facade")
+    // second call must serve the memo (identical values again)
+    assert(rows(PipelineQueries.semanticDedupAutoQ(spark, dir)) === entry)
+  }
+
+  test("dedup_ngram_clusters entry: exact-branch labels == pair rollup (sf0.01)") {
+    // the contract entry routes the auto facade's EXACT branch at this
+    // measured size: its labels must equal rolling up the exact pair join
+    // through clusters() — the same composition the DuckDB oracle replays
+    // as brute force + recursive min-label
+    val dir = sf("sf0.01")
+    val slice = PipelineQueries.docsWithPlants(spark, dir)
+      .where(col("doc_id") < 500 || col("doc_id") >= 1000000L)
+    val entry = PipelineQueries.dedupNgramClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rollup = Dedup.clusters(
+        slice.select(col("doc_id").as("id")),
+        Dedup.ngramJaccardJoin(slice, "doc_id", "text", n = 3, threshold = 0.6))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(entry === rollup)
+    assert(entry.size === slice.count(), "every doc in the slice is labeled")
+  }
+
   test("hybrid_search_ann: selective-probe fusion recall vs brute twin pinned (sf0.01)") {
     // the ANN-backed hybrid entry serves the vector leg from the IVF index
     // at nprobe 4/16 — approximate BY DESIGN (a true neighbor in an
