@@ -52,7 +52,21 @@ object GraftSession {
     // as a steady +0.5 s on whichever plan-twin ran first in each bench
     // round while its sibling free-rode on the still-warm entry. Compiled
     // classes are small; 10x the cache is noise against executor heap.
-    "spark.sql.codegen.cache.maxEntries" -> "1000")
+    "spark.sql.codegen.cache.maxEntries" -> "1000",
+    // ObjectHashAggregateExec (every TypedImperativeAggregate: BoundedTopK,
+    // KLL/KMV/MG/CM sketches) falls back to SORT-BASED aggregation after a
+    // default of 128 (!) distinct groups per task — fine for its intended
+    // few-group percentile use, pathological for this library's
+    // top-k-per-query shape (tens of thousands of query groups per task),
+    // where the fallback silently SORTS the full candidate stream that the
+    // O(k)-bounded heaps exist to avoid buffering. Every such aggregate
+    // here carries strictly bounded per-group state (heaps ≤ k entries,
+    // sketches O(k)), so a million in-memory groups is ~0.5 GB worst case
+    // against multi-GB executors — raise the threshold so the hash path
+    // actually serves the scale it was chosen for. Measured: the r17
+    // NN-descent dedup-in-aggregate rewrite ran 89 s at sf1 under the
+    // sort fallback vs ~56 s hash-aggregated.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> (1 << 20).toString)
 
   /** Apply the scale policy to an externally-configured builder (cluster
     * master, memory, dynamic allocation etc. stay the caller's business). */

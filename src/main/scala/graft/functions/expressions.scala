@@ -413,6 +413,21 @@ final class TopKHeap(val k: Int) extends TopKState {
   @inline private def weaker(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     s1 < s2 || (s1 == s2 && i1 > i2)
 
+  /** Distinct-mode insert: skip when `id` is already kept. Exact
+    * distinct-then-topk semantics PROVIDED every occurrence of an id in a
+    * group carries the same score (see [[BoundedTopK]]): an id currently
+    * in the heap is found by the scan; an id that was EVICTED can never
+    * re-enter, because eviction implies k strictly-stronger entries were
+    * present and the heap only ever gets stronger — the root comparison
+    * rejects the duplicate before the scan even runs. The O(n ≤ k) scan
+    * is paid only by candidates that would be accepted. */
+  def addDistinct(s: Double, id: Long): Unit = {
+    if (n >= k && !weaker(scores(0), ids(0), s, id)) return
+    var i = 0
+    while (i < n) { if (ids(i) == id) return; i += 1 }
+    add(s, id)
+  }
+
   private def siftDown(start: Int): Unit = {
     var i = start
     while (true) {
@@ -474,6 +489,15 @@ final class TopKHeapStr(val k: Int) extends TopKState {
                              s2: Double, i2: UTF8String): Boolean =
     s1 < s2 || (s1 == s2 && i1.compareTo(i2) > 0)
 
+  /** Distinct-mode insert — see [[TopKHeap.addDistinct]] for the exactness
+    * argument (identical; id equality via UTF8String.equals). */
+  def addDistinct(s: Double, id: UTF8String): Unit = {
+    if (n >= k && !weaker(scores(0), ids(0), s, id)) return
+    var i = 0
+    while (i < n) { if (ids(i).equals(id)) return; i += 1 }
+    add(s, id)
+  }
+
   private def siftDown(start: Int): Unit = {
     var i = start
     while (true) {
@@ -518,9 +542,21 @@ final class TopKHeapStr(val k: Int) extends TopKState {
   * which buffers and sorts EVERY candidate row of a group. Emits
   * array<struct<score double, id bigint|string>> ranked by
   * (score desc, id asc); the id leg takes BIGINT or STRING (string order =
-  * UTF8 binary, identical to Spark's ORDER BY on strings). */
+  * UTF8 binary, identical to Spark's ORDER BY on strings).
+  *
+  * `distinct = true` additionally collapses duplicate ids INSIDE the
+  * aggregate — exactly `candidates.distinct()` followed by plain top-k,
+  * PROVIDED every occurrence of an id within a group carries the same
+  * score (true for any deterministic scoring of a (query, neighbor) pair:
+  * multi-probe LSH bucket collisions, NN-descent candidates reached via
+  * several shared neighbors). This removes the standalone distinct's
+  * full-candidate-set shuffle: dedup happens in the O(k) partial states,
+  * so the only exchange left is the partial-state merge. An id arriving
+  * with DIFFERENT scores would keep whichever survived its heap — do not
+  * use distinct mode with nondeterministic scores. */
 case class BoundedTopK(
     scoreExpr: Expression, idExpr: Expression, k: Int,
+    distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKState] {
 
@@ -554,10 +590,16 @@ case class BoundedTopK(
     val s = scoreExpr.eval(input)
     val id = idExpr.eval(input)
     if (s != null && id != null) buf match {
-      case h: TopKHeap => h.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
+      case h: TopKHeap =>
+        if (distinct) h.addDistinct(s.asInstanceOf[Double], id.asInstanceOf[Long])
+        else h.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
       case h: TopKHeapStr =>
-        // clone: the UTF8String points into a reused unsafe-row buffer
-        h.add(s.asInstanceOf[Double], id.asInstanceOf[UTF8String].clone())
+        // clone: the UTF8String points into a reused unsafe-row buffer.
+        // distinct mode clones only RETAINED ids (clone after the scan
+        // would compare a dangling buffer — equals reads bytes, safe)
+        val u = id.asInstanceOf[UTF8String]
+        if (distinct) h.addDistinct(s.asInstanceOf[Double], u.clone())
+        else h.add(s.asInstanceOf[Double], u.clone())
     }
     buf
   }
@@ -566,10 +608,18 @@ case class BoundedTopK(
     (a, b) match {
       case (x: TopKHeap, y: TopKHeap) =>
         var i = 0
-        while (i < y.n) { x.add(y.scores(i), y.ids(i)); i += 1 }
+        while (i < y.n) {
+          if (distinct) x.addDistinct(y.scores(i), y.ids(i))
+          else x.add(y.scores(i), y.ids(i))
+          i += 1
+        }
       case (x: TopKHeapStr, y: TopKHeapStr) =>
         var i = 0
-        while (i < y.n) { x.add(y.scores(i), y.ids(i)); i += 1 }
+        while (i < y.n) {
+          if (distinct) x.addDistinct(y.scores(i), y.ids(i))
+          else x.add(y.scores(i), y.ids(i))
+          i += 1
+        }
       case _ => throw new IllegalStateException("mixed top-k heap states")
     }
     a
@@ -1634,8 +1684,9 @@ object exprs {
   def argminCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     column(ArgminCell(expression(v),
       cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
-  def boundedTopK(score: Column, id: Column, k: Int): Column =
-    column(BoundedTopK(expression(score), expression(id), k)
+  def boundedTopK(score: Column, id: Column, k: Int,
+                  distinct: Boolean = false): Column =
+    column(BoundedTopK(expression(score), expression(id), k, distinct)
       .toAggregateExpression())
   def charEntropy(c: Column): Column = column(CharEntropy(expression(c)))
   def nfcNormalize(c: Column): Column = column(NfcNormalize(expression(c)))

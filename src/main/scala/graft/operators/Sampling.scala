@@ -352,7 +352,21 @@ object Sampling {
       .agg(graft.functions.exprs.kllQuantiles(col("__q"), sketchK, Seq(p))
         .as("__c"))
       .select(col(groupCol), element_at(col("__c"), 1).as("cutoff"))
-    scored.join(broadcast(cuts), Seq(groupCol))
+    // Probe side: __q is forced NON-NULLABLE (null → -Infinity) so the
+    // optimizer cannot infer an isnotnull(__q) constraint from the
+    // `__q >= cutoff` predicate and push it below the defining Project —
+    // that pushdown SUBSTITUTES the alias, duplicating the caller's whole
+    // score expression into a per-row Filter. With a composite text-
+    // quality score (HOF lambdas, interpreted) the duplicate was ~1/3 of
+    // quality_floor's wall (plan read + measured, r17). Semantics are
+    // unchanged: a NULL score can never satisfy `>= cutoff`, and neither
+    // can -Infinity (the cutoff is an actual element of the group's score
+    // multiset; a caller feeding literal -Infinity scores should treat
+    // them as null-equivalent — they never qualify).
+    val probe = df.select(col(idCol), col(groupCol),
+      coalesce(round(col(scoreCol).cast("double"), 6),
+        lit(Double.NegativeInfinity)).as("__q"))
+    probe.join(broadcast(cuts), Seq(groupCol))
       .where(col("__q") >= col("cutoff"))
       .select(col(idCol), col(groupCol), col("__q").as(scoreCol),
         col("cutoff"))

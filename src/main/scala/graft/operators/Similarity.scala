@@ -94,10 +94,11 @@ object Similarity {
     * candidate set grows 10× — unlike
     * `row_number().over(partitionBy(query_id))`, which shuffles, buffers
     * and SORTS every candidate row of a query. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def rankTopK(scored: DataFrame, k: Int,
+                       distinct: Boolean = false): DataFrame = {
     val (key, back) = idKey(scored.schema("neighbor_id").dataType)
     scored.groupBy(col("query_id"))
-      .agg(exprs.boundedTopK(col("cosine"), key, k).as("nn"))
+      .agg(exprs.boundedTopK(col("cosine"), key, k, distinct).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(col("query_id"), back(col("nn.id")).as("neighbor_id"),
         round(col("nn.score"), 6).as("cosine"),
@@ -188,13 +189,17 @@ object Similarity {
       val scored = q.join(bucketed, Seq("bucket"))
         .where(col("query_id") =!= col("neighbor_id"))
         .withColumn("cosine", exprs.cosineSimilarity(col("qvec"), col("nvec")))
-      // distinct BEFORE ranking: multi-probe emits one candidate row per
-      // shared bucket, and duplicate (query, neighbor) rows would occupy
-      // several top-k slots
+      // DISTINCT ranking: multi-probe emits one candidate row per shared
+      // bucket and duplicate (query, neighbor) rows would occupy several
+      // top-k slots. Dedup happens INSIDE the bounded top-k aggregate
+      // (exact — a pair's cosine is deterministic, so every duplicate
+      // carries the same score) instead of a standalone distinct(): the
+      // distinct's full-candidate-set shuffle is gone and the only
+      // exchange left is the O(k)-state partial merge (measured at sf1:
+      // the NN-descent seed's 237 MB distinct map write vanished).
       rankTopK(
-        scored.select(col("query_id"), col("neighbor_id"), col("cosine"))
-          .distinct(),
-        k)
+        scored.select(col("query_id"), col("neighbor_id"), col("cosine")),
+        k, distinct = true)
     }
     /** Release the persisted bucketed corpus. */
     def unpersist(): Unit = { bucketed.unpersist(); () }
@@ -637,16 +642,47 @@ object Similarity {
     // cuts back to rank ≤ k.
     val kk = k * expand
     val vecs = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
-    def topkOf(pairs: DataFrame): DataFrame = {
-      val scored = pairs.distinct()
-        .join(vecs.select(col("__nid").as("__src"), col("__nv").as("__sv")),
-          "__src")
-        .join(vecs.select(col("__nid").as("__dst"), col("__nv").as("__dv")),
-          "__dst")
-        .select(col("__src").as("query_id"), col("__dst").as("neighbor_id"),
-          exprs.cosineSimilarity(col("__sv"), col("__dv")).as("cosine"))
-      rankTopK(scored, kk)
-    }
+    // Broadcast-score mode (r16 verdict #4, probe-measured): the sf1 stage
+    // profile (NndShuffleProbe) put ~270 MB/round into the candidate
+    // distinct's map write (33M partially-deduped pair rows) on top of the
+    // ~207 MB/round top-k partial-state merge — the distinct existed only
+    // to (a) collapse duplicate candidates and (b) shrink the vec-attach
+    // joins. When the vector table is MEASURED broadcast-small (one count
+    // job; n·(4·dim+32) bytes ≤ 128 MB — 200k 64-dim float vectors ≈
+    // 54 MB, so both measured decades qualify), both reasons disappear:
+    // the vec joins ship as explicit broadcasts (no shuffle at any
+    // candidate volume, no reliance on AQE estimates) and dedup moves
+    // INSIDE the bounded top-k aggregate (distinct mode — exact because a
+    // pair's cosine is deterministic, so duplicates always carry equal
+    // scores). The only per-round exchanges left are the two skinny edge
+    // frames of the local join and the O(k)-state partial merge. Raw
+    // (pre-distinct) candidates do cost more cosine evaluations — k·dim
+    // flops each, traded against GBs of shuffle+spill; measured the right
+    // side of that trade at both decades. Corpora past the broadcast bound
+    // keep the distinct + shuffle-join shape (output-identical either
+    // way: same candidates, same scores, same ranking).
+    val nNodes = vecs.count()
+    val vecsBroadcastable = nNodes * (4L * dim + 32L) <= 128L * 1024 * 1024
+    def topkOf(pairs: DataFrame): DataFrame =
+      if (vecsBroadcastable) {
+        val scored = pairs
+          .join(broadcast(vecs.select(col("__nid").as("__src"),
+            col("__nv").as("__sv"))), "__src")
+          .join(broadcast(vecs.select(col("__nid").as("__dst"),
+            col("__nv").as("__dv"))), "__dst")
+          .select(col("__src").as("query_id"), col("__dst").as("neighbor_id"),
+            exprs.cosineSimilarity(col("__sv"), col("__dv")).as("cosine"))
+        rankTopK(scored, kk, distinct = true)
+      } else {
+        val scored = pairs.distinct()
+          .join(vecs.select(col("__nid").as("__src"), col("__nv").as("__sv")),
+            "__src")
+          .join(vecs.select(col("__nid").as("__dst"), col("__nv").as("__dv")),
+            "__dst")
+          .select(col("__src").as("query_id"), col("__dst").as("neighbor_id"),
+            exprs.cosineSimilarity(col("__sv"), col("__dv")).as("cosine"))
+        rankTopK(scored, kk)
+      }
     // Seeding is RP-LSH and that choice is load-bearing (r15 NndSeed +
     // CellSeedDebug, both measured decades): the descent can only explore
     // the CONNECTED COMPONENTS of its seed graph — neighbor-of-neighbor

@@ -96,4 +96,59 @@ class BoundedTopKSpec extends AnyFunSuite {
       merged.sortedDesc.toSeq.map { case (s, u) => (s, u.toString) } == reference
     })
   }
+
+  test("distinct mode ≡ distinct()-then-top-k under chunked merges + serde") {
+    // the precondition the operators guarantee: every occurrence of an id
+    // carries the SAME score (deterministic pair scoring) — derive score
+    // from id so heavy duplication + heavy score ties both occur, which
+    // also stresses the eviction-no-reentry argument (ids evicted early
+    // keep arriving as duplicates in later chunks and across merges)
+    val agg = BoundedTopK(Literal(0.0), Literal(0L), 1, distinct = true)
+    def scoreOf(id: Long): Double = ((id % 7 + 7) % 7) * 0.25
+    val gen = for {
+      k <- Gen.chooseNum(1, 12)
+      ids <- Gen.listOf(Gen.chooseNum(-30L, 30L))
+      chunks <- Gen.chooseNum(1, 5)
+    } yield (k, ids, chunks)
+    check(Prop.forAll(gen) { case (k, ids, chunks) =>
+      val reference = ids.distinct.map(id => (scoreOf(id), id))
+        .sortWith { case ((s1, i1), (s2, i2)) =>
+          s1 > s2 || (s1 == s2 && i1 < i2)
+        }.take(k)
+      val parts = ids.grouped(math.max(1, (ids.size + chunks - 1) / chunks))
+      val heaps = parts.map { chunk =>
+        val h = new TopKHeap(k)
+        chunk.foreach(id => h.addDistinct(scoreOf(id), id))
+        agg.copy(k = k).deserialize(agg.serialize(h)).asInstanceOf[TopKHeap]
+      }.toList
+      val merged = heaps match {
+        case Nil => new TopKHeap(k)
+        case h :: rest =>
+          rest.foreach { o =>
+            var i = 0
+            while (i < o.n) { h.addDistinct(o.scores(i), o.ids(i)); i += 1 }
+          }
+          h
+      }
+      merged.sortedDesc.toSeq == reference
+    })
+  }
+
+  test("string distinct mode ≡ distinct()-then-top-k") {
+    def scoreOf(id: String): Double = (id.length % 3) * 0.5
+    val gen = for {
+      k <- Gen.chooseNum(1, 6)
+      ids <- Gen.listOf(Gen.oneOf("a", "B", "zz", "0", "é", "doc-17", "", "Zebra"))
+    } yield (k, ids)
+    check(Prop.forAll(gen) { case (k, ids) =>
+      val reference = ids.distinct
+        .map(id => (scoreOf(id), UTF8String.fromString(id)))
+        .sortWith { case ((s1, i1), (s2, i2)) =>
+          s1 > s2 || (s1 == s2 && i1.compareTo(i2) < 0)
+        }.take(k).map { case (s, u) => (s, u.toString) }
+      val h = new TopKHeapStr(k)
+      ids.foreach(id => h.addDistinct(scoreOf(id), UTF8String.fromString(id)))
+      h.sortedDesc.toSeq.map { case (s, u) => (s, u.toString) } == reference
+    })
+  }
 }
