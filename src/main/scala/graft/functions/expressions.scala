@@ -595,8 +595,12 @@ case class BoundedTopK(
         else h.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
       case h: TopKHeapStr =>
         // clone: the UTF8String points into a reused unsafe-row buffer.
-        // distinct mode clones only RETAINED ids (clone after the scan
-        // would compare a dangling buffer — equals reads bytes, safe)
+        // The clone must happen BEFORE addDistinct — the distinct scan
+        // STORES the reference it is handed, so cloning only retained ids
+        // (i.e. after the scan decides) would leave the heap holding a
+        // dangling buffer that the next input row overwrites. The
+        // per-candidate clone garbage, including for ids the heap then
+        // rejects, is the accepted cost of that safety.
         val u = id.asInstanceOf[UTF8String]
         if (distinct) h.addDistinct(s.asInstanceOf[Double], u.clone())
         else h.add(s.asInstanceOf[Double], u.clone())

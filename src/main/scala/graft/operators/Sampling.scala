@@ -359,15 +359,20 @@ object Sampling {
     // score expression into a per-row Filter. With a composite text-
     // quality score (HOF lambdas, interpreted) the duplicate was ~1/3 of
     // quality_floor's wall (plan read + measured, r17). Semantics are
-    // unchanged: a NULL score can never satisfy `>= cutoff`, and neither
-    // can -Infinity (the cutoff is an actual element of the group's score
-    // multiset; a caller feeding literal -Infinity scores should treat
-    // them as null-equivalent — they never qualify).
+    // unchanged: a NULL score can never satisfy `>= cutoff`, and -Infinity
+    // is explicitly excluded below — necessary because when >= p of a
+    // group's scores are literal -Inf the cutoff is ITSELF -Inf, and
+    // -Inf >= -Inf holds, which would let null-score rows (coalesced to
+    // -Inf here) pass the floor that the old null-propagating predicate
+    // dropped them from. The explicit =!= keeps literal--Inf and NULL
+    // scores null-equivalent in every regime, including that degenerate
+    // one (r17 ADVICE).
     val probe = df.select(col(idCol), col(groupCol),
       coalesce(round(col(scoreCol).cast("double"), 6),
         lit(Double.NegativeInfinity)).as("__q"))
     probe.join(broadcast(cuts), Seq(groupCol))
-      .where(col("__q") >= col("cutoff"))
+      .where(col("__q") >= col("cutoff") &&
+        col("__q") =!= lit(Double.NegativeInfinity))
       .select(col(idCol), col(groupCol), col("__q").as(scoreCol),
         col("cutoff"))
   }

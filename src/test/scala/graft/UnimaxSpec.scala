@@ -158,5 +158,24 @@ class UnimaxSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Sampling.qualityFloor(df, "id", "g", "score", p = 1.0)
     }
+    // degenerate -Inf-cutoff group (r17 ADVICE): when >= p of a group's
+    // scores are literal -Inf the cutoff is itself -Inf, and -Inf >= -Inf
+    // would pass — the explicit exclusion keeps NULL and literal--Inf
+    // scores null-equivalent (dropped) even in that regime, matching the
+    // docblock's "they never qualify" claim
+    val degen = Seq((1L, "D", Double.NegativeInfinity),
+      (2L, "D", Double.NegativeInfinity), (3L, "D", Double.NegativeInfinity),
+      (4L, "D", 7.0)).toDF("id", "g", "score")
+    val keptDegen = Sampling.qualityFloor(degen, "id", "g", "score", p = 0.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(keptDegen === Array(4L),
+      "-Inf scores must never pass the floor, even at an -Inf cutoff")
+    // NULL scores behave identically (null -> -Inf coalesce path)
+    val withNull = Seq((1L, "E", Some(Double.NegativeInfinity)),
+      (2L, "E", None: Option[Double]), (3L, "E", Some(2.0)),
+      (4L, "E", Some(3.0))).toDF("id", "g", "score")
+    val keptNull = Sampling.qualityFloor(withNull, "id", "g", "score", p = 0.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(!keptNull.contains(1L) && !keptNull.contains(2L))
   }
 }
