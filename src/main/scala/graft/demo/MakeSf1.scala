@@ -27,8 +27,23 @@ object MakeSf10 {
     MakeSfN.make(args.headOption.getOrElse("/tmp/graft_sf10"), copies = 100)
 }
 
+/** Fourth-decade CONTENT fixture (r17 verdict #8): documents + embeddings
+  * only, 300 copies (~1.5M docs / 600k vectors) with a 1e6 content-id
+  * step. That step is deliberately OUTSIDE the `PlantShift < 1e6` id
+  * convention (which caps plant-compatible copies at 199 — 200 × 5000 hits
+  * 1e6), so this fixture serves OPERATOR-LEVEL probes on the raw tables
+  * (demo.FourthDecadeProbe) and cannot back the planted contract entries.
+  * TPC-H-side tables are skipped: 300 × 60M lineitem rows serve no probe. */
+object MakeSf30 {
+  def main(args: Array[String]): Unit =
+    MakeSfN.make(args.headOption.getOrElse("/tmp/graft_sf30"), copies = 300,
+      contentStep = Some(1000000L),
+      tables = Some(Set("documents", "embeddings")))
+}
+
 object MakeSfN {
-  def make(out: String, copies: Int): Unit = {
+  def make(out: String, copies: Int, contentStep: Option[Long] = None,
+           tables: Option[Set[String]] = None): Unit = {
     val spark = graft.GraftSession.localBuilder(32, "graft-makesf")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -45,8 +60,8 @@ object MakeSfN {
     // the step drops to the smallest power-of-ten-ish stride that keeps all
     // copies distinct AND the max id below 1e6 (100 copies × 5000 → max
     // doc_id 504,999; × 2000 → max vec_id 201,999).
-    val docStep = if (copies <= 10) 100000L else 5000L
-    val vecStep = if (copies <= 10) 100000L else 2000L
+    val docStep = contentStep.getOrElse(if (copies <= 10) 100000L else 5000L)
+    val vecStep = contentStep.getOrElse(if (copies <= 10) 100000L else 2000L)
     val shifts: Map[String, (Long, Seq[String])] = Map(
       "customer" -> (S, Seq("c_custkey")),
       "supplier" -> (S, Seq("s_suppkey")),
@@ -56,7 +71,7 @@ object MakeSfN {
       "events" -> (S, Seq("event_id", "user_id")),
       "documents" -> (docStep, Seq("doc_id")),
       "embeddings" -> (vecStep, Seq("vec_id")))
-    for ((t, (step, keys)) <- shifts) {
+    for ((t, (step, keys)) <- shifts if tables.forall(_.contains(t))) {
       val base = spark.read.parquet(s"$dir/$t.parquet")
       val x10 = (0 until copies).map { i =>
         val shifted = keys.foldLeft(base)((df, k) =>
@@ -125,7 +140,7 @@ object MakeSfN {
       x10.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
-    for (t <- Seq("region", "nation")) {
+    for (t <- Seq("region", "nation") if tables.forall(_.contains(t))) {
       spark.read.parquet(s"$dir/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"$t: copied")

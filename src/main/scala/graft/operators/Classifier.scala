@@ -198,7 +198,19 @@ object Classifier {
     * stays flat across iterations. The weights join is deliberately NOT
     * force-broadcast: B is caller-set and may be millions of buckets —
     * broadcast-when-fits is AQE's call (the `Search.bm25TopK` r11
-    * lesson). */
+    * lesson).
+    *
+    * Fault-tolerance envelope (r17 verdict #6): `localCheckpoint(true)`
+    * materializes the per-iteration weights to EXECUTOR-local storage —
+    * an executor loss mid-training discards those blocks and fails the
+    * job unrecoverably, which is fine single-JVM and acceptable for a
+    * minutes-long fit, but a long cluster run that must survive
+    * preemption should use reliable checkpointing instead: set
+    * `spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)` and swap the
+    * `.localCheckpoint(true)` for `.checkpoint(true)` — the weights frame
+    * is ≤B rows, so the per-iteration write is small. Same trade
+    * everywhere this library cuts iterative lineage
+    * ([[Graphs.pageRank]], [[CorpusOps.bpeMerges]]). */
   def hashedLogReg(train: DataFrame, score: DataFrame, idCol: String,
                    labelCol: String, textCol: String,
                    numBuckets: Int = 1 << 20, iters: Int = 2,

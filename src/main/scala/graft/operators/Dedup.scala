@@ -313,9 +313,90 @@ object Dedup {
     * O(n²) candidates. Literally-identical documents are the exact-dedup
     * operator's job ([[exactTextGroups]]), which catches them in one hash
     * aggregation regardless of this cap. */
+  /** Broadcast-gate default for the verification-shape routing: below it
+    * the planner broadcast-joins the signature side, so the classic
+    * candidate-distinct shape is optimal regardless of candidate volume.
+    * Same 128 MB figure as the NN-descent vector gate. */
+  private[graft] val SideBroadcastBytes: Long = 128L * 1024 * 1024
+
+  /** Two-step MEASURED routing between the classic candidate-distinct
+    * verification shape and the bucket-local join shape (r18).
+    *
+    * Step 1 — side bytes (one agg over the caller-cached signature frame):
+    * a broadcastable side (≤ `bound`) makes the classic shape free of wide
+    * exchanges — always classic.
+    * Step 2 — predicted exchange bytes (one narrow occupancy agg over the
+    * cached band frame, only paid by large corpora): classic exchanges
+    * ~candidateBound × 2 arrays; bucket-local exchanges ~bucketRows × one
+    * (sh + sig) row. The candidate bound is Σ C(m,2) for the self-join
+    * path or Σ m·min(m−1, reps) for the anchored path. Neither shape
+    * dominates — the gate exists because the measured sf10 table splits
+    * (ShapeGateProbe, convention):
+    *
+    *   char-ngram 4×8: classic 124 GB vs bucket-local 2.7 GB → BL
+    *     (measured 971 s → 192 s); word-minhash 16×4: classic 4.4 GB vs
+    *     bucket-local 7.8 GB → classic (measured 30 s classic, 764 s BL —
+    *     the selective banding emits few candidates, while 16 bands of
+    *     wide rows and raw C(m,2) re-pairing are exactly the wrong trade).
+    *
+    * Both shapes return the same verified pair set row-for-row (symmetric
+    * deterministic verification ⇒ distinct-after-verify ≡
+    * verify-after-distinct; spec-pinned), so the gate is purely a cost
+    * decision. */
+  private object Shape {
+    val ClassicBroadcast = 0 // side fits the gate: classic + explicit hint
+    val ClassicShuffle = 1   // side too big, but candidates are the cheaper exchange
+    val BucketLocal = 2      // candidate exchange dominates: verify in the bucket join
+  }
+
+  private def verificationShape(withSig: DataFrame, exploded: DataFrame,
+                                numHashes: Int, anchorReps: Option[Int],
+                                bound: Long): Int = {
+    // bound ≤ 0 forces the bucket-local shape outright (the spec's
+    // both-branches equality pin; also an ops escape hatch) — a positive
+    // bound always routes on the measurements below
+    if (bound <= 0L) return Shape.BucketLocal
+    val r = withSig.agg(count(lit(1)),
+      coalesce(sum(size(col("sh"))), lit(0L))).head
+    val n = r.getLong(0)
+    val tot = r.getLong(1)
+    val sideBytes = n * (numHashes * 8L + 32L) + tot * 8L
+    // side fits the gate → classic with an EXPLICIT broadcast hint: the
+    // gate has measured what the planner can only estimate, and the
+    // sizing aggregation itself materializes the cache, handing the
+    // planner accurate (too-big-for-auto-broadcast) stats that would
+    // otherwise flip these joins to SMJ (measured at sf1: 16 MB of
+    // shuffle with the hint vs 247 MB and +40%% wall without)
+    if (sideBytes <= bound) Shape.ClassicBroadcast
+    else {
+      val candCol = anchorReps match {
+        case Some(reps) => sum(col("m") * least(col("m") - 1, lit(reps.toLong)))
+        case None => sum((col("m") * (col("m") - 1) / 2).cast("long"))
+      }
+      val o = exploded.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(col("m")), lit(0L)).as("rows"),
+          coalesce(candCol, lit(0L)).as("cand")).head
+      val bucketRows = o.getLong(0)
+      val cand = o.getLong(1)
+      val avgShBytes = 8.0 * tot / math.max(n, 1L)
+      val classicBytes = cand * 2.0 * avgShBytes
+      val bucketLocalBytes = bucketRows * (avgShBytes + numHashes * 8.0 + 48.0)
+      if (classicBytes > bucketLocalBytes) Shape.BucketLocal
+      else Shape.ClassicShuffle
+    }
+  }
+
   private def verifiedPairs(withSig: DataFrame, bands: Int, rows: Int,
                             threshold: Double, numHashes: Int,
-                            bucketCap: Int, tag: String): DataFrame = {
+                            bucketCap: Int, tag: String): DataFrame =
+    verifiedPairsImpl(withSig, bands, rows, threshold, numHashes, bucketCap,
+      tag, SideBroadcastBytes)
+
+  private[graft] def verifiedPairsImpl(withSig: DataFrame, bands: Int,
+                            rows: Int, threshold: Double, numHashes: Int,
+                            bucketCap: Int, tag: String,
+                            sideBroadcastBound: Long): DataFrame = {
     // cached: the capped band frame feeds BOTH sides of the self-join, and
     // the bucket-count window (sort + shuffle) must not run twice
     val exploded = track(ScaleOps.capBuckets(
@@ -323,14 +404,62 @@ object Dedup {
         .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
         .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
       Seq("band", "bkey"), bucketCap, tag).cache())
-    val a = exploded.alias("a")
-    val b = exploded.alias("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    verifyShingleCandidates(candidates, withSig, threshold, numHashes)
+    // MEASURED verification-shape routing (r18). Below the broadcast gate
+    // the classic shape — distinct the (id_a, id_b) candidate list, then
+    // join each side's (sh, sig) back on — is optimal: the planner
+    // broadcast-joins the signature side, the wide arrays are never
+    // exchanged, and every pair is intersected exactly once (measured
+    // 2.3 s dedup_ngram_lsh at sf0.1; a premature unconditional
+    // bucket-local rewrite read 5.9 s there). ABOVE the gate that shape
+    // exchanges candidate-volume × array-width, which is corpus-
+    // SUPER-linear when organic band collisions pile buckets up (NgcProbe:
+    // the anchored sibling read 32M distinct candidates and ~80 GB of
+    // exchange at sf10 — 971 s; the C(m,2) self-join here is strictly
+    // denser, 1,299 s). There the BUCKET-LOCAL shape wins: attach the
+    // arrays ONCE per bucket-row (bucket_rows ≈ bands·n, corpus-linear),
+    // pair inside the (band, bkey) join — the identical subplan on both
+    // sides collapses to one shuffle + ReusedExchange — and stream the
+    // verification filter pipelined over the join output with no wide
+    // exchange. Cross-band duplicate pair instances are then re-verified
+    // instead of distinct'd away: the O(numHashes) signature prefilter
+    // runs first (~5× cheaper than the intersect it gates), and
+    // verification is symmetric + deterministic, so distinct-after-verify
+    // ≡ verify-after-distinct — BOTH SHAPES RETURN THE SAME PAIR SET
+    // row-for-row (spec-pinned).
+    val shape = verificationShape(withSig, exploded, numHashes,
+      anchorReps = None, bound = sideBroadcastBound)
+    if (shape != Shape.BucketLocal) {
+      val a = exploded.alias("a")
+      val b = exploded.alias("b")
+      val candidates = a.join(b,
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      verifyShingleCandidates(candidates, withSig, threshold, numHashes,
+        broadcastSide = shape == Shape.ClassicBroadcast)
+    } else {
+      val side = withSig.select(col("id"), col("sh"), col("sig"))
+      val memberSh = exploded.join(side, "id")
+      val left = memberSh.select(col("band"), col("bkey"),
+        col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+      val right = memberSh.select(col("band"), col("bkey"),
+        col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+      left.join(right, Seq("band", "bkey"))
+        .where(col("id_a") < col("id_b"))
+        .where(minhashExprs.arrayAgreeCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes >= threshold - 0.2)
+        .withColumn("inter",
+          minhashExprs.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard",
+          when(size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, 0.0)
+            .otherwise(col("inter").cast("double")
+              / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .distinct()
+    }
   }
 
   /** Exact-Jaccard verification of an (id_a, id_b) candidate frame against
@@ -339,9 +468,16 @@ object Dedup {
     * agreement is an unbiased Jaccard estimate, so the slack keeps false
     * rejections negligible) ahead of the exact sorted-merge intersection.
     * Shared by every banded pair/cluster path. */
-  private def verifyShingleCandidates(candidates: DataFrame, withSig: DataFrame,
-                                      threshold: Double, numHashes: Int): DataFrame = {
-    val side = withSig.select(col("id"), col("sh"), col("sig"))
+  private[graft] def verifyShingleCandidates(candidates: DataFrame, withSig: DataFrame,
+                                      threshold: Double, numHashes: Int,
+                                      broadcastSide: Boolean = false): DataFrame = {
+    // broadcastSide: set by the shape gate when the side is MEASURED to
+    // fit the broadcast bound — the explicit hint matters because the
+    // gate's own sizing aggregation materializes the cache, whose accurate
+    // stats otherwise push the planner to SMJ for a side that broadcasts
+    // fine (see verificationShape)
+    val side0 = withSig.select(col("id"), col("sh"), col("sig"))
+    val side = if (broadcastSide) broadcast(side0) else side0
     candidates
       .join(side.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), "id_a")
       .join(side.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), "id_b")
@@ -1283,7 +1419,8 @@ object Dedup {
     * themselves), cluster_id = component min id. */
   def ngramJaccardClusters(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5,
-                           bucketCap: Int = 1000, reps: Int = 64): DataFrame = {
+                           bucketCap: Int = 1000, reps: Int = 64,
+                           sideBroadcastBound: Long = SideBroadcastBytes): DataFrame = {
     require(reps >= 1, s"reps must be >= 1, got $reps")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
@@ -1303,13 +1440,59 @@ object Dedup {
     val anchors = exploded.groupBy(col("band"), col("bkey"))
       .agg(slice(array_sort(collect_set(col("id"))), 1, reps).as("rs"))
       .select(col("band"), col("bkey"), explode(col("rs")).as("rep_id"))
-    val candidates = exploded.join(anchors, Seq("band", "bkey"))
-      .where(col("id") =!= col("rep_id"))
-      .select(least(col("id"), col("rep_id")).as("id_a"),
-        greatest(col("id"), col("rep_id")).as("id_b"))
-      .distinct()
-    val verified = verifyShingleCandidates(candidates, withSig, threshold,
-      numHashes)
+    // MEASURED verification-shape routing (r17 verdict #2; shared
+    // rationale at [[verifiedPairsImpl]]). Candidate volume here is NOT
+    // corpus-linear when the signature space piles up: on the synthetic
+    // fixtures' ~54-token vocabulary, organic band collisions push
+    // per-member anchor fan-out toward its min(reps, m) saturation as
+    // occupancy m grows with the corpus (measured, NgcProbe: sf1
+    // bucket-occupancy q99 = 17 and 1.6M distinct candidates; sf10
+    // q99 = 63 and 32.2M — 20× candidates for 10× docs), so the classic
+    // candidate-distinct shape's wide join was ~80 GB of exchange at sf10
+    // (971 s convention wall) once the signature side outgrew broadcast.
+    // Below the gate that shape stays optimal (broadcast side, each pair
+    // intersected once); above it the bucket-local shape attaches each
+    // array ONCE per bucket-row (corpus-linear: ~2 GB at sf10), pairs
+    // member × anchor inside the join, and streams the exact-Jaccard
+    // filter pipelined — 180 s at sf10, 5.4×. Both shapes return the same
+    // verified edge set (symmetric deterministic verification ⇒
+    // distinct-after-verify ≡ verify-after-distinct), so the split-only
+    // guarantee and the pair-path-equality pin are shape-independent
+    // (spec-pinned).
+    val shape = verificationShape(withSig, exploded, numHashes,
+      anchorReps = Some(reps), bound = sideBroadcastBound)
+    val verified =
+      if (shape != Shape.BucketLocal) {
+        val candidates = exploded.join(anchors, Seq("band", "bkey"))
+          .where(col("id") =!= col("rep_id"))
+          .select(least(col("id"), col("rep_id")).as("id_a"),
+            greatest(col("id"), col("rep_id")).as("id_b"))
+          .distinct()
+        verifyShingleCandidates(candidates, withSig, threshold, numHashes,
+          broadcastSide = shape == Shape.ClassicBroadcast)
+      } else {
+        val side = withSig.select(col("id"), col("sh"), col("sig"))
+        val memberSh = exploded.join(side, "id")
+        val anchorSh = anchors.join(
+          side.select(col("id").as("rep_id"), col("sh").as("rep_sh"),
+            col("sig").as("rep_sig")), "rep_id")
+        memberSh.join(anchorSh, Seq("band", "bkey"))
+          .where(col("id") =!= col("rep_id"))
+          .where(minhashExprs.arrayAgreeCount(col("sig"), col("rep_sig"))
+            .cast("double") / numHashes >= threshold - 0.2)
+          .withColumn("inter",
+            minhashExprs.sortedIntersectCount(col("sh"), col("rep_sh")))
+          .withColumn("jaccard",
+            when(size(col("sh")) + size(col("rep_sh")) - col("inter") === 0,
+              0.0)
+              .otherwise(col("inter").cast("double")
+                / (size(col("sh")) + size(col("rep_sh")) - col("inter"))))
+          .where(col("jaccard") >= threshold)
+          .select(least(col("id"), col("rep_id")).as("id_a"),
+            greatest(col("id"), col("rep_id")).as("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .distinct()
+      }
     clusters(df.select(col(idCol).as("id")), verified)
   }
 

@@ -47,7 +47,18 @@ object Graphs {
     * the rank frame is localCheckpointed every round so lineage stays flat
     * over any iteration count (the [[Dedup.clustersDistributed]]
     * discipline). Driver state = the node count. No windows, no collect
-    * of node or edge rows. */
+    * of node or edge rows.
+    *
+    * Fault-tolerance envelope (r17 verdict #6): `localCheckpoint(true)`
+    * pins the rank frame to EXECUTOR-local blocks — losing an executor
+    * mid-run discards them and fails the job unrecoverably. Single-JVM
+    * and short cluster runs are inside that envelope; an iteration count
+    * × graph size that must survive executor preemption should use
+    * reliable checkpoints: `setCheckpointDir(<hdfs/s3 path>)` + swap
+    * `.localCheckpoint(true)` for `.checkpoint(true)` (node-sized frame,
+    * one write per round; checkpoint the nodes frame once the same way).
+    * Same trade in [[Classifier.hashedLogReg]] and
+    * [[CorpusOps.bpeMerges]]. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                damping: Double = 0.85, iters: Int = 10): DataFrame = {
     require(damping > 0 && damping < 1,

@@ -2907,7 +2907,11 @@ object Oracles {
       |           + sin(CAST(i - 1 AS DOUBLE) + vec_id + 1000000) * 0.02 AS FLOAT)) AS je
       |  FROM embeddings WHERE vec_id < 20),
       |corpus AS (
+      |  -- bounded contract slice (vec_id < 2000 = the full corpus at every
+      |  -- oracle-gate SF; clamps the by-design-quadratic fixed-k pin at
+      |  -- sf1/sf10) — mirrors the Spark side's predicate exactly
       |  SELECT vec_id AS id, embedding AS v FROM embeddings
+      |  WHERE vec_id < 2000
       |  UNION ALL
       |  SELECT vec_id + 1000000 AS id, je AS v FROM jit2),
       |${kmeansCte(8)},

@@ -1317,9 +1317,21 @@ object PipelineQueries {
 
   /** SemDeDup over the planted corpus: cluster, then within-cluster cosine
     * ≥ 0.95 pairs keeping the lower id. Plants guarantee recall is
-    * observable; the oracle recomputes clustering AND pairing. */
+    * observable; the oracle recomputes clustering AND pairing.
+    *
+    * BOUNDED SLICE (r17 verdict #3, the [[dedupNgram]] precedent): the
+    * fixed-k=8 pin exists to value-check the Lloyd round + pairing math,
+    * and fixed k is quadratic-by-design as cells grow with the corpus —
+    * the r17 sf10 leg paid 1,172 s re-proving that documented bound. The
+    * contract entry therefore runs on the base vectors (vec_id < 2000 —
+    * the COMPLETE corpus at every oracle-gate SF, so gate values are
+    * bit-identical to the unbounded form there) plus the plants; the
+    * bare-corpus cost at scale stays measured by the linear measured-k
+    * twin `semantic_dedup_auto`, which runs unbounded. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    Clustering.semanticDedupPairs(embeddingsWithPlants(spark, dir),
+    Clustering.semanticDedupPairs(
+        embeddingsWithPlants(spark, dir)
+          .where(col("vec_id") < 2000 || col("vec_id") >= PlantShift),
         "vec_id", "embedding", k = 8, iters = 1, tau = 0.95)
       .orderBy(col("kept_id"), col("dropped_id"))
 

@@ -411,6 +411,37 @@ class PipelineSpec extends SparkSuite {
       "anchor-pruned components diverged from full pair-path components")
   }
 
+  test("verification-shape routing: bucket-local ≡ broadcast shape, " +
+      "pairs + clusters (sf0.01)") {
+    // the r18 measured two-step routing (side-bytes broadcast gate, then
+    // predicted exchange volume — Dedup.useBucketLocal) picks between the
+    // candidate-distinct/classic shape and the bucket-local join shape;
+    // verification is symmetric + deterministic, so the two must return
+    // IDENTICAL rows — pinned here by forcing each branch explicitly
+    // (bound = MaxValue ⇒ classic, ≤0 ⇒ bucket-local) on the planted
+    // corpus
+    val docs = PipelineQueries.docsWithPlants(spark, sf("sf0.01"))
+    import graft.functions.minhashExprs
+    val withSig = Dedup.track(docs.select(col("doc_id").as("id"),
+        minhashExprs.charShingleSet(col("text"), 3).as("sh"))
+      .withColumn("sig", minhashExprs.minhashSig(col("sh"), 32))
+      .cache())
+    def pairsWith(bound: Long) =
+      Dedup.verifiedPairsImpl(withSig, bands = 4, rows = 8, threshold = 0.6,
+          numHashes = 32, bucketCap = 1000, tag = s"shape_$bound",
+          sideBroadcastBound = bound)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(pairsWith(Long.MaxValue) === pairsWith(0L),
+      "pair verification shapes diverged")
+    def clustersWith(bound: Long) =
+      Dedup.ngramJaccardClusters(docs, "doc_id", "text", n = 3,
+          threshold = 0.6, sideBroadcastBound = bound)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustersWith(Long.MaxValue) === clustersWith(0L),
+      "cluster verification shapes diverged")
+  }
+
   test("semantic_dedup_auto entry: memoized-fit path == direct facade (sf0.01)") {
     // the r17 fit-sharing entry (plantedKmeansFit memo +
     // semanticDedupPairsWith) must stay value-identical to running the
