@@ -53,8 +53,20 @@ object TextFunctions {
 
   /** Composite quality score in [0,1] — the classic heuristic mix of length,
     * word-shape, punctuation and stopword signals (in the spirit of
-    * C4/Gopher-style quality filters). */
-  def qualityScore(text: Column): Column = {
+    * C4/Gopher-style quality filters). Fused single-pass codegen kernel
+    * ([[graft.functions.QualityKernel]], r18): the relational composition
+    * below evaluated the text's split 4+ times per row through interpreted
+    * HOF lambdas (`filter`/`aggregate` are CodegenFallback) — measured
+    * 0.97 s per full-corpus pass at sf0.1, ~half of quality_floor's wall.
+    * Kernel ≡ relational is pinned in QualityKernelSpec and by every
+    * quality-consuming oracle row. */
+  def qualityScore(text: Column): Column = exprs.qualityScore(text)
+
+  /** Reference relational formulation of [[qualityScore]] — KEPT ONLY as
+    * the independent-implementation twin for the kernel==relational parity
+    * spec (the [[winnowFingerprintsHof]] convention); never call it from a
+    * query path. */
+  private[graft] def qualityScoreRelational(text: Column): Column = {
     val nTok = tokenCount(text)
     val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
     val wordLen = avgWordLen(text)
