@@ -249,13 +249,25 @@ object Classifier {
       // empty weights frame: every bucket starts at implicit 0
       var w: DataFrame = trainFeat
         .select(col("__b"), lit(0.0).as("__w")).where(lit(false))
-      for (_ <- 1 to iters) {
-        val resid = trainFeat.join(w, Seq("__b"), "left")
-          .groupBy(id, col("__y"))
-          .agg((sum(round(col("__x") * coalesce(col("__w"), lit(0.0)) * 1e9,
-            0).cast("long")).cast("double") / 1e9).as("__z"))
-          .select(id, (round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 9)
-            - col("__y")).as("__r"))
+      for (it <- 1 to iters) {
+        // Iteration 1 algebraic shortcut (r18): w is the EMPTY frame, so
+        // the residual join+aggregate would compute z = 0 for every doc —
+        // sigmoid(0) = 0.5 exactly (round(0.5, 9) = 0.5) — while paying a
+        // full left-join + groupBy over the feature table. Emit
+        // 0.5 − y per doc directly instead; every doc appears (the bias
+        // row guarantees it in the joined form, id uniqueness in this
+        // one). Iterations ≥ 2 take the general path. Bit-identical:
+        // lr_hashed oracle re-verified, sf0.1 median 2.82 → measured below.
+        val resid =
+          if (it == 1)
+            train.select(id,
+              (lit(0.5) - col(labelCol).cast("double")).as("__r"))
+          else trainFeat.join(w, Seq("__b"), "left")
+            .groupBy(id, col("__y"))
+            .agg((sum(round(col("__x") * coalesce(col("__w"), lit(0.0)) * 1e9,
+              0).cast("long")).cast("double") / 1e9).as("__z"))
+            .select(id, (round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 9)
+              - col("__y")).as("__r"))
         val grad = trainFeat.join(resid, Seq(idCol))
           .groupBy(col("__b"))
           .agg(sum(round(col("__r") * col("__x") * 1e9, 0).cast("long"))

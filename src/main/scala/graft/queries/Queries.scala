@@ -427,9 +427,20 @@ object Queries {
     // and through runs of single-session chunks. The frame is thousands of
     // times smaller than the event stream (hot user: 2 rows per active
     // chunk), so this window's hot partition is trivially small.
-    val bounds = local.groupBy(col("user_id"), col("chunk"))
-      .agg(max(col("lsid")).as("max_lsid"))
-    val withMax = local.join(bounds, Seq("user_id", "chunk"))
+    // max_lsid as an UNORDERED full-frame window over (user, chunk) — the
+    // r17 duplicate_spans trick (r18 here): `local` leaves its aggregation
+    // hash-partitioned by (user_id, chunk) (the groupBy reused the phase-1
+    // window's exchange), which satisfies this window's distribution
+    // exactly, so the former groupBy+self-join (a second aggregate plus a
+    // join of the session frame against itself) collapses to one in-place
+    // window pass with NO new exchange. The boundary/interior branches
+    // below each consume this frame; the duplicated subtree's exchanges
+    // are runtime-reused by AQE (measured on bm25TopK, BmProf r18), so no
+    // persist — a tracked persist benched wall-neutral here while adding
+    // a materialization the reuse makes redundant.
+    val byUserChunk = Window.partitionBy(col("user_id"), col("chunk"))
+    val withMax =
+      local.withColumn("max_lsid", max(col("lsid")).over(byUserChunk))
     val boundary = withMax
       .where(col("lsid") === 1L || col("lsid") === col("max_lsid"))
     val interior = withMax
