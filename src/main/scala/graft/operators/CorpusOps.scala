@@ -261,9 +261,18 @@ object CorpusOps {
     require(endMarker.nonEmpty && endMarker.matches("[A-Za-z0-9_</>]+"),
       s"end marker must be space/quote-free, got '$endMarker'")
     val spark = df.sparkSession
+    // Scoped persist (r18): WITHOUT it every round's argmax collect
+    // re-executed the whole lineage from the parquet scan — the corpus
+    // explode + word-count aggregation ran once PER MERGE (numMerges
+    // corpus passes; measured 8 passes behind bpe_merges' 3.0 s sf0.1
+    // median), which contradicted the documented one-corpus-pass shape.
+    // The cache is vocabulary-sized, owned by this call, and released in
+    // the finally below (the hashedLogReg trainFeat convention) — the
+    // returned frame is a driver-built LocalRelation, so nothing escapes.
     val words = df.select(explode(TextFunctions.tokens(
         TextFunctions.normalized(col(textCol)))).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .persist()
     // " c h a r s </w> " — leading/trailing spaces so every symbol is
     // space-delimited on BOTH sides and literal " a b "→" ab " replace
     // can never match across symbol boundaries
@@ -272,6 +281,7 @@ object CorpusOps {
         array_join(filter(split(col("__w"), ""), s => length(s) > 0), " "),
         lit(" " + endMarker + " ")).as("__s"))
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    try {
     var i = 0
     var done = false
     while (i < numMerges && !done) {
@@ -299,6 +309,7 @@ object CorpusOps {
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+    } finally { words.unpersist(); () }
   }
 
   /** Apply a learned BPE merge list ([[bpeMerges]] output, rank order) to
