@@ -533,15 +533,64 @@ object Bench {
         java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
           (fullLine + "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () } // stdout chunks below still carry everything
-      val parts = ok.map(n => "\"" + n + "\":" + r3(med(n)))
+      // Driver-parsable medians (r18 verdict #1). Evidence across the
+      // BENCH_r15..r18 artifacts: the harness records (and parses) a
+      // 2000-char stdout TAIL — r17's headline, a complete single JSON
+      // line in stdout but >2 KB long, parsed as null, while in r18 the
+      // two complete lines inside the window (medians part 3 + the short
+      // headline) were shallow-merged with the LAST "queries" map winning.
+      // A single 132-entry medians line is ~3 KB, so it can never sit
+      // fully inside that window next to the headline; instead the full
+      // map streams as small alphabetical parts (≤1000 chars each — also
+      // safe under any per-line parse cap), and the FINAL medians line —
+      // the one whose "queries" survives the merge and the only one that
+      // fits the tail window with the headline — carries the MOST
+      // EXPENSIVE entries by median (the perf-adjudicable set), plus any
+      // entries the previous sidecar artifact ranked in ITS top set, so
+      // round-over-round n_common covers the same heavy entries even as
+      // rankings shift. The sidecar above remains the complete record.
+      val kvOf = ok.map(n => n -> ("\"" + n + "\":" + r3(med(n)))).toMap
+      val alphaParts = ok.map(kvOf)
         .foldLeft(List(List.empty[String])) { (acc, kv) =>
-          if ((acc.head :+ kv).map(_.length + 1).sum > 1500) List(kv) :: acc
+          if ((acc.head :+ kv).map(_.length + 1).sum > 1000) List(kv) :: acc
           else (acc.head :+ kv) :: acc.tail
         }.reverse.filter(_.nonEmpty)
+      val topBudget = 1050
+      def packTop(order: Seq[String]): Seq[String] = {
+        var used = 0
+        val picked = scala.collection.mutable.LinkedHashSet.empty[String]
+        order.foreach { n =>
+          val c = kvOf(n).length + 1
+          if (!picked.contains(n) && used + c <= topBudget) {
+            picked += n; used += c
+          }
+        }
+        picked.toSeq
+      }
+      val priorTop = priors.toSeq.sortBy(-_._2).map(_._1)
+        .take(40).filter(kvOf.contains)
+      val topNames = packTop(
+        (ok.sortBy(n => (-med(n), n)) ++ priorTop).distinct
+          .sortBy(n => (-med(n), n)))
+      val parts = alphaParts :+ topNames.sorted.map(kvOf).toList
       parts.zipWithIndex.foreach { case (p, i) =>
         println(s"""{"detail":"medians","part":${i + 1},"of":${parts.size},"queries":${p.mkString("{", ",", "}")}}""")
       }
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"mem_calibration_sec":${r3(memCalibration)},"gc_calibration_sec":${r3(gcCalibration)},"load_factor":${r3(loadFactor)},"cap_effective_sec":$capEff,"entries":${names.size},"ok":${ok.size},"fixture_hash":"$fixtureHash","index_build_sec":$buildJson,"shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,"errors":$errJson,"partial":$partialJson$contamJson$overloadJson,"runs":$rounds,"sf":"$sfDir","queries_file":"$sidecar"}""")
+      // index_build_sec moves to its own detail line (it can be ~200+
+      // chars) so the headline stays far below the tail window's budget
+      // and the final medians line above always fits beside it
+      println(s"""{"detail":"index_build_sec","queries":$buildJson}""")
+      // errors/partial stay inline only while small: kill forensics can
+      // exceed the whole tail window (r17: three kills made the headline
+      // >2 KB and the artifact parsed null) — overflow goes to a detail
+      // line and the headline keeps the counts
+      val inlineErrs = errJson.length + partialJson.length <= 300
+      if (!inlineErrs)
+        println(s"""{"detail":"errors_partial","errors":$errJson,"partial":$partialJson}""")
+      val errFields =
+        if (inlineErrs) s""""errors":$errJson,"partial":$partialJson"""
+        else s""""n_errors":${errors.size},"n_partial":${partialJson.count(_ == '{') - 1}"""
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration_sec":${r3(calibration)},"mem_calibration_sec":${r3(memCalibration)},"gc_calibration_sec":${r3(gcCalibration)},"load_factor":${r3(loadFactor)},"cap_effective_sec":$capEff,"entries":${names.size},"ok":${ok.size},"fixture_hash":"$fixtureHash","shuffle_mb_total":${r3(totalShuffleMb)},"peak_heap_mb":$peakHeapMb,$errFields$contamJson$overloadJson,"runs":$rounds,"sf":"$sfDir","queries_file":"$sidecar"}""")
     }
     // teardown: release every session-lifetime cache the bench populated so
     // a long-lived embedding JVM reusing this code path starts clean —

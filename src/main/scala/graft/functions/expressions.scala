@@ -1707,7 +1707,12 @@ object QualityKernel {
       val b = w.getBytes("UTF-8")
       require(b.length <= 4 && b.forall(x => x >= 'a' && x <= 'z'),
         s"stopword '$w' breaks the packed-ASCII fast path")
-      var k = 0L
+      // k seeds at 1, not 0: a leading 0x00 byte would otherwise be
+      // absorbed by the shift (" a" packing equal to "a") and a
+      // NUL-prefixed token would falsely count as a stopword — the
+      // sentinel makes the packing length-injective (" a" →
+      // 0x010061 ≠ "a" → 0x0161). Mirrored in endToken below.
+      var k = 1L
       var i = 0
       while (i < b.length) { k = (k << 8) | (b(i) & 0xFFL); i += 1 }
       k
@@ -1743,7 +1748,7 @@ object QualityKernel {
       val tl = endExcl - tokStart
       if (tokAscii) {
         if (tl <= 4) {
-          var k = 0L
+          var k = 1L // nonzero seed — see stopAscii: NUL-safe length-injective packing
           var j = tokStart
           while (j < endExcl) {
             var b = bytes(j) & 0xFF

@@ -254,14 +254,22 @@ object Classifier {
         // the residual join+aggregate would compute z = 0 for every doc —
         // sigmoid(0) = 0.5 exactly (round(0.5, 9) = 0.5) — while paying a
         // full left-join + groupBy over the feature table. Emit
-        // 0.5 − y per doc directly instead; every doc appears (the bias
-        // row guarantees it in the joined form, id uniqueness in this
-        // one). Iterations ≥ 2 take the general path. Bit-identical:
+        // 0.5 − y per doc directly instead (the bias row guarantees every
+        // doc appears in the joined form too). The dropDuplicates mirrors
+        // the general path's groupBy(id, __y) cardinality EXACTLY — one
+        // residual row per distinct (id, label), so duplicate train rows
+        // (or one id under two labels) contribute the same gradient mass
+        // on both paths (r18 ADVICE; 0.5 − y is injective in y, so
+        // distinct (id, __r) ≡ distinct (id, __y)); it is a 2-column
+        // dedup, still far cheaper than the removed full feature-table
+        // pass. Iterations ≥ 2 take the general path. Bit-identical for
+        // ALL inputs (ClassifierSpec pins the duplicate-id case):
         // lr_hashed oracle re-verified, sf0.1 median 2.82 → measured below.
         val resid =
           if (it == 1)
             train.select(id,
               (lit(0.5) - col(labelCol).cast("double")).as("__r"))
+              .dropDuplicates(Seq(idCol, "__r"))
           else trainFeat.join(w, Seq("__b"), "left")
             .groupBy(id, col("__y"))
             .agg((sum(round(col("__x") * coalesce(col("__w"), lit(0.0)) * 1e9,

@@ -433,7 +433,12 @@ object Queries {
     // window's exchange), which satisfies this window's distribution
     // exactly, so the former groupBy+self-join (a second aggregate plus a
     // join of the session frame against itself) collapses to one in-place
-    // window pass with NO new exchange. The boundary/interior branches
+    // window pass with NO new exchange. NULL-key note (r18 ADVICE): the
+    // former INNER self-join on (user_id, chunk) dropped sessions whose
+    // user_id or ts (hence chunk) was null, while the window RETAINS them
+    // (null keys form their own window group) — matching plain
+    // userSessions' window semantics. Row-identical on null-free event
+    // fixtures; on nullable inputs the window form is the intended one. The boundary/interior branches
     // below each consume this frame; the duplicated subtree's exchanges
     // are runtime-reused by AQE (measured on bm25TopK, BmProf r18), so no
     // persist — a tracked persist benched wall-neutral here while adding

@@ -232,6 +232,39 @@ class ClassifierSpec extends SparkSuite {
     }
   }
 
+  test("hashed LR: duplicate (id,label) train rows keep the general path's " +
+      "gradient mass (iteration-1 shortcut cardinality, r18 ADVICE)") {
+    // The iteration-1 shortcut emits residuals from the train frame; the
+    // general path it replaced grouped by (id, __y). With duplicate train
+    // rows the shortcut must DEDUPE to one residual per distinct
+    // (id, label) or those docs' gradients double. Hand-computed pin:
+    // train = the same (1, 1, "alpha") row twice, iters=1, lr=1, n=2.
+    //   resid: one row (1, −0.5)    [not two]
+    //   grad:  b(alpha): x=2 → −1.0; bias: two rows x=1 → −1.0
+    //   w:     +0.5 each → score("alpha") z = 1.0, p = sigmoid(1) round-6.
+    // The pre-fix shortcut yields w = +1.0 and p = sigmoid(2) — distinct.
+    val train = Seq(
+      (1L, 1L, "alpha"),
+      (1L, 1L, "alpha")).toDF("id", "label", "text")
+    val score = Seq((50L, "alpha")).toDF("id", "text")
+    val p = Classifier.hashedLogReg(train, score, "id", "label", "text",
+        numBuckets = 1 << 16, iters = 1, lr = 1.0)
+      .collect().head.getDouble(1)
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p === expected)
+    // One id under CONFLICTING labels: residuals (1, −0.5) and (1, +0.5)
+    // both survive (0.5 − y is injective in y), every joined gradient term
+    // cancels, w stays 0 and the scored doc sits at exactly 0.5.
+    val conflict = Seq(
+      (1L, 1L, "alpha"),
+      (1L, 0L, "alpha")).toDF("id", "label", "text")
+    val p2 = Classifier.hashedLogReg(conflict, score, "id", "label", "text",
+        numBuckets = 1 << 16, iters = 1, lr = 1.0)
+      .collect().head.getDouble(1)
+    assert(p2 === 0.5)
+  }
+
   test("calibrationBins: hand-computed bins, top-edge fold, exact sums, " +
       "validation") {
     // probs chosen to hit bin 0 (two docs), bin 9 twice (incl. the folded

@@ -54,6 +54,9 @@ class QualityKernelSpec extends SparkSuite {
       "ab " * 60, // wordLen < 3 boundary
       "abc " * 60, // wordLen == 3 boundary (inclusive)
       "a.b,c;d:e!f?g", // punct interleaved in one token
+      "\u0000a \u0000to the x\u0000 \u0000", // NUL-prefixed near-stopwords:
+      // the packed-ASCII key seeds at 1 so NUL+"a" ≠ "a" (a leading 0x00
+      // byte must not be absorbed by the shift) — these are NOT stopwords
       ("lorem ipsum dolor sit amet, consectetur adipiscing elit. " * 30).trim))
   }
 
