@@ -550,11 +550,17 @@ object Bench {
       // round-over-round n_common covers the same heavy entries even as
       // rankings shift. The sidecar above remains the complete record.
       val kvOf = ok.map(n => n -> ("\"" + n + "\":" + r3(med(n)))).toMap
-      val alphaParts = ok.map(kvOf)
+      // pack RIGHT-to-left so the fold's small leftover part lands at the
+      // alphabetical START: the alphabetical part printed immediately
+      // before the top line is then always near-full (~1000 chars), so it
+      // can never sit completely inside the tail window alongside the top
+      // line + headline — the top line is unambiguously the one surviving
+      // medians map under either first-wins or last-wins merge precedence
+      val alphaParts = ok.map(kvOf).reverse
         .foldLeft(List(List.empty[String])) { (acc, kv) =>
           if ((acc.head :+ kv).map(_.length + 1).sum > 1000) List(kv) :: acc
           else (acc.head :+ kv) :: acc.tail
-        }.reverse.filter(_.nonEmpty)
+        }.map(_.reverse).filter(_.nonEmpty)
       val topBudget = 1050
       def packTop(order: Seq[String]): Seq[String] = {
         var used = 0
@@ -569,17 +575,24 @@ object Bench {
       }
       val priorTop = priors.toSeq.sortBy(-_._2).map(_._1)
         .take(40).filter(kvOf.contains)
+      // zipf_fit is pinned first into the top set: it is the ONLY entry the
+      // r18 driver artifact's parser kept, so it is the only possible
+      // common key for the r18→r19 round-over-round comparison (~17 chars
+      // of the budget; from r19 on the top sets overlap on their own)
       val topNames = packTop(
-        (ok.sortBy(n => (-med(n), n)) ++ priorTop).distinct
-          .sortBy(n => (-med(n), n)))
+        (Seq("zipf_fit").filter(kvOf.contains) ++
+          (ok.sortBy(n => (-med(n), n)) ++ priorTop).distinct
+            .sortBy(n => (-med(n), n))))
       val parts = alphaParts :+ topNames.sorted.map(kvOf).toList
       parts.zipWithIndex.foreach { case (p, i) =>
         println(s"""{"detail":"medians","part":${i + 1},"of":${parts.size},"queries":${p.mkString("{", ",", "}")}}""")
       }
       // index_build_sec moves to its own detail line (it can be ~200+
       // chars) so the headline stays far below the tail window's budget
-      // and the final medians line above always fits beside it
-      println(s"""{"detail":"index_build_sec","queries":$buildJson}""")
+      // and the final medians line above always fits beside it. Keyed
+      // "builds", NOT "queries" — a same-named map would clobber the
+      // surviving medians map in the tail-window merge.
+      println(s"""{"detail":"index_build_sec","builds":$buildJson}""")
       // errors/partial stay inline only while small: kill forensics can
       // exceed the whole tail window (r17: three kills made the headline
       // >2 KB and the artifact parsed null) — overflow goes to a detail

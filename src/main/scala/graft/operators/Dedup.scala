@@ -1642,6 +1642,19 @@ object Dedup {
     val fps = track(df.select(col(idCol).as("doc_id"),
         explode(minhashExprs.winnowFingerprints(col(textCol), k, w)).as("fp"))
       .cache())
+    // MEASURED NEGATIVE (r19, QueryJobProbe): replacing this df-aggregate +
+    // join-back with the span family's r17 partitionBy(fp) window shape
+    // (count over fp in place of keep⋈fps) benched 3.26 → 4.27 s warm at
+    // sf0.1 — the window EXCHANGES and per-consumer SORTS the full
+    // fingerprint frame (the window node re-executes for each of sel's 3
+    // consumers; only its exchange is AQE-reused), while THIS shape never
+    // exchanges fps at all: `keep` aggregates map-side and broadcasts, so
+    // sel stays a map-side chain from the cache. The four ~0.2 s repeated
+    // sel materializations it was meant to remove are cheaper than one
+    // full-frame exchange + three sorts. Reverted; boilerplateSpans /
+    // duplicateSpans keep their windows because there the aggregate
+    // CONSUMED the same exchange the window replaced — here it never had
+    // one.
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select(col("fp"))
     val sel = fps.join(keep, "fp")

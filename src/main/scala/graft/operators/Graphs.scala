@@ -72,7 +72,14 @@ object Graphs {
 
     val e = edges.select(src.as("__src"), dst.as("__dst")).persist()
     try {
+      // deg is LOOP-INVARIANT but was a lazy plan: every round re-ran the
+      // out-degree aggregation in BOTH its consumers (the contrib join and
+      // the dangling-mass anti-join) — 2·iters aggregations of the edge
+      // frame's cache (r19, QueryJobProbe: pagerank at sf0.1 was 66 jobs
+      // of scheduling floor). One eager materialization up front; the
+      // frame is distinct-source bounded, the same envelope as `nodes`.
       val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+        .localCheckpoint(true)
       val nodes = e.select(col("__src").as("node"))
         .union(e.select(col("__dst").as("node")))
         .distinct().localCheckpoint(true)

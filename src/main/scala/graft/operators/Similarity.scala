@@ -611,7 +611,15 @@ object Similarity {
                 k: Int = 10, iterations: Int = 4, expand: Int = 3,
                 nPlanes: Int = 8, seed: Long = 7L, dim: Int = 64,
                 bucketCap: Int = 4096, rho: Double = 1.0,
-                delta: Double = 0.0): DataFrame = {
+                delta: Double = 0.0): DataFrame =
+    nnDescentImpl(corpus, idCol, vecCol, k, iterations, expand,
+      Some(nPlanes), seed, dim, bucketCap, rho, delta)
+
+  private def nnDescentImpl(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iterations: Int, expand: Int,
+                nPlanesOpt: Option[Int], seed: Long, dim: Int,
+                bucketCap: Int, rho: Double,
+                delta: Double): DataFrame = {
     require(k >= 1, s"bad k $k")
     require(iterations >= 0, s"bad iterations $iterations")
     require(expand >= 1, s"bad expand $expand")
@@ -641,7 +649,22 @@ object Similarity {
     // revision explicitly (0.001 is the paper's setting). Final output
     // cuts back to rank ≤ k.
     val kk = k * expand
+    // Scoped persist of the 2-column vector table (r19; guide §8 "move
+    // heavy bytes once"): WITHOUT it every consumer re-scanned the source —
+    // the broadcast-score mode alone rebuilds its two vec broadcasts per
+    // round from the parquet scan (job-level attribution, NndJobProbe: the
+    // 3-task broadcast-build job was 0.5–1.0 s of each round's ~1.3 s at
+    // sf0.1), plus the seed's two corpus passes and the size-gate count —
+    // ~11 source scans per build. One materialization feeds all of them;
+    // released in the finally below (the bpeMerges convention — the
+    // returned frame is checkpoint-rooted, so nothing escapes the scope).
+    // Memory: the table is n·(id + dim floats); the broadcast gate below
+    // already requires ≤128 MB for the hot path, and past that bound the
+    // persist spills to disk while still replacing ~6 full scans (the
+    // shuffle-join branch consumes vecs twice per round + seed + count).
     val vecs = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
+      .persist()
+    try {
     // Broadcast-score mode (r16 verdict #4, probe-measured): the sf1 stage
     // profile (NndShuffleProbe) put ~270 MB/round into the candidate
     // distinct's map write (33M partially-deduped pair rows) on top of the
@@ -662,6 +685,10 @@ object Similarity {
     // keep the distinct + shuffle-join shape (output-identical either
     // way: same candidates, same scores, same ranking).
     val nNodes = vecs.count()
+    // auto mode (nPlanesOpt = None) derives the seed bucket count from the
+    // SAME materialized count — the facade's former standalone corpus
+    // count() is folded into the persist's materialization
+    val nPlanes = nPlanesOpt.getOrElse(nnDescentPlanesFor(nNodes))
     val vecsBroadcastable = nNodes * (4L * dim + 32L) <= 128L * 1024 * 1024
     def topkOf(pairs: DataFrame): DataFrame =
       if (vecsBroadcastable) {
@@ -712,10 +739,24 @@ object Similarity {
     // The paper's win assumes many near-converged rounds; this operating
     // point (few rounds, expand headroom) deliberately front-loads churn.
     // Reverted; ρ remains the measured discovery-thinning knob.
-    var edges = lshTopK(corpus, corpus, idCol, vecCol, kk, nPlanes, seed,
+    // the seed reads the PERSISTED vector table (renamed back to the
+    // caller's columns), not the source — lshTopK's bucket pass and probe
+    // side were two more full source scans
+    val vcorpus = vecs.select(col("__nid").as(idCol), col("__nv").as(vecCol))
+    var edges = lshTopK(vcorpus, vcorpus, idCol, vecCol, kk, nPlanes, seed,
         dim, bucketCap)
       .localCheckpoint(true)
     var converged = false
+    // MEASURED NEGATIVE (r19, NndJobProbe at sf0.1 local[32]): widening the
+    // round's 3-partition map stage (the checkpoint inherits AQE's ~1 MB
+    // bytes-based coalescing) with a gated repartition-to-defaultParallelism
+    // of the edge frame looked like the §2 starved-parallelism remedy, but
+    // the stage's cost is ~0.3 s of FIXED overhead PER TASK (64 tasks read
+    // 18 s of executor time for the same rows 3 tasks covered in 0.8 s —
+    // per-task time constant, i.e. broadcast-value materialization
+    // contention + task setup, not compute): warm build wall 5.3 → 6.5 s.
+    // Reverted — at gate scale FEWER tasks win, and at sf1+ AQE's
+    // parallelismFirst already keeps ~core-count partitions.
     for (it <- 1 to iterations if !converged) {
       val undAll = edges
         .select(col("query_id").as("__src"), col("neighbor_id").as("__dst"))
@@ -755,6 +796,7 @@ object Similarity {
       edges = next
     }
     edges.where(col("rank") <= k)
+    } finally { vecs.unpersist(); () }
   }
 
   /** Measured scale-aware seed bucket count for [[nnDescentAuto]]. The
@@ -792,15 +834,18 @@ object Similarity {
     * corpus size ([[nnDescentPlanesFor]]) — the deployment facade, same
     * pattern as the semantic-dedup measured-k knob: identical to the
     * defaults on gate-scale corpora, ~30% cheaper at 20k+ nodes at parity
-    * recall. Costs one count() of the corpus up front. */
+    * recall. The size measurement shares the build's own persisted-vector
+    * count — no standalone corpus pass. */
   def nnDescentAuto(corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int = 10, iterations: Int = 4, expand: Int = 3,
                     seed: Long = 7L, dim: Int = 64, bucketCap: Int = 4096,
                     rho: Double = 1.0, delta: Double = 0.0): DataFrame =
-    nnDescent(corpus, idCol, vecCol, k, iterations, expand,
-      nPlanes = nnDescentPlanesFor(corpus.count()),
-      seed = seed, dim = dim, bucketCap = bucketCap, rho = rho,
-      delta = delta)
+    // nPlanesOpt = None: the bucket count derives from the build's own
+    // persisted-vector count — the facade no longer pays a standalone
+    // corpus count() of its own (r19)
+    nnDescentImpl(corpus, idCol, vecCol, k, iterations, expand,
+      nPlanesOpt = None, seed = seed, dim = dim, bucketCap = bucketCap,
+      rho = rho, delta = delta)
 
   /** Per-dimension standardization (z-scoring) of an embedding column —
     * the feature-normalization stage in front of k-means / ANN indexing /
