@@ -55,9 +55,22 @@ object Search {
     require(k > 0, s"bad k $k")
     require(k1 >= 0, s"bad k1 $k1")
     require(b >= 0 && b <= 1, s"bad b $b (want [0,1])")
+    // Explicit isnotnull on the join keys (r19, §7.2 duplicated-subtree
+    // fix): the scored path's joins PUSH isnotnull(doc_id)/isnotnull(__t)
+    // into their tf subtrees while dl/dfreq/stats consume tf unfiltered —
+    // the canonicalized exchange plans then differ and AQE exchange reuse
+    // cannot dedupe them, so the corpus explode+partial-agg map stage
+    // materialized 2–3× per query (QueryJobProbe: two ~0.6 s 116k-row
+    // stages + one 115,981-row filtered twin behind hybrid_search).
+    // Filtering HERE makes every consumer share one canonical subtree.
+    // Value note: a null doc_id (degenerate input — ids are keys) no
+    // longer counts in dl/stats' N/avgdl; null terms cannot occur (the
+    // tokenizer yields non-null array elements). Fixture-invariant,
+    // oracle re-verified.
     val terms = corpus.select(col(idCol).cast("long").as("doc_id"),
       explode(TextFunctions.tokens(TextFunctions.normalized(col(textCol))))
         .as("__t"))
+      .where(col("doc_id").isNotNull && col("__t").isNotNull)
     val tf = terms.groupBy(col("doc_id"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("__tf")).as("__dl"))
